@@ -1,0 +1,206 @@
+"""Compact limited-memory quasi-Newton Hessian approximations.
+
+Role-equivalent of ``ParOptCompactQuasiNewton`` / ``ParOptLBFGS`` /
+``ParOptLSR1`` (`src/ParOptQuasiNewton.{h,cpp}`): maintain
+
+    B  ≈  b0 * I  -  Z^T M^{-1} Z
+
+with Z a small stack of design-length vectors and M a small replicated matrix,
+so Hessian products cost one [K, n] matmul + one [K, K] solve (one fused
+all-reduce when n is sharded — the `mdot` pattern), and the KKT solve can apply
+B^{-1} through the Sherman-Morrison-Woodbury identity.
+
+TPU-first design: the state is a fixed-shape pytree (S, Y ring buffers of shape
+[m, n] with newest pair in the last row plus an active count), so `update`,
+`mult` and the compact-matrix assembly all `jit` without retracing; the
+branchy update safeguards (damping / skip, `ParOptQuasiNewton.cpp:175-179`,
+damped update θ = 0.8·sᵀBs/(sᵀBs − yᵀs)) are `jnp.where` selects.
+
+Conventions (self-contained; verified against dense BFGS in tests):
+
+- L-BFGS (Byrd–Nocedal–Schnabel compact form, as in `ParOptQuasiNewton.cpp:
+  339-377`):  Z = [b0*S; Y] (2m rows),
+  M = [[b0*S Sᵀ, L], [Lᵀ, -D]],  L_ij = s_i·y_j (i > j strictly), D = diag(s_i·y_i).
+- L-SR1 (`ParOptQuasiNewton.cpp:593-860`):  W = Y - b0*S (m rows),
+  B = b0 I + W^T (D + L + Lᵀ - b0 S Sᵀ)^{-1} W, absorbed into the unified
+  minus-sign form via M = b0 S Sᵀ - D - L - Lᵀ, Z = W.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["QNState", "qn_init", "qn_reset", "qn_update", "qn_mult",
+           "qn_compact", "NoQN"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QNState:
+    """Fixed-shape limited-memory state. Rows [m-count:] of S/Y are active,
+    newest last; inactive rows are zero."""
+    S: jnp.ndarray          # [m, n]
+    Y: jnp.ndarray          # [m, n]
+    count: jnp.ndarray      # int32 scalar, number of active pairs (<= m)
+    b0: jnp.ndarray         # scalar initial diagonal
+    # static config
+    qn_type: str = dataclasses.field(metadata=dict(static=True), default="bfgs")
+    update_type: str = dataclasses.field(metadata=dict(static=True),
+                                         default="skip_negative_curvature")
+    diag_type: str = dataclasses.field(metadata=dict(static=True),
+                                       default="yty_over_yts")
+
+    @property
+    def msub(self) -> int:
+        return self.S.shape[0]
+
+    @property
+    def nvars(self) -> int:
+        return self.S.shape[1]
+
+
+def qn_init(msub: int, nvars: int, dtype=jnp.float64, qn_type: str = "bfgs",
+            update_type: str = "skip_negative_curvature",
+            diag_type: str = "yty_over_yts", b0: float = 1.0) -> QNState:
+    return QNState(
+        S=jnp.zeros((msub, nvars), dtype=dtype),
+        Y=jnp.zeros((msub, nvars), dtype=dtype),
+        count=jnp.zeros((), dtype=jnp.int32),
+        b0=jnp.asarray(b0, dtype=dtype),
+        qn_type=qn_type, update_type=update_type, diag_type=diag_type)
+
+
+def qn_reset(state: QNState) -> QNState:
+    return dataclasses.replace(
+        state, S=jnp.zeros_like(state.S), Y=jnp.zeros_like(state.Y),
+        count=jnp.zeros_like(state.count), b0=jnp.ones_like(state.b0))
+
+
+def _active_mask(state: QNState) -> jnp.ndarray:
+    m = state.msub
+    idx = jnp.arange(m)
+    return (idx >= m - state.count).astype(state.S.dtype)
+
+
+def _assemble_M(state: QNState, b0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build (Z [K, n], M [K, K]) for the unified B = b0 I - Z^T M^{-1} Z form.
+    Inactive rows padded with identity on the M diagonal."""
+    S, Y = state.S, state.Y
+    m = state.msub
+    mask = _active_mask(state)
+    SS = (S * mask[:, None]) @ S.T          # [m, m], one fused reduction
+    SY = (S * mask[:, None]) @ (Y * mask[:, None]).T  # SY[i,j] = s_i . y_j
+    D = jnp.diag(jnp.diag(SY))
+    Lmat = jnp.tril(SY, k=-1)               # strictly lower: s_i.y_j, i > j
+    if state.qn_type in ("bfgs", "scaled_bfgs"):
+        Z = jnp.concatenate([b0 * S, Y], axis=0)          # [2m, n]
+        M = jnp.block([[b0 * SS, Lmat], [Lmat.T, -D]])    # [2m, 2m]
+        act = jnp.concatenate([mask, mask])
+    elif state.qn_type == "sr1":
+        Z = Y - b0 * S
+        M = b0 * SS - D - Lmat - Lmat.T
+        act = mask
+    else:
+        raise ValueError(f"unknown qn_type {state.qn_type!r}")
+    # pad inactive with identity; zero inactive rows of Z
+    K = M.shape[0]
+    eye = jnp.eye(K, dtype=M.dtype)
+    outer = act[:, None] * act[None, :]
+    M = jnp.where(outer > 0, M, eye)
+    Z = Z * act[:, None]
+    return Z, M
+
+
+def qn_compact(state: QNState):
+    """-> (b0, Z [K, n], M [K, K]) with B = b0 I - Z^T M^{-1} Z.
+
+    The analogue of `getCompactMat` (`ParOptQuasiNewton.h:32-67`); when
+    count == 0, Z is all zero and M the identity, so B = b0 I exactly.
+    """
+    Z, M = _assemble_M(state, state.b0)
+    return state.b0, Z, M
+
+
+def qn_mult(state: QNState, x: jnp.ndarray) -> jnp.ndarray:
+    """B @ x."""
+    b0, Z, M = qn_compact(state)
+    return b0 * x - Z.T @ jnp.linalg.solve(M, Z @ x)
+
+
+def _new_b0(state: QNState, s, y, yTs, yTy, sTs):
+    dt = state.diag_type
+    if dt in ("yty_over_yts", "inner_yty_over_yts"):
+        val = yTy / yTs
+    else:  # yts_over_sts, inner_yts_over_sts
+        val = yTs / sTs
+    return jnp.where(yTs > 0.0, val, state.b0)
+
+
+def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray
+              ) -> Tuple[QNState, jnp.ndarray, jnp.ndarray]:
+    """Apply one (s, y) update.
+
+    Returns (new_state, skipped, damped) with int32 flags.  Behavior matches
+    the reference ladder (`ParOptQuasiNewton.cpp:130-280`):
+
+    - skip test: |yᵀs| <= 1e-8 * yᵀy  =>  no update (`:175-179`)
+    - 'damped_update' (BFGS): if yᵀs < 0.2·sᵀBs use
+      θ = 0.8·sᵀBs/(sᵀBs − yᵀs), y ← θ·y + (1−θ)·Bs
+    - 'skip_negative_curvature' (BFGS): skip when yᵀs <= 0 after the skip test
+    - SR1: standard skip when |sᵀ(y − Bs)| small relative test
+    """
+    dtype = state.S.dtype
+    s = s.astype(dtype)
+    y = y.astype(dtype)
+    Bs = qn_mult(state, s)
+    # one fused reduction for all the scalars (mdot pattern)
+    G = jnp.stack([s, y, Bs]) @ jnp.stack([s, y]).T  # [3, 2]
+    sTs, yTs, yTy, sBs = G[0, 0], G[1, 0], G[1, 1], G[2, 0]
+
+    if state.qn_type in ("bfgs", "scaled_bfgs"):
+        nocedal_skip = jnp.abs(yTs) <= 1e-8 * yTy
+        if state.update_type == "damped_update":
+            need_damp = yTs < 0.2 * sBs
+            theta = jnp.where(need_damp, 0.8 * sBs / (sBs - yTs), 1.0)
+            y_use = theta * y + (1.0 - theta) * Bs
+            damped = need_damp & ~nocedal_skip
+            skip = nocedal_skip
+        else:
+            y_use = y
+            damped = jnp.zeros((), dtype=bool)
+            skip = nocedal_skip | (yTs <= 0.0)
+    else:  # sr1: skip if |s.(y - Bs)| <= 1e-8 * |s| * |y - Bs|
+        w = y - Bs
+        sw = jnp.vdot(s, w)
+        skip = jnp.abs(sw) <= 1e-8 * jnp.sqrt(sTs * jnp.vdot(w, w) + 1e-300)
+        y_use = y
+        damped = jnp.zeros((), dtype=bool)
+
+    yTs_use = jnp.vdot(y_use, s)
+    yTy_use = jnp.vdot(y_use, y_use)
+    b0_new = _new_b0(state, s, y_use, yTs_use, yTy_use, sTs)
+    if state.qn_type == "sr1":
+        # SR1 allows indefinite curvature; keep b0 positive
+        b0_new = jnp.where(b0_new > 0.0, b0_new, state.b0)
+
+    # ring-buffer shift: roll up, newest in last row
+    S_new = jnp.concatenate([state.S[1:], s[None, :]], axis=0)
+    Y_new = jnp.concatenate([state.Y[1:], y_use[None, :]], axis=0)
+    cnt_new = jnp.minimum(state.count + 1, state.msub)
+
+    new_state = dataclasses.replace(
+        state,
+        S=jnp.where(skip, state.S, S_new),
+        Y=jnp.where(skip, state.Y, Y_new),
+        count=jnp.where(skip, state.count, cnt_new),
+        b0=jnp.where(skip, state.b0, b0_new))
+    return new_state, skip.astype(jnp.int32), damped.astype(jnp.int32)
+
+
+class NoQN:
+    """Placeholder for qn_type='none' / sequential_linear_method: B = sigma*I."""

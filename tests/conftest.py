@@ -1,0 +1,46 @@
+"""Test harness configuration.
+
+Unit tests must run on real host CPU with a virtual 8-device mesh (the
+analogue of the reference's oversubscribed `mpirun -np N` CI runs, SURVEY.md
+§4) and float64 enabled (the reference is double everywhere).
+
+The surrounding environment may pin JAX at a tunneled TPU (JAX_PLATFORMS=axon
+with a sitecustomize hook that routes *all* XLA compilation through the remote
+TPU compiler — multi-minute latency and f64-hostile).  That hook runs at
+interpreter startup, before conftest, so the only reliable fix is to re-exec
+the interpreter once with a scrubbed environment.
+"""
+
+import os
+import sys
+
+_AXON_VARS = ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+              "PALLAS_AXON_TPU_GEN", "AXON_LOOPBACK_RELAY",
+              "AXON_POOL_SVC_OVERRIDE")
+
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("_PAROPT_TPU_TEST_REEXEC") != "1"):
+    env = dict(os.environ)
+    env["_PAROPT_TPU_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    for var in _AXON_VARS:
+        env.pop(var, None)
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon_site" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(pp)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
