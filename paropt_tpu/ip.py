@@ -1,0 +1,984 @@
+"""Primal-dual interior-point optimizer.
+
+TPU-native re-design of `ParOptInteriorPoint` (`src/ParOptInteriorPoint.{h,cpp}`,
+~6.8k LoC): the same algorithm — elastic double-slack l1 formulation, monotone /
+Mehrotra / predictor-corrector / complementarity-fraction barrier strategies,
+least-squares and affine-step multiplier initialization, quasi-definite KKT
+factorization with dense-multiplier Schur complement and SMW compact-QN
+correction, fraction-to-boundary scaling, l1-merit Armijo line search with
+function-precision relaxation, and the QN-reset/diagonal-step degradation
+ladder — but structured TPU-first:
+
+- All state lives in fixed-shape pytrees (`IPVars`, `QNState`); every
+  numerically heavy phase (residual+norms, KKT factor+solve, step scaling,
+  merit pieces, variable update) is one `jit`-compiled function whose inputs
+  are the state pytrees, so a major iteration is a handful of fused XLA
+  computations with one all-reduce per reduction group when the design axis is
+  sharded over a mesh.
+- Branch-heavy safeguard logic (barrier updates, the ρ penalty update, line
+  search accept/reject, the dm0>=0 recovery ladder) runs host-side on scalars,
+  exactly where the reference used root-computed + broadcast values
+  (`ParOptInteriorPoint.cpp:1963-1965` etc.); under SPMD/jit these scalars are
+  replicated by construction so every host branches identically.
+- User callbacks (`eval_obj_con`, gradients) are host calls and may be plain
+  numpy physics codes; when the problem is differentiable JAX the gradients
+  are autodiff-derived (see problem.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import kkt
+from .ops.kkt import IPVars, ProblemData
+from .ops import qn as qnmod
+from .ops.veclib import multi_norm
+from .utils.logging import IPLogger
+from .utils.options import OptionRegistry, make_options
+
+__all__ = ["InteriorPoint"]
+
+
+# line search status flags (bitmask, mirroring the reference's enum)
+LS_SUCCESS = 1
+LS_FAILURE = 2
+LS_MIN_STEP = 4
+LS_MAX_ITERS = 8
+LS_NO_IMPROVEMENT = 16
+LS_SHORT_STEP = 32
+
+
+# ---------------------------------------------------------------------------
+# jitted computational kernels (pure functions of pytrees + scalars)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("norm_type",))
+def _residual_and_norms(v: IPVars, d: ProblemData, mu, rel_bound_barrier,
+                        norm_type: str):
+    r = kkt.kkt_residual(v, d, mu, rel_bound_barrier)
+    prime = multi_norm([r.x, r.s, r.t], norm_type)
+    dual = multi_norm([r.zl, r.zu, r.zs, r.zt, r.sw, r.tw, r.zsw, r.ztw],
+                      norm_type)
+    infeas = multi_norm([r.z, r.zw], norm_type)
+    if norm_type == "infinity":
+        res_norm = jnp.maximum(prime, jnp.maximum(dual, infeas))
+    elif norm_type == "l1":
+        res_norm = prime + dual + infeas
+    else:
+        res_norm = jnp.sqrt(prime ** 2 + dual ** 2 + infeas ** 2)
+    comp = kkt.average_complementarity(v, d)
+    return r, prime, dual, infeas, res_norm, comp
+
+
+@partial(jax.jit, static_argnames=("refine_steps", "use_qn"))
+def _compute_step(v: IPVars, d: ProblemData, compact, mu, rel_bound_barrier,
+                  qn_sigma, refine_steps: int, use_qn: bool):
+    r = kkt.kkt_residual(v, d, mu, rel_bound_barrier)
+    cq = compact if use_qn else (compact[0], None, None)
+    f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=qn_sigma)
+    p = kkt.solve_kkt(v, d, f, r, refine_steps=refine_steps, qn_compact=cq)
+    return p
+
+
+@jax.jit
+def _scale_step(v: IPVars, d: ProblemData, p: IPVars, mu, comp, inexact):
+    """Fraction-to-boundary scaling with the equal-step safeguard
+    (`scaleKKTStep`, `ParOptInteriorPoint.cpp:3196-3278`)."""
+    tau = jnp.maximum(0.95, 1.0 - mu)
+    ax, az = kkt.max_step_lengths(v, d, p, tau)
+    # bound the ratio between the two step lengths by 100 (clamp the larger)
+    mb = 100.0
+    ax = jnp.where(ax > az, jnp.clip(ax, az / mb, az * mb), ax)
+    az = jnp.where(az > ax, jnp.clip(az, ax / mb, ax * mb), az)
+    # if complementarity grows 10x at the scaled step, equalize
+    vn = v.axpy(ax, az, p)
+    comp_new = kkt.average_complementarity(vn, d)
+    amin = jnp.minimum(ax, az)
+    ceq = (comp_new > 10.0 * comp) | inexact
+    ax = jnp.where(ceq, amin, ax)
+    az = jnp.where(ceq, amin, az)
+    ps = IPVars(x=ax * p.x, zl=az * p.zl, zu=az * p.zu, s=ax * p.s,
+                t=ax * p.t, z=az * p.z, zs=az * p.zs, zt=az * p.zt,
+                sw=ax * p.sw, tw=ax * p.tw, zw=az * p.zw, zsw=az * p.zsw,
+                ztw=az * p.ztw)
+    return ps, ax, az, (ceq & ~inexact)
+
+
+def _barrier_terms(x, s, t, sw, tw, d: ProblemData, rel_bound_barrier):
+    """Sum of log-barrier terms (the φ part of the merit function,
+    `evalMeritFunc`, `ParOptInteriorPoint.cpp:3524-3650`)."""
+    total = rel_bound_barrier * (
+        jnp.sum(jnp.where(d.lb_mask > 0, jnp.log(jnp.maximum(x - d.lb, 1e-300)),
+                          0.0))
+        + jnp.sum(jnp.where(d.ub_mask > 0,
+                            jnp.log(jnp.maximum(d.ub - x, 1e-300)), 0.0)))
+    for arr in (s, t, sw, tw):
+        if arr.size:
+            total = total + jnp.sum(jnp.log(jnp.maximum(arr, 1e-300)))
+    return total
+
+
+def _infeas_l2(c, s, t, cw, sw, tw):
+    dense = jnp.sum((c - s + t) ** 2) if c.size else 0.0
+    sparse = jnp.sum((cw - sw + tw) ** 2) if cw.size else 0.0
+    return jnp.sqrt(dense + sparse)
+
+
+@partial(jax.jit, static_argnames=("use_qn",))
+def _merit_parts(v: IPVars, d: ProblemData, p: IPVars, fobj, mu,
+                 rel_bound_barrier, compact, use_qn: bool):
+    """Merit value/derivative pieces sans the ρ·infeasibility term
+    (`evalMeritInitDeriv`, `ParOptInteriorPoint.cpp:3652-3938`).
+    Returns (merit0, pmerit0, infeas, infeas_proj, pTBp)."""
+    merit0 = (fobj
+              + jnp.sum(d.gamma_s * v.s) + jnp.sum(d.gamma_t * v.t)
+              + jnp.sum(d.gamma_sw * v.sw) + jnp.sum(d.gamma_tw * v.tw)
+              - mu * _barrier_terms(v.x, v.s, v.t, v.sw, v.tw, d,
+                                    rel_bound_barrier))
+    pbarrier = rel_bound_barrier * (
+        jnp.sum(jnp.where(d.lb_mask > 0, p.x / (v.x - d.lb), 0.0))
+        - jnp.sum(jnp.where(d.ub_mask > 0, p.x / (d.ub - v.x), 0.0)))
+    for val, st in ((v.s, p.s), (v.t, p.t), (v.sw, p.sw), (v.tw, p.tw)):
+        if val.size:
+            pbarrier = pbarrier + jnp.sum(st / val)
+    pmerit0 = (jnp.vdot(d.g, p.x)
+               + jnp.sum(d.gamma_s * p.s) + jnp.sum(d.gamma_t * p.t)
+               + jnp.sum(d.gamma_sw * p.sw) + jnp.sum(d.gamma_tw * p.tw)
+               - mu * pbarrier)
+    infeas = _infeas_l2(d.c, v.s, v.t, d.cw, v.sw, v.tw)
+    # directional derivative of the l2 infeasibility
+    pdense = (jnp.sum((d.c - v.s + v.t) * (d.A @ p.x - p.s + p.t))
+              if d.ncon else 0.0)
+    psparse = (jnp.sum((d.cw - v.sw + v.tw)
+                       * (d.Aw_matvec(p.x) - p.sw + p.tw)) if d.nwcon else 0.0)
+    infeas_proj = jnp.where(infeas > 0.0, (pdense + psparse)
+                            / jnp.maximum(infeas, 1e-300), 0.0)
+    if use_qn:
+        b0, Z, M = compact
+        Bpx = b0 * p.x
+        if Z is not None and Z.shape[0] > 0:
+            Bpx = Bpx - Z.T @ jnp.linalg.solve(M, Z @ p.x)
+        pTBp = jnp.vdot(p.x, Bpx)
+    else:
+        pTBp = jnp.zeros_like(fobj)
+    return merit0, pmerit0, infeas, infeas_proj, pTBp
+
+
+@jax.jit
+def _merit_eval(x, s, t, sw, tw, fobj, c, cw, d: ProblemData, mu,
+                rel_bound_barrier, rho):
+    """Merit at a trial point (`evalMeritFunc`)."""
+    merit = (fobj
+             + jnp.sum(d.gamma_s * s) + jnp.sum(d.gamma_t * t)
+             + jnp.sum(d.gamma_sw * sw) + jnp.sum(d.gamma_tw * tw)
+             - mu * _barrier_terms(x, s, t, sw, tw, d, rel_bound_barrier)
+             + rho * _infeas_l2(c, s, t, cw, sw, tw))
+    return merit
+
+
+@jax.jit
+def _apply_step(v: IPVars, d: ProblemData, p: IPVars, alpha, design_precision):
+    """vars + α·p with strict-interior clipping (`computeStepVec`,
+    `ParOptInteriorPoint.cpp:3122-3194`): x clipped to
+    [lb+dp, ub-dp] where bounded; slack/positivity variables clipped at dp."""
+    vn = v.axpy(alpha, alpha, p)
+    x = vn.x
+    x = jnp.where((d.lb_mask > 0) & (x <= d.lb + design_precision),
+                  d.lb + design_precision, x)
+    x = jnp.where((d.ub_mask > 0) & (x + design_precision >= d.ub),
+                  d.ub - design_precision, x)
+
+    def clip0(a):
+        return jnp.maximum(a, design_precision)
+
+    return IPVars(x=x, zl=jnp.where(d.lb_mask > 0, clip0(vn.zl), 0.0),
+                  zu=jnp.where(d.ub_mask > 0, clip0(vn.zu), 0.0),
+                  s=clip0(vn.s), t=clip0(vn.t), z=vn.z, zs=clip0(vn.zs),
+                  zt=clip0(vn.zt), sw=clip0(vn.sw), tw=clip0(vn.tw),
+                  zw=vn.zw, zsw=clip0(vn.zsw), ztw=clip0(vn.ztw))
+
+
+@jax.jit
+def _trial_point(v: IPVars, d: ProblemData, p: IPVars, alpha,
+                 design_precision):
+    """(x, s, t, sw, tw) at v + α·p with the same clipping as _apply_step."""
+    x = v.x + alpha * p.x
+    x = jnp.where((d.lb_mask > 0) & (x <= d.lb + design_precision),
+                  d.lb + design_precision, x)
+    x = jnp.where((d.ub_mask > 0) & (x + design_precision >= d.ub),
+                  d.ub - design_precision, x)
+    clip = lambda a: jnp.maximum(a, design_precision)
+    return (x, clip(v.s + alpha * p.s), clip(v.t + alpha * p.t),
+            clip(v.sw + alpha * p.sw), clip(v.tw + alpha * p.tw))
+
+
+# ---------------------------------------------------------------------------
+# the optimizer
+# ---------------------------------------------------------------------------
+
+
+class InteriorPoint:
+    """Interior-point method, usable standalone or as the subproblem solver
+    for the trust-region and MMA outer loops.
+
+    Parameters
+    ----------
+    problem : paropt_tpu.Problem
+    options : dict or OptionRegistry, reference option names
+      (`ParOptInteriorPoint.cpp:536-727`).
+    """
+
+    def __init__(self, problem, options: Optional[Any] = None):
+        self.problem = problem
+        if isinstance(options, OptionRegistry):
+            self.options = options
+        else:
+            self.options = make_options(options, which="ip")
+        o = self.options
+        self.dtype = jnp.float64 if o["dtype"] == "float64" else jnp.float32
+
+        # counters (`getIterationCounters`, ParOptInteriorPoint.h:203-217)
+        self.niter = 0
+        self.neval = 0
+        self.ngeval = 0
+        self.nhvec = 0
+
+        # penalties (ParOptInteriorPoint.cpp:343-374): inequality
+        # constraints get gamma_s = 0; equalities get both
+        gamma = o["penalty_gamma"]
+        ncon, nwcon = problem.ncon, problem.nwcon
+        nineq, nwineq = problem.ninequality, problem.nwinequality
+        idx = np.arange(ncon)
+        self.gamma_s = jnp.asarray(np.where(idx < nineq, 0.0, gamma),
+                                   self.dtype)
+        self.gamma_t = jnp.full((ncon,), gamma, self.dtype)
+        idxw = np.arange(nwcon)
+        self.gamma_sw = jnp.asarray(np.where(idxw < nwineq, 0.0, gamma),
+                                    self.dtype)
+        self.gamma_tw = jnp.full((nwcon,), gamma, self.dtype)
+
+        self.mu = o["init_barrier_param"]
+        self.rho_penalty = o["init_rho_penalty_search"]
+
+        # quasi-Newton state
+        self.qn: Optional[qnmod.QNState] = None
+        self._make_qn()
+
+        # bounds + design variables
+        self._init_design_and_bounds()
+
+        # current evaluation cache
+        self.fobj = None
+        self.c = None
+        self.g = None
+        self.A = None
+        self.cw = None
+
+        self.vars: Optional[IPVars] = None
+        self._init_vars()
+
+        self._logger = None
+        self._converged_reason = ""
+
+    # -- setup ---------------------------------------------------------------
+
+    def _make_qn(self):
+        o = self.options
+        qt = o["qn_type"]
+        if qt == "none" or o["sequential_linear_method"]:
+            self.qn = None
+            return
+        msub = o["qn_subspace_size"]
+        if msub <= 0:
+            self.qn = None
+            return
+        self.qn = qnmod.qn_init(
+            msub, self.problem.nvars, dtype=self.dtype,
+            qn_type="bfgs" if qt == "scaled_bfgs" else qt,
+            update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])
+
+    def set_quasi_newton_state(self, qn_state):
+        """Install an externally managed QN state (used by the TR loop, the
+        analogue of `ParOptInteriorPoint::setQuasiNewton`)."""
+        self.qn = qn_state
+
+    def _init_design_and_bounds(self):
+        """`initAndCheckDesignAndBounds` (`ParOptInteriorPoint.cpp:4277+`)."""
+        o = self.options
+        x, lb, ub = self.problem.get_vars_and_bounds()
+        x = jnp.asarray(x, self.dtype)
+        lb = jnp.asarray(lb, self.dtype)
+        ub = jnp.asarray(ub, self.dtype)
+        mbv = o["max_bound_value"]
+        self.lb_mask = (lb > -mbv).astype(self.dtype)
+        self.ub_mask = (ub < mbv).astype(self.dtype)
+        # clip strictly inside the bounds
+        eps = o["design_precision"]
+        x = jnp.where((self.lb_mask > 0) & (x < lb + eps), lb + eps, x)
+        x = jnp.where((self.ub_mask > 0) & (x > ub - eps), ub - eps, x)
+        self.x0, self.lb, self.ub = x, lb, ub
+
+    def reset_design_and_bounds(self):
+        """Re-query the problem for x/bounds (TR calls this between
+        subproblem solves, `resetDesignAndBounds`)."""
+        self._init_design_and_bounds()
+        if self.vars is not None:
+            self.vars = dataclasses.replace(self.vars, x=self.x0)
+
+    def _init_vars(self):
+        n = self.problem.nvars
+        ncon, nwcon = self.problem.ncon, self.problem.nwcon
+        one_c = jnp.ones(ncon, self.dtype)
+        one_w = jnp.ones(nwcon, self.dtype)
+        self.vars = IPVars(
+            x=self.x0,
+            zl=jnp.where(self.lb_mask > 0, 1.0, 0.0).astype(self.dtype),
+            zu=jnp.where(self.ub_mask > 0, 1.0, 0.0).astype(self.dtype),
+            s=one_c, t=one_c, z=jnp.zeros(ncon, self.dtype),
+            zs=one_c, zt=one_c,
+            sw=one_w, tw=one_w, zw=jnp.zeros(nwcon, self.dtype),
+            zsw=one_w, ztw=one_w)
+
+    # -- user evaluation wrappers -------------------------------------------
+
+    def _eval_obj_con(self, x) -> Tuple[Any, Any, Any]:
+        """-> (fobj, c, cw) or (None,)*3 on failure."""
+        try:
+            fobj, c = self.problem.eval_obj_con(x)
+        except FloatingPointError:
+            return None, None, None
+        self.neval += 1
+        fobj = jnp.asarray(fobj, self.dtype)
+        c = jnp.asarray(c, self.dtype).reshape(self.problem.ncon)
+        if self.problem.nwcon > 0:
+            cw = jnp.asarray(self.problem.eval_sparse_con(x), self.dtype)
+        else:
+            cw = jnp.zeros(0, self.dtype)
+        if not (bool(jnp.isfinite(fobj)) and bool(jnp.all(jnp.isfinite(c)))
+                and bool(jnp.all(jnp.isfinite(cw)))):
+            return None, None, None
+        return fobj, c, cw
+
+    def _eval_gradients(self, x):
+        g, A = self.problem.eval_obj_con_gradient(x)
+        self.ngeval += 1
+        g = jnp.asarray(g, self.dtype)
+        A = jnp.asarray(A, self.dtype).reshape(self.problem.ncon,
+                                               self.problem.nvars)
+        return g, A
+
+    def _make_data(self) -> ProblemData:
+        prob = self.problem
+        if prob.nwcon > 0:
+            Aw = prob.sparse_jacobian(self.vars.x)
+            Aw_cols, Aw_vals = Aw.cols, jnp.asarray(Aw.vals, self.dtype)
+            nwblock = prob.nwblock
+        else:
+            Aw_cols = Aw_vals = None
+            nwblock = 1
+        return ProblemData(
+            g=self.g, A=self.A, c=self.c, cw=self.cw, lb=self.lb, ub=self.ub,
+            lb_mask=self.lb_mask, ub_mask=self.ub_mask,
+            gamma_s=self.gamma_s, gamma_t=self.gamma_t,
+            gamma_sw=self.gamma_sw, gamma_tw=self.gamma_tw,
+            Aw_cols=Aw_cols, Aw_vals=Aw_vals, nwblock=nwblock)
+
+    # -- multiplier initialization ------------------------------------------
+
+    def _init_least_squares_multipliers(self, d: ProblemData):
+        """`initLeastSquaresMultipliers` (`ParOptInteriorPoint.cpp:
+        5336-5534`): set everything to μ0, then solve the regularized
+        least-squares system for (z, zw) and clamp outliers to zero."""
+        o = self.options
+        mu0 = o["init_barrier_param"]
+        v = self.vars
+        dt = self.dtype
+        ncon, nwcon = d.ncon, d.nwcon
+        v = IPVars(
+            x=v.x,
+            zl=jnp.where(d.lb_mask > 0, mu0, 0.0).astype(dt),
+            zu=jnp.where(d.ub_mask > 0, mu0, 0.0).astype(dt),
+            s=jnp.full((ncon,), mu0, dt), t=jnp.full((ncon,), mu0, dt),
+            z=jnp.full((ncon,), mu0, dt), zs=jnp.full((ncon,), mu0, dt),
+            zt=jnp.full((ncon,), mu0, dt),
+            sw=jnp.full((nwcon,), mu0, dt), tw=jnp.full((nwcon,), mu0, dt),
+            zw=jnp.full((nwcon,), mu0, dt), zsw=jnp.full((nwcon,), mu0, dt),
+            ztw=jnp.full((nwcon,), mu0, dt))
+
+        small = 1e-4
+        rhs = -(d.g - v.zl + v.zu)
+        # quasi-definite system with D = I, C = small
+        f0 = kkt.KKTFactor(
+            Dinv=jnp.ones_like(v.x), Gamma=None, C0=None,
+            Cw_chol=(jnp.sqrt(small + d.Aw_inner_blocks(jnp.ones_like(v.x)))
+                     if nwcon > 0 and d.nwblock == 1 else
+                     (jnp.linalg.cholesky(
+                         d.Aw_inner_blocks(jnp.ones_like(v.x))
+                         + small * jnp.eye(d.nwblock, dtype=dt))
+                      if nwcon > 0 else None)),
+            Xa=None, Wa=None, G_lu=None, Zqn=None, Phi_x=None, Phi_z=None,
+            Phi_w=None, Ce_lu=None)
+        if ncon > 0:
+            Xa, _ = kkt.quasi_def_solve(f0, d, d.A,
+                                        jnp.zeros((ncon, nwcon), dt))
+            G = d.A @ Xa.T + small * jnp.eye(ncon, dtype=dt)
+            yx0, _ = kkt.quasi_def_solve(f0, d, rhs, jnp.zeros(nwcon, dt))
+            z = jnp.linalg.solve(G, -(d.A @ yx0))
+            gmax = 10.0 * jnp.maximum(d.gamma_s, d.gamma_t)
+            z = jnp.where((z < -gmax) | (z > gmax), 0.0, z)
+        else:
+            z = jnp.zeros(0, dt)
+        if nwcon > 0:
+            rx = rhs + (d.A.T @ z if ncon else 0.0)
+            _, zw_neg = kkt.quasi_def_solve(f0, d, rx, jnp.zeros(nwcon, dt))
+            zw = -zw_neg
+            gwmax = 10.0 * jnp.maximum(d.gamma_sw, d.gamma_tw)
+            zw = jnp.where((zw < -gwmax) | (zw > gwmax), 0.0, zw)
+        else:
+            zw = jnp.zeros(0, dt)
+        self.vars = dataclasses.replace(v, z=z, zw=zw)
+
+    def _init_affine_step_multipliers(self, d: ProblemData):
+        """`initAffineStepMultipliers` (`ParOptInteriorPoint.cpp:5536-5667`):
+        least-squares estimate, then one μ=0 KKT step; slacks/multipliers set
+        to |v + p| floored at start_affine_multiplier_min; μ0 from the
+        resulting complementarity."""
+        o = self.options
+        self._init_least_squares_multipliers(d)
+        v = self.vars
+        compact = self._qn_compact()
+        use_qn = (self.qn is not None and bool(o["use_qn_gmres_precon"])
+                  and not o["sequential_linear_method"]
+                  and not o["use_diag_hessian"])
+        p = _compute_step(v, d, compact, jnp.asarray(0.0, self.dtype),
+                          o["rel_bound_barrier"], o["qn_sigma"],
+                          refine_steps=0, use_qn=use_qn)
+        amin = o["start_affine_multiplier_min"]
+
+        def aff(val, st, mask=None):
+            out = jnp.maximum(amin, jnp.abs(val + st))
+            if mask is not None:
+                out = jnp.where(mask > 0, out, 0.0)
+            return out
+
+        self.vars = IPVars(
+            x=v.x,
+            zl=aff(v.zl, p.zl, d.lb_mask), zu=aff(v.zu, p.zu, d.ub_mask),
+            s=aff(v.s, p.s), t=aff(v.t, p.t), z=v.z + p.z,
+            zs=aff(v.zs, p.zs), zt=aff(v.zt, p.zt),
+            sw=aff(v.sw, p.sw), tw=aff(v.tw, p.tw), zw=v.zw + p.zw,
+            zsw=aff(v.zsw, p.zsw), ztw=aff(v.ztw, p.ztw))
+        self.mu = float(kkt.average_complementarity(self.vars, d))
+
+    # -- helpers -------------------------------------------------------------
+
+    def _qn_compact(self):
+        if self.qn is not None:
+            return qnmod.qn_compact(self.qn)
+        one = jnp.asarray(1.0, self.dtype)
+        return (one, None, None)
+
+    def _rho_update(self, merit0, pmerit0, infeas, infeas_proj, pTBp, max_x):
+        """Penalty parameter ρ update (`evalMeritInitDeriv` tail,
+        `ParOptInteriorPoint.cpp:3838-3920`). Host scalar logic.
+        Returns (m0, dm0)."""
+        o = self.options
+        descent = o["penalty_descent_fraction"]
+        abs_res_tol = o["abs_res_tol"]
+        numer = pmerit0
+        if pTBp > 0.0:
+            numer += 0.5 * pTBp
+        if infeas < 0.1 * abs_res_tol:
+            denom = -(1.0 - descent) * max_x * infeas
+            rho_hat = -numer / denom if (numer >= 0.0 and denom < 0.0) else 0.0
+        else:
+            denom = infeas_proj + descent * max_x * infeas
+            if numer >= 0.0:
+                if denom < 0.0:
+                    rho_hat = -numer / denom
+                else:
+                    denom = -(1.0 - descent) * max_x * infeas
+                    rho_hat = -numer / denom if denom < 0.0 else 0.0
+            else:
+                rho_hat = 0.0
+        if rho_hat > self.rho_penalty:
+            self.rho_penalty = rho_hat
+        else:
+            self.rho_penalty = max(0.5 * self.rho_penalty, rho_hat)
+        self.rho_penalty = max(self.rho_penalty,
+                               o["min_rho_penalty_search"])
+        m0 = merit0 + self.rho_penalty * infeas
+        if infeas < 0.1 * abs_res_tol:
+            dm0 = pmerit0 - self.rho_penalty * max_x * infeas
+        else:
+            dm0 = pmerit0 + self.rho_penalty * infeas_proj
+        return m0, dm0
+
+    def _eval_merit_at(self, d, alpha, p):
+        """Evaluate the merit function at v + α·p.  Returns (merit, trial)
+        where trial = (x, s, t, sw, tw, fobj, c, cw), or (None, None) if the
+        user evaluation failed."""
+        o = self.options
+        xt, st, tt, swt, twt = _trial_point(
+            self.vars, d, p, jnp.asarray(alpha, self.dtype),
+            o["design_precision"])
+        fobj, c, cw = self._eval_obj_con(xt)
+        if fobj is None:
+            return None, None
+        m = _merit_eval(xt, st, tt, swt, twt, fobj, c, cw, d,
+                        jnp.asarray(self.mu, self.dtype),
+                        o["rel_bound_barrier"],
+                        jnp.asarray(self.rho_penalty, self.dtype))
+        return float(m), (xt, st, tt, swt, twt, fobj, c, cw)
+
+    def _line_search(self, d, p, alpha_min, m0, dm0):
+        """Backtracking / quadratic-interpolation merit line search
+        (`lineSearch`, `ParOptInteriorPoint.cpp:3939-4160`).
+        Returns (fail_flags, alpha, trial-or-None)."""
+        o = self.options
+        max_iters = o["max_line_iters"]
+        backtrack = o["use_backtracking_alpha"]
+        armijo = o["armijo_constant"]
+        fprec = o["function_precision"]
+
+        alpha = 1.0
+        fail = LS_FAILURE
+        best_alpha = -1.0
+        best_merit = 0.0
+        best_trial = None
+        merit = None
+        j = 0
+        while j < max_iters:
+            merit, trial = self._eval_merit_at(d, alpha, p)
+            if merit is None:
+                alpha *= 0.1
+                j += 1
+                continue
+            if best_alpha < 0.0 or merit < best_merit:
+                best_alpha, best_merit, best_trial = alpha, merit, trial
+            # Armijo relaxed by the function precision
+            if merit - armijo * alpha * dm0 < m0 + fprec:
+                fail = (LS_SUCCESS | LS_MIN_STEP if (fail & LS_MIN_STEP)
+                        else LS_SUCCESS)
+                if (merit <= m0 + fprec) and (merit + fprec >= m0):
+                    fail |= LS_NO_IMPROVEMENT
+                break
+            elif fail & LS_MIN_STEP:
+                break
+            if j < max_iters - 1:
+                if backtrack:
+                    alpha = 0.5 * alpha
+                    if alpha <= alpha_min:
+                        alpha = alpha_min
+                        fail |= LS_MIN_STEP
+                else:
+                    denom = merit - m0 - dm0 * alpha
+                    alpha_new = (-0.5 * dm0 * alpha * alpha / denom
+                                 if denom != 0.0 else alpha_min)
+                    if alpha_new <= alpha_min:
+                        alpha = alpha_min
+                        fail |= LS_MIN_STEP
+                    elif alpha_new < 0.01 * alpha:
+                        alpha = 0.01 * alpha
+                    else:
+                        alpha = alpha_new
+            j += 1
+        if j == max_iters:
+            fail |= LS_MAX_ITERS
+        trial_out = best_trial
+        if not (fail & LS_SUCCESS):
+            if best_merit <= m0 + fprec and best_alpha > 0:
+                fail |= LS_SUCCESS
+                fail &= ~LS_FAILURE
+            elif (merit is not None and merit <= m0 + fprec
+                  and merit + fprec >= m0):
+                fail |= LS_NO_IMPROVEMENT
+            alpha = best_alpha if best_alpha > 0 else alpha
+        else:
+            trial_out = trial if (fail & LS_SUCCESS) and merit is not None \
+                else best_trial
+        return fail, alpha, trial_out
+
+    def _accept_step(self, d, alpha, p, trial, perform_qn_update=True):
+        """`computeStepAndUpdate` (`ParOptInteriorPoint.cpp:4169-4270`):
+        apply the step, refresh gradients, update the quasi-Newton pair
+        y = ∇ₓL(x₊, z₊) − ∇ₓL(x₀, z₊), s = α·px."""
+        o = self.options
+        v = self.vars
+        new_vars = _apply_step(v, d, p, jnp.asarray(alpha, self.dtype),
+                               o["design_precision"])
+        if trial is not None:
+            # reuse function values from the line search
+            xt, st, tt, swt, twt, fobj, c, cw = trial
+            new_vars = dataclasses.replace(new_vars, x=xt, s=st, t=tt,
+                                           sw=swt, tw=twt)
+            self.fobj, self.c, self.cw = fobj, c, cw
+        else:
+            fobj, c, cw = self._eval_obj_con(new_vars.x)
+            if fobj is None:
+                return False, 0, 0
+            self.fobj, self.c, self.cw = fobj, c, cw
+
+        g_old, A_old, x_old = self.g, self.A, v.x
+        self.g, self.A = self._eval_gradients(new_vars.x)
+        skipped = damped = 0
+        if (self.qn is not None and perform_qn_update
+                and o["use_quasi_newton_update"]):
+            z_new, zw_new = new_vars.z, new_vars.zw
+            y = self.g - (self.A.T @ z_new if d.ncon else 0.0)
+            y_old = g_old - (A_old.T @ z_new if d.ncon else 0.0)
+            if d.nwcon > 0:
+                y = y - self.problem.sparse_jacobian_tvec(new_vars.x, zw_new)
+                y_old = y_old - self.problem.sparse_jacobian_tvec(x_old,
+                                                                  zw_new)
+            y = y - y_old
+            s_step = alpha * p.x
+            s_step, y = self.problem.compute_quasi_newton_update_correction(
+                new_vars.x, z_new, zw_new, s_step, y)
+            self.qn, skipped, damped = qnmod.qn_update(self.qn, s_step, y)
+        self.vars = new_vars
+        return True, int(skipped), int(damped)
+
+    # -- checkpointing (`writeSolutionFile`/`readSolutionFile`,
+    #    ParOptInteriorPoint.cpp:883-1110) ----------------------------------
+
+    def write_solution_file(self, path: str) -> None:
+        v = self.vars
+        arrays = {f.name: np.asarray(getattr(v, f.name))
+                  for f in dataclasses.fields(IPVars)}
+        arrays["mu"] = np.asarray(self.mu)
+        np.savez(path, **arrays)
+
+    def read_solution_file(self, path: str) -> None:
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        dat = np.load(path)
+        fields = {f.name: jnp.asarray(dat[f.name], self.dtype)
+                  for f in dataclasses.fields(IPVars)}
+        expect = {f.name: getattr(self.vars, f.name).shape
+                  for f in dataclasses.fields(IPVars)}
+        for name, val in fields.items():
+            if val.shape != expect[name]:
+                raise ValueError(
+                    f"checkpoint field {name} has shape {val.shape}, "
+                    f"expected {expect[name]}")
+        self.vars = IPVars(**fields)
+        self.mu = float(dat["mu"])
+
+    # -- accessors -----------------------------------------------------------
+
+    def get_optimized_point(self):
+        v = self.vars
+        return v.x, v.z, v.zw, v.zl, v.zu
+
+    def get_iteration_counters(self):
+        return self.niter, self.neval, self.ngeval, self.nhvec
+
+    def get_barrier_parameter(self):
+        return self.mu
+
+    def set_barrier_parameter(self, mu):
+        self.mu = float(mu)
+
+    def get_complementarity(self):
+        return float(kkt.average_complementarity(self.vars, self._make_data()))
+
+    # -- the major iteration loop -------------------------------------------
+
+    def optimize(self, checkpoint: Optional[str] = None) -> Dict[str, Any]:
+        """Run the optimization (`ParOptInteriorPoint::optimize`,
+        `ParOptInteriorPoint.cpp:4399-5333`).  Returns a result dict."""
+        o = self.options
+        norm_type = o["norm_type"]
+        abs_res_tol = o["abs_res_tol"]
+        rel_func_tol = o["rel_func_tol"]
+        barrier_strategy = o["barrier_strategy"]
+        max_iters = o["max_major_iters"]
+        fprec = o["function_precision"]
+        dprec = o["design_precision"]
+        rbb = o["rel_bound_barrier"]
+        refine_steps = o["iterative_refinement_steps"]
+        seq_linear = o["sequential_linear_method"]
+        use_line_search = o["use_line_search"]
+        hessian_reset_freq = o["hessian_reset_freq"]
+        write_freq = o["write_output_frequency"]
+        output_file = o["output_file"]
+        self._logger = IPLogger(output_file)
+        use_qn_default = (self.qn is not None and not seq_linear)
+
+        # initial evaluation (failure aborts, ParOptInteriorPoint.cpp:4549)
+        self.fobj, self.c, self.cw = self._eval_obj_con(self.vars.x)
+        if self.fobj is None:
+            raise RuntimeError("initial objective evaluation failed")
+        self.g, self.A = self._eval_gradients(self.vars.x)
+        d = self._make_data()
+
+        # multiplier initialization strategy
+        strategy = o["starting_point_strategy"]
+        if strategy == "affine_step":
+            self._init_affine_step_multipliers(d)
+        elif strategy == "least_squares_multipliers":
+            self._init_least_squares_multipliers(d)
+
+        fobj_prev = float(self.fobj)
+        res_norm = float("inf")
+        res_norm_prev = None
+        alpha_prev = alpha_xprev = alpha_zprev = 1.0
+        dm0_prev = 0.0
+        line_search_test = 0
+        no_merit_improvement = False
+        self._converged_reason = ""
+        converged = False
+        info_prev = ""
+
+        k = 0
+        for k in range(max_iters):
+            self.niter = k
+            info = info_prev
+            qn_hessian_reset = False
+            if (self.qn is not None and not seq_linear and k > 0
+                    and k % hessian_reset_freq == 0
+                    and o["use_quasi_newton_update"]):
+                self.qn = qnmod.qn_reset(self.qn)
+                qn_hessian_reset = True
+
+            if write_freq > 0 and k % write_freq == 0:
+                if checkpoint:
+                    try:
+                        self.write_solution_file(checkpoint)
+                    except OSError:
+                        checkpoint = None
+                self.problem.write_output(k, self.vars.x)
+
+            gv_freq = o["gradient_verification_frequency"]
+            if k > 0 and gv_freq > 0 and k % gv_freq == 0:
+                self.problem.check_gradients(
+                    o["gradient_check_step_length"], x=self.vars.x,
+                    check_hvec_product=o["use_hvec_product"])
+
+            # convergence bookkeeping tests
+            rel_function_test = (
+                alpha_xprev == 1.0 and alpha_zprev == 1.0
+                and abs(float(self.fobj) - fobj_prev)
+                < rel_func_tol * abs(fobj_prev) if k > 0 else False)
+            if no_merit_improvement:
+                line_search_test += 1
+            else:
+                line_search_test = 0
+
+            # barrier strategy (ParOptInteriorPoint.cpp:4656-4764)
+            mu_j = jnp.asarray(self.mu, self.dtype)
+            r, prime, dual, infeas_n, res_norm, comp = _residual_and_norms(
+                self.vars, d, mu_j, rbb, norm_type)
+            prime, dual, infeas_n = float(prime), float(dual), float(infeas_n)
+            res_norm = float(res_norm)
+            comp = float(comp)
+            if res_norm_prev is None:
+                res_norm_prev = res_norm
+
+            if barrier_strategy == "monotone":
+                barrier_converged = k > 0 and (
+                    res_norm < 10.0 * self.mu or rel_function_test
+                    or line_search_test >= 2)
+                if barrier_converged:
+                    if self.mu > 0.1 * abs_res_tol:
+                        line_search_test = 0
+                    frac = o["monotone_barrier_fraction"] * self.mu
+                    powv = self.mu ** o["monotone_barrier_power"]
+                    new_mu = min(frac, powv)
+                    if new_mu < 0.1 * abs_res_tol:
+                        new_mu = 0.09999 * abs_res_tol
+                    self.mu = new_mu
+                    mu_j = jnp.asarray(self.mu, self.dtype)
+                    r, prime, dual, infeas_n, res_norm, comp = (
+                        _residual_and_norms(self.vars, d, mu_j, rbb,
+                                            norm_type))
+                    prime, dual = float(prime), float(dual)
+                    infeas_n, res_norm = float(infeas_n), float(res_norm)
+                    comp = float(comp)
+                    self.rho_penalty = o["min_rho_penalty_search"]
+            elif barrier_strategy == "complementarity_fraction":
+                self.mu = max(o["monotone_barrier_fraction"] * comp,
+                              0.1 * abs_res_tol)
+                mu_j = jnp.asarray(self.mu, self.dtype)
+                r, prime, dual, infeas_n, res_norm, comp = (
+                    _residual_and_norms(self.vars, d, mu_j, rbb, norm_type))
+                prime, dual = float(prime), float(dual)
+                infeas_n, res_norm = float(infeas_n), float(res_norm)
+                comp = float(comp)
+            # mehrotra / mpc adapt μ after the affine probe below
+
+            self._logger.log(k, self.neval, self.ngeval, self.nhvec,
+                             alpha_prev, alpha_xprev, alpha_zprev,
+                             float(self.fobj), prime, infeas_n, dual,
+                             self.mu, comp, dm0_prev, self.rho_penalty,
+                             info, o["output_level"])
+            info = ""
+
+            # convergence (ParOptInteriorPoint.cpp:4811-4840)
+            if k > 0 and self.mu <= 0.1 * abs_res_tol and (
+                    res_norm < abs_res_tol or rel_function_test
+                    or line_search_test >= 2):
+                if rel_function_test:
+                    self._converged_reason = "rel_function"
+                elif line_search_test >= 2:
+                    self._converged_reason = "no_improvement"
+                else:
+                    self._converged_reason = "tolerance"
+                converged = True
+                break
+
+            # -- step computation (quasi-Newton path) -----------------------
+            fobj_before_step = float(self.fobj)
+            compact = self._qn_compact()
+            use_qn = use_qn_default
+            p = _compute_step(self.vars, d, compact, mu_j, rbb, o["qn_sigma"],
+                              refine_steps=refine_steps, use_qn=use_qn)
+
+            if barrier_strategy in ("mehrotra",
+                                    "mehrotra_predictor_corrector"):
+                # affine probe: step toward μ = 0 from the same factorization
+                p_aff = _compute_step(self.vars, d, compact,
+                                      jnp.asarray(0.0, self.dtype), rbb,
+                                      o["qn_sigma"], refine_steps=0,
+                                      use_qn=use_qn)
+                ax_a, az_a = kkt.max_step_lengths(
+                    self.vars, d, p_aff, jnp.asarray(1.0, self.dtype))
+                v_aff = self.vars.axpy(float(ax_a), float(az_a), p_aff)
+                comp_aff = float(kkt.average_complementarity(v_aff, d))
+                sigma = max((comp_aff / comp) ** 3 if comp > 0 else 0.01,
+                            0.01)
+                self.mu = max(sigma * comp, 0.09999 * abs_res_tol)
+                mu_j = jnp.asarray(self.mu, self.dtype)
+                p = _compute_step(self.vars, d, compact, mu_j, rbb,
+                                  o["qn_sigma"], refine_steps=refine_steps,
+                                  use_qn=use_qn)
+
+            res_norm_prev = max(res_norm, 1e-30)
+
+            # fraction-to-boundary scaling
+            p_s, ax, az, ceq = _scale_step(
+                self.vars, d, p, mu_j, jnp.asarray(comp, self.dtype),
+                jnp.asarray(False))
+            ax, az = float(ax), float(az)
+            if bool(ceq):
+                info += "cmpEq "
+
+            line_fail = LS_FAILURE
+            alpha = 1.0
+            no_merit_improvement = False
+
+            if use_line_search:
+                mp = _merit_parts(self.vars, d, p_s, self.fobj, mu_j, rbb,
+                                  compact, use_qn=use_qn)
+                m0, dm0 = self._rho_update(*(float(x) for x in mp), ax)
+                dm0_prev = dm0
+                if 0.0 <= dm0 <= fprec:
+                    # descent within precision of zero: skip the line search
+                    ok, skipped, damped = self._accept_step(d, 1.0, p_s, None)
+                    if not ok:
+                        raise RuntimeError("function evaluation failed")
+                    line_fail = LS_SUCCESS
+                    if abs(float(self.fobj) - fobj_before_step) <= fprec:
+                        line_fail |= LS_NO_IMPROVEMENT
+                    info += "skipLS "
+                else:
+                    if dm0 >= 0.0:
+                        # not a descent direction: reset QN, diagonal-only
+                        # step (ParOptInteriorPoint.cpp:5130-5173)
+                        if self.qn is not None:
+                            self.qn = qnmod.qn_reset(self.qn)
+                            qn_hessian_reset = True
+                        compact = self._qn_compact()
+                        p = _compute_step(self.vars, d, compact, mu_j, rbb,
+                                          o["qn_sigma"],
+                                          refine_steps=refine_steps,
+                                          use_qn=False)
+                        p_s, ax, az, ceq = _scale_step(
+                            self.vars, d, p, mu_j,
+                            jnp.asarray(comp, self.dtype), jnp.asarray(False))
+                        ax, az = float(ax), float(az)
+                        mp = _merit_parts(self.vars, d, p_s, self.fobj, mu_j,
+                                          rbb, compact, use_qn=False)
+                        m0, dm0 = self._rho_update(
+                            *(float(x) for x in mp), ax)
+                        dm0_prev = dm0
+                        info += "DQN "
+                    if dm0 >= 0.0:
+                        line_fail = LS_FAILURE
+                        info += "LFail "
+                    else:
+                        px_norm = float(jnp.max(jnp.abs(p_s.x)))
+                        alpha_min = 1.0
+                        if px_norm != 0.0:
+                            alpha_min = min(fprec / px_norm, 0.5)
+                        line_fail, alpha, trial = self._line_search(
+                            d, p_s, alpha_min, m0, dm0)
+                        if px_norm < dprec:
+                            line_fail |= LS_SHORT_STEP
+                        if not (line_fail & LS_FAILURE):
+                            ok, skipped, damped = self._accept_step(
+                                d, alpha, p_s, trial)
+                            if not ok:
+                                line_fail |= LS_FAILURE
+                        if line_fail & LS_MIN_STEP:
+                            info += "LMnStp "
+                        if line_fail & LS_MAX_ITERS:
+                            info += "LMxItr "
+            else:
+                mp = _merit_parts(self.vars, d, p_s, self.fobj, mu_j, rbb,
+                                  compact, use_qn=use_qn)
+                m0, dm0 = self._rho_update(*(float(x) for x in mp), ax)
+                dm0_prev = dm0
+                ok, skipped, damped = self._accept_step(d, 1.0, p_s, None)
+                if not ok:
+                    raise RuntimeError("function evaluation failed")
+                line_fail = LS_SUCCESS
+                m1, _ = (float(_merit_eval(
+                    self.vars.x, self.vars.s, self.vars.t, self.vars.sw,
+                    self.vars.tw, self.fobj, self.c, self.cw, d, mu_j, rbb,
+                    jnp.asarray(self.rho_penalty, self.dtype))), None)
+                if m0 - fprec <= m1 <= m0 + fprec:
+                    line_fail |= LS_NO_IMPROVEMENT
+                elif abs(dm0) <= fprec:
+                    line_fail = LS_NO_IMPROVEMENT
+
+            no_merit_improvement = bool(
+                line_fail & (LS_NO_IMPROVEMENT | LS_MIN_STEP | LS_SHORT_STEP
+                             | LS_FAILURE))
+            if (line_fail & LS_FAILURE):
+                if self.qn is not None and o["use_quasi_newton_update"]:
+                    self.qn = qnmod.qn_reset(self.qn)
+                info += "resetH "
+            if qn_hessian_reset:
+                info += "rstH "
+
+            fobj_prev = fobj_before_step
+            alpha_prev, alpha_xprev, alpha_zprev = alpha, ax, az
+            info_prev = info
+
+            # refresh the problem data pytree with the new evaluations
+            d = self._make_data()
+
+        self.niter = k
+        result = {
+            "x": self.vars.x, "fobj": float(self.fobj),
+            "converged": converged, "reason": self._converged_reason,
+            "niter": k, "neval": self.neval, "ngeval": self.ngeval,
+            "res_norm": res_norm, "mu": self.mu,
+        }
+        if converged:
+            self._logger.write(
+                "\nParOpt: Successfully converged to requested tolerance\n"
+                if self._converged_reason == "tolerance" else
+                "\nParOpt: Converged ({})\n".format(self._converged_reason))
+        self._logger.close()
+        return result

@@ -1,0 +1,176 @@
+"""Analytic benchmark problems mirroring the reference examples.
+
+The reference uses its `examples/` tree as de-facto integration tests
+(SURVEY.md §4): analytic problems with known solutions exercised across all
+three algorithms.  These are re-expressed as differentiable JAX problems so
+every gradient/Jacobian is autodiff-derived.
+
+- `Rosenbrock`       — `examples/rosenbrock/rosenbrock.py`: 2 vars, 1 dense
+                        constraint x0+x1+5 >= 0, bounds [-2, 2], x* = (1, 1).
+- `SparseRosenbrock` — `examples/sparse/sparse_rosenbrock.py`: same objective
+                        with the constraint expressed as a sparse weighting
+                        constraint (nwcon=1, nwblock=1).
+- `ScalableRosenbrock` — `examples/rosenbrock/rosenbrock.cpp:9-26`: n-var
+                        chained Rosenbrock with sparse weighting constraints.
+- `RandomConvexQP`   — `examples/random_convex`: convex QP with known
+                        optimum, dense constraints.
+- `Sellar`           — `examples/sellar`: small nonconvex constrained problem.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..problem import Problem, SparseJacobian
+
+__all__ = ["Rosenbrock", "SparseRosenbrock", "ScalableRosenbrock",
+           "RandomConvexQP", "Sellar", "SimpleQuadratic"]
+
+
+class Rosenbrock(Problem):
+    """2-var Rosenbrock, one dense constraint c = x0 + x1 + 5 >= 0."""
+
+    def __init__(self, x0=None):
+        super().__init__(nvars=2, ncon=1)
+        self._x0 = x0
+
+    def objective(self, x):
+        return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+    def constraints(self, x):
+        return jnp.array([x[0] + x[1] + 5.0])
+
+    def get_vars_and_bounds(self):
+        x = (jnp.asarray(self._x0) if self._x0 is not None
+             else jnp.array([-1.5, -1.0]))
+        return x, jnp.full(2, -2.0), jnp.full(2, 2.0)
+
+
+class SparseRosenbrock(Problem):
+    """Rosenbrock with the linear constraint as a sparse weighting
+    constraint (nwcon=1, nwblock=1)."""
+
+    def __init__(self, x0=None):
+        super().__init__(nvars=2, ncon=0, nwcon=1, nwblock=1)
+        self._x0 = x0
+
+    def objective(self, x):
+        return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+    def sparse_constraints(self, x):
+        return jnp.array([x[0] + x[1] + 5.0])
+
+    def sparse_jacobian(self, x):
+        return SparseJacobian(
+            nvars=2, cols=jnp.array([[0, 1]]), vals=jnp.ones((1, 2)),
+            nwblock=1)
+
+    def get_vars_and_bounds(self):
+        x = (jnp.asarray(self._x0) if self._x0 is not None
+             else jnp.array([-1.5, -1.0]))
+        return x, jnp.full(2, -2.0), jnp.full(2, 2.0)
+
+
+class ScalableRosenbrock(Problem):
+    """n-var chained Rosenbrock with one dense and optional sparse weighting
+    constraints (the scalable C++ example, `examples/rosenbrock/
+    rosenbrock.cpp:9-26`): groups of `group` consecutive variables satisfy
+    sum(x_group) <= group/2, expressed as cw = group/2 - sum >= 0."""
+
+    def __init__(self, n=64, group=4, use_sparse=True):
+        assert n % group == 0
+        nwcon = n // group if use_sparse else 0
+        super().__init__(nvars=n, ncon=1, nwcon=nwcon, nwblock=1)
+        self.group = group
+        cols = np.arange(n).reshape(nwcon if use_sparse else 1, -1)
+        if use_sparse:
+            self._jac = SparseJacobian(
+                nvars=n, cols=jnp.asarray(cols),
+                vals=-jnp.ones((nwcon, group)), nwblock=1)
+
+    def objective(self, x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1.0 - x[:-1]) ** 2)
+
+    def constraints(self, x):
+        # one dense global resource constraint
+        return jnp.array([0.25 * self.nvars - jnp.sum(x ** 2)])
+
+    def sparse_constraints(self, x):
+        return (0.5 * self.group
+                - jnp.sum(x.reshape(self.nwcon, self.group), axis=1))
+
+    def sparse_jacobian(self, x):
+        return self._jac
+
+    def get_vars_and_bounds(self):
+        n = self.nvars
+        x = jnp.full(n, -0.5) + 0.1 * jnp.sin(jnp.arange(n, dtype=jnp.float64))
+        return x, jnp.full(n, -2.0), jnp.full(n, 2.0)
+
+
+class RandomConvexQP(Problem):
+    """Convex QP:  min 1/2 x'Qx - b'x  s.t.  Ax - 1 >= 0, 0 <= x <= 10
+    with random SPD Q (`examples/random_convex`)."""
+
+    def __init__(self, n=32, ncon=4, seed=0):
+        super().__init__(nvars=n, ncon=ncon)
+        rng = np.random.default_rng(seed)
+        M = rng.standard_normal((n, n)) / np.sqrt(n)
+        self.Q = jnp.asarray(M @ M.T + 0.5 * np.eye(n))
+        self.b = jnp.asarray(rng.standard_normal(n))
+        self.Amat = jnp.asarray(np.abs(rng.standard_normal((ncon, n))) / n)
+
+    def objective(self, x):
+        return 0.5 * jnp.vdot(x, self.Q @ x) - jnp.vdot(self.b, x)
+
+    def constraints(self, x):
+        return self.Amat @ x - 1.0
+
+    def get_vars_and_bounds(self):
+        n = self.nvars
+        return jnp.full(n, 2.0), jnp.zeros(n), jnp.full(n, 10.0)
+
+
+class Sellar(Problem):
+    """Sellar problem (`examples/sellar/sellar.py`):
+    min x2^2 + x1 + x0 + exp(-x3)  (a common variant)
+    Here: the classic reduced Sellar form with 2 constraints."""
+
+    def __init__(self):
+        super().__init__(nvars=4, ncon=2)
+
+    def objective(self, x):
+        return x[0] ** 2 + x[1] + x[2] + jnp.exp(-x[3])
+
+    def constraints(self, x):
+        y1 = x[1] + x[0] ** 2 + x[2] - 0.2 * x[3]
+        y2 = jnp.sqrt(jnp.abs(y1) + 1e-12) + x[1] + x[2]
+        return jnp.array([y1 / 3.16 - 1.0, 1.0 - y2 / 24.0])
+
+    def get_vars_and_bounds(self):
+        x = jnp.array([1.0, 5.0, 2.0, 1.0])
+        lb = jnp.array([-10.0, 0.0, 0.0, -10.0])
+        ub = jnp.array([10.0, 10.0, 10.0, 10.0])
+        return x, lb, ub
+
+
+class SimpleQuadratic(Problem):
+    """min ||x - x_target||^2 with box bounds; known closed-form optimum =
+    clip(x_target, lb, ub).  Pure bound-constrained sanity check."""
+
+    def __init__(self, n=16, target_scale=2.0):
+        super().__init__(nvars=n, ncon=0)
+        t = np.linspace(-target_scale, target_scale, n)
+        self.target = jnp.asarray(t)
+
+    def objective(self, x):
+        return jnp.sum((x - self.target) ** 2)
+
+    def get_vars_and_bounds(self):
+        n = self.nvars
+        return jnp.zeros(n), jnp.full(n, -1.0), jnp.full(n, 1.0)
+
+    def solution(self):
+        return jnp.clip(self.target, -1.0, 1.0)

@@ -1,0 +1,133 @@
+"""End-to-end interior-point convergence tests on the analytic problems
+(the reference's examples-as-integration-tests strategy, SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paropt_tpu import InteriorPoint
+from paropt_tpu.models.analytic import (
+    Rosenbrock, SparseRosenbrock, ScalableRosenbrock, RandomConvexQP,
+    SimpleQuadratic)
+
+
+def test_simple_quadratic_bounds_only():
+    prob = SimpleQuadratic(n=16)
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-8})
+    res = ip.optimize()
+    assert res["converged"], res
+    x = np.asarray(res["x"])
+    want = np.asarray(prob.solution())
+    assert np.allclose(x, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["affine_step",
+                                      "least_squares_multipliers",
+                                      "no_start_strategy"])
+def test_rosenbrock_dense_constraint(strategy):
+    prob = Rosenbrock()
+    ip = InteriorPoint(prob, {
+        "output_file": None,
+        "abs_res_tol": 1e-7,
+        "starting_point_strategy": strategy,
+    })
+    res = ip.optimize()
+    assert res["converged"], res
+    x = np.asarray(res["x"])
+    # unconstrained optimum (1,1) is interior to c >= 0
+    assert np.allclose(x, [1.0, 1.0], atol=1e-4), x
+    assert res["fobj"] < 1e-8
+
+
+def test_rosenbrock_sparse_constraint():
+    prob = SparseRosenbrock()
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-7})
+    res = ip.optimize()
+    assert res["converged"], res
+    assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-4)
+
+
+def test_random_convex_qp_matches_reference_solver():
+    prob = RandomConvexQP(n=24, ncon=3, seed=1)
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-8,
+                              "max_major_iters": 300})
+    res = ip.optimize()
+    assert res["converged"], res
+    # cross-check with scipy's reference QP solution via KKT verification:
+    x = np.asarray(res["x"])
+    c = np.asarray(prob.constraints(res["x"]))
+    assert (c > -1e-6).all()
+    assert (x > -1e-8).all() and (x < 10 + 1e-8).all()
+    # stationarity: g - A'z - zl + zu = 0 with recovered multipliers
+    xs, z, zw, zl, zu = ip.get_optimized_point()
+    g = np.asarray(prob.Q @ res["x"] - prob.b)
+    r = g - np.asarray(prob.Amat).T @ np.asarray(z) - np.asarray(zl) \
+        + np.asarray(zu)
+    assert np.max(np.abs(r)) < 1e-5
+
+
+def test_scalable_rosenbrock_sparse():
+    prob = ScalableRosenbrock(n=32, group=4)
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-6,
+                              "max_major_iters": 500})
+    res = ip.optimize()
+    assert res["converged"], res
+    # feasibility of both constraint families
+    assert float(jnp.min(prob.sparse_constraints(res["x"]))) > -1e-5
+    assert float(prob.constraints(res["x"])[0]) > -1e-5
+
+
+def test_monotone_vs_mehrotra_same_answer():
+    for strat in ("monotone", "mehrotra", "complementarity_fraction"):
+        prob = RandomConvexQP(n=12, ncon=2, seed=3)
+        ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-7,
+                                  "barrier_strategy": strat,
+                                  "max_major_iters": 300})
+        res = ip.optimize()
+        assert res["converged"], (strat, res)
+        if strat == "monotone":
+            x_ref = np.asarray(res["x"])
+        else:
+            assert np.allclose(np.asarray(res["x"]), x_ref, atol=1e-4), strat
+
+
+def test_equality_constraint():
+    """Trailing constraints declared equalities (ninequality < ncon)."""
+
+    class EqProb(RandomConvexQP):
+        def __init__(self):
+            super().__init__(n=10, ncon=1, seed=5)
+            self.ninequality = 0  # the single constraint is an equality
+
+    prob = EqProb()
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-8,
+                              "max_major_iters": 300})
+    res = ip.optimize()
+    assert res["converged"], res
+    c = float(prob.constraints(res["x"])[0])
+    assert abs(c) < 1e-5, c
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    prob = RandomConvexQP(n=12, ncon=2, seed=7)
+    ip = InteriorPoint(prob, {"output_file": None, "max_major_iters": 5})
+    ip.optimize()
+    path = str(tmp_path / "ckpt.npz")
+    ip.write_solution_file(path)
+    ip2 = InteriorPoint(prob, {"output_file": None})
+    ip2.read_solution_file(path)
+    assert np.allclose(np.asarray(ip2.vars.x), np.asarray(ip.vars.x))
+    assert ip2.mu == ip.mu
+
+
+def test_output_log_contract(tmp_path):
+    from paropt_tpu import unpack_output
+    path = str(tmp_path / "paropt.out")
+    prob = Rosenbrock()
+    ip = InteriorPoint(prob, {"output_file": path, "abs_res_tol": 1e-7})
+    res = ip.optimize()
+    hist = unpack_output(path)
+    assert len(hist["iter"]) > 3
+    assert hist["fobj"][-1] == pytest.approx(res["fobj"], rel=1e-4)
+    # counters are monotone
+    assert (np.diff(hist["nobj"]) >= 0).all()
