@@ -268,8 +268,10 @@ class InteriorPoint:
         self.mu = o["init_barrier_param"]
         self.rho_penalty = o["init_rho_penalty_search"]
 
-        # quasi-Newton state
-        self.qn: Optional[qnmod.QNState] = None
+        # quasi-Newton state, held in a shared mutable holder so an outer
+        # loop (trust region) and this optimizer see the same approximation
+        # (the reference shares one ParOptCompactQuasiNewton object)
+        self._qn_holder: Dict[str, Optional[qnmod.QNState]] = {"state": None}
         self._make_qn()
 
         # bounds + design variables
@@ -290,6 +292,14 @@ class InteriorPoint:
 
     # -- setup ---------------------------------------------------------------
 
+    @property
+    def qn(self) -> Optional[qnmod.QNState]:
+        return self._qn_holder["state"]
+
+    @qn.setter
+    def qn(self, state):
+        self._qn_holder["state"] = state
+
     def _make_qn(self):
         o = self.options
         qt = o["qn_type"]
@@ -305,10 +315,30 @@ class InteriorPoint:
             qn_type="bfgs" if qt == "scaled_bfgs" else qt,
             update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])
 
-    def set_quasi_newton_state(self, qn_state):
-        """Install an externally managed QN state (used by the TR loop, the
-        analogue of `ParOptInteriorPoint::setQuasiNewton`)."""
-        self.qn = qn_state
+    def set_quasi_newton_holder(self, holder: Dict[str, Any]):
+        """Share a mutable {'state': QNState} holder with an outer loop (the
+        analogue of `ParOptInteriorPoint::setQuasiNewton` — the reference
+        shares the QN object between TR and IP)."""
+        self._qn_holder = holder
+
+    def set_penalty_gamma(self, gamma, gamma_sparse=None):
+        """Set the l1 elastic penalties, scalar or per-constraint
+        (`ParOptInteriorPoint::setPenaltyGamma`).  Inequality constraints
+        keep gamma_s = 0."""
+        ncon, nwcon = self.problem.ncon, self.problem.nwcon
+        g = jnp.broadcast_to(jnp.asarray(gamma, self.dtype), (ncon,))
+        idx = np.arange(ncon)
+        self.gamma_s = jnp.where(idx < self.problem.ninequality, 0.0, g)
+        self.gamma_t = g
+        if gamma_sparse is None:
+            gamma_sparse = gamma if np.ndim(gamma) == 0 else None
+        if gamma_sparse is not None and nwcon > 0:
+            gw = jnp.broadcast_to(jnp.asarray(gamma_sparse, self.dtype),
+                                  (nwcon,))
+            idxw = np.arange(nwcon)
+            self.gamma_sw = jnp.where(idxw < self.problem.nwinequality,
+                                      0.0, gw)
+            self.gamma_tw = gw
 
     def _init_design_and_bounds(self):
         """`initAndCheckDesignAndBounds` (`ParOptInteriorPoint.cpp:4277+`)."""
@@ -483,8 +513,11 @@ class InteriorPoint:
     def _qn_compact(self):
         if self.qn is not None:
             return qnmod.qn_compact(self.qn)
-        one = jnp.asarray(1.0, self.dtype)
-        return (one, None, None)
+        # Without a QN the Hessian block is b0·I: zero for the sequential
+        # linear method (the bound/barrier terms keep the KKT diagonal SPD
+        # inside the TR box), identity otherwise.
+        b0 = 0.0 if self.options["sequential_linear_method"] else 1.0
+        return (jnp.asarray(b0, self.dtype), None, None)
 
     def _rho_update(self, merit0, pmerit0, infeas, infeas_proj, pTBp, max_x):
         """Penalty parameter ρ update (`evalMeritInitDeriv` tail,

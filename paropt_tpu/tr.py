@@ -1,0 +1,653 @@
+"""l∞ trust-region / SL1QP optimizer with penalty and filter globalization.
+
+TPU-native re-design of `ParOptTrustRegion` (`src/ParOptTrustRegion.{h,cpp}`,
+~3k LoC).  The outer loop solves a sequence of l∞-trust-region quadratic
+subproblems — compact-QN quadratic objective + linearized constraints inside
+the box [max(-Δ, lb-xk), min(Δ, ub-xk)] — each solved by the interior-point
+method; the real objective/constraints are evaluated once per TR iteration
+("the hot loop is IP-on-QP", SURVEY.md §3.1).  Globalization strategies:
+
+- SL1QP penalty acceptance with per-constraint adaptive penalties and the
+  "steering" infeasibility-minimization subproblem
+  (`sl1qpOptimize`/`sl1qpUpdate`, `ParOptTrustRegion.cpp:1231-1671`)
+- (f, h) filter with slanting envelope and feasibility-restoration phase
+  (`filterOptimize` + filter helpers, `ParOptTrustRegion.cpp:907-1034,
+  1697-2210`)
+
+All subproblem evaluations here are pure jnp expressions over the stored
+linearization (fk, gk, ck, Ak, cwk, Awk) + the compact QN state, so the IP's
+inner iterations never touch user code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ip import InteriorPoint
+from .ops import qn as qnmod
+from .problem import Problem, SparseJacobian
+from .utils.logging import TRLogger
+from .utils.options import OptionRegistry, make_options
+
+__all__ = ["TrustRegion", "QuadraticSubproblem", "InfeasSubproblem"]
+
+
+class QuadraticSubproblem(Problem):
+    """Quadratic/linear model of the user problem about xk, expressed in the
+    step variable p (`ParOptQuadraticSubproblem`, `ParOptTrustRegion.cpp:
+    41-419`):
+
+        min  fk + gk·p + 1/2 p·B·p
+        s.t. ck + Ak·p >= 0,   cwk + Awk·p >= 0,
+             max(-Δ, lb-xk) <= p <= min(Δ, ub-xk)
+
+    with B the compact quasi-Newton approximation shared with the IP solver
+    via the qn holder.
+    """
+
+    def __init__(self, problem: Problem, qn_holder: Dict[str, Any]):
+        super().__init__(nvars=problem.nvars, ncon=problem.ncon,
+                         nwcon=problem.nwcon, nwblock=problem.nwblock,
+                         ninequality=problem.ninequality,
+                         nwinequality=problem.nwinequality)
+        self.prob = problem
+        self.qn_holder = qn_holder
+        x0, lb, ub = problem.get_vars_and_bounds()
+        self.xk = jnp.asarray(x0)
+        self.lb = jnp.asarray(lb)
+        self.ub = jnp.asarray(ub)
+        self.lk = self.lb - self.xk
+        self.uk = self.ub - self.xk
+        # linearization data (filled by init_model)
+        self.fk = None
+        self.gk = None
+        self.ck = None
+        self.Ak = None
+        self.cwk = None
+        self.Awk: Optional[SparseJacobian] = None
+        # trial-point cache
+        self.ft = None
+        self.ct = None
+        self.gt = None
+        self.At = None
+        self.qn_update_type = (0, 0)  # (skipped, damped)
+        # second-order-correction state
+        self.c_soc = None
+        self.is_soc_step = False
+
+    # -- model management ----------------------------------------------------
+
+    def init_model(self, tr_size: float):
+        """`initModelAndBounds` (`ParOptTrustRegion.cpp:1087-1105`):
+        evaluate the real function/gradients at xk and set TR bounds."""
+        fobj, c = self.prob.eval_obj_con(self.xk)
+        self.fk = jnp.asarray(fobj)
+        self.ck = jnp.asarray(c).reshape(self.ncon)
+        self.gk, self.Ak = self.prob.eval_obj_con_gradient(self.xk)
+        if self.nwcon > 0:
+            self.cwk = jnp.asarray(self.prob.eval_sparse_con(self.xk))
+            self.Awk = self.prob.sparse_jacobian(self.xk)
+        self.set_trust_region_bounds(tr_size)
+
+    def set_trust_region_bounds(self, tr_size: float):
+        self.lk = jnp.maximum(-tr_size, self.lb - self.xk)
+        self.uk = jnp.minimum(tr_size, self.ub - self.xk)
+
+    def eval_trial_step_and_update(self, update_flag: bool, p, z, zw
+                                   ) -> Tuple[Any, Any]:
+        """Evaluate the REAL objective/constraints/gradients at xk + p and
+        update the quasi-Newton pair (`evalTrialStepAndUpdate`,
+        `ParOptTrustRegion.cpp:172-212`). Returns (ft, ct)."""
+        xt = self.xk + p
+        ft, ct = self.prob.eval_obj_con(xt)
+        self.ft = jnp.asarray(ft)
+        self.ct = jnp.asarray(ct).reshape(self.ncon)
+        self.gt, self.At = self.prob.eval_obj_con_gradient(xt)
+        self.qn_update_type = (0, 0)
+        qn = self.qn_holder.get("state")
+        if qn is not None and update_flag:
+            y = self.gt - (self.At.T @ z if self.ncon else 0.0)
+            y0 = self.gk - (self.Ak.T @ z if self.ncon else 0.0)
+            if self.nwcon > 0:
+                y = y - self.prob.sparse_jacobian_tvec(xt, zw)
+                y0 = y0 - self.prob.sparse_jacobian_tvec(self.xk, zw)
+            y = y - y0
+            s, y = self.prob.compute_quasi_newton_update_correction(
+                xt, z, zw, p, y)
+            new_qn, skipped, damped = qnmod.qn_update(qn, s, y)
+            self.qn_holder["state"] = new_qn
+            self.qn_update_type = (int(skipped), int(damped))
+        return self.ft, self.ct
+
+    def accept_trial_step(self, p):
+        """`acceptTrialStep` (`ParOptTrustRegion.cpp:215-229`)."""
+        self.xk = self.xk + p
+        self.fk = self.ft
+        self.ck = self.ct
+        self.gk = self.gt
+        self.Ak = self.At
+        if self.nwcon > 0:
+            self.cwk = jnp.asarray(self.prob.eval_sparse_con(self.xk))
+            self.Awk = self.prob.sparse_jacobian(self.xk)
+
+    def reject_trial_step(self):
+        self.ft = None
+        self.ct = None
+
+    # -- Problem interface (in the step variable p) --------------------------
+
+    def get_vars_and_bounds(self):
+        p0 = 0.5 * (self.lk + self.uk)
+        return p0, self.lk, self.uk
+
+    def model_obj_con(self, p=None):
+        """Model objective/constraints (`evalObjCon`,
+        `ParOptTrustRegion.cpp:289-325`); p=None means p=0."""
+        if p is None:
+            return self.fk, self.ck
+        f = self.fk + jnp.vdot(self.gk, p)
+        qn = self.qn_holder.get("state")
+        if qn is not None:
+            f = f + 0.5 * jnp.vdot(p, qnmod.qn_mult(qn, p))
+        cbase = self.c_soc if self.is_soc_step else self.ck
+        c = (cbase + self.Ak @ p) if self.ncon else self.ck
+        return f, c
+
+    def eval_obj_con(self, p):
+        return self.model_obj_con(p)
+
+    def eval_obj_con_gradient(self, p):
+        qn = self.qn_holder.get("state")
+        g = self.gk + (qnmod.qn_mult(qn, p) if qn is not None else 0.0)
+        return g, self.Ak
+
+    def eval_sparse_con(self, p):
+        return self.cwk + self.Awk.matvec(p)
+
+    def sparse_jacobian(self, p):
+        return self.Awk
+
+    def write_output(self, it, p):
+        pass
+
+
+class InfeasSubproblem(Problem):
+    """Infeasibility-minimization subproblem for the adaptive-penalty
+    "steering" strategy and filter restoration (`ParOptInfeasSubproblem`,
+    `ParOptTrustRegion.cpp:293-371` header / `:430-658`): same constraints
+    and bounds as the quadratic subproblem but a scaled constant/linear/
+    quadratic objective; the IP's elastic slack formulation with unit
+    penalties then minimizes the l1 constraint violation."""
+
+    def __init__(self, sub: QuadraticSubproblem,
+                 objective_type: str = "linear_objective",
+                 constraint_type: str = "linear_constraint"):
+        super().__init__(nvars=sub.nvars, ncon=sub.ncon, nwcon=sub.nwcon,
+                         nwblock=sub.nwblock, ninequality=sub.ninequality,
+                         nwinequality=sub.nwinequality)
+        self.sub = sub
+        self.objective_type = objective_type
+        self.constraint_type = constraint_type
+        self.obj_scale = 1.0
+
+    def get_vars_and_bounds(self):
+        return self.sub.get_vars_and_bounds()
+
+    def eval_obj_con(self, p):
+        s = self.sub
+        if self.objective_type == "constant_objective":
+            f = s.fk
+        elif self.objective_type == "subproblem_objective":
+            f, _ = s.model_obj_con(p)
+        else:  # linear_objective
+            f = s.fk + jnp.vdot(s.gk, p)
+        if self.constraint_type == "subproblem_constraint":
+            _, c = s.model_obj_con(p)
+        else:
+            c = (s.ck + s.Ak @ p) if s.ncon else s.ck
+        return self.obj_scale * f, c
+
+    def eval_obj_con_gradient(self, p):
+        s = self.sub
+        if self.objective_type == "constant_objective":
+            g = jnp.zeros_like(s.gk)
+        elif self.objective_type == "subproblem_objective":
+            g, _ = s.eval_obj_con_gradient(p)
+        else:
+            g = s.gk
+        return self.obj_scale * g, s.Ak
+
+    def eval_sparse_con(self, p):
+        return self.sub.eval_sparse_con(p)
+
+    def sparse_jacobian(self, p):
+        return self.sub.Awk
+
+    def write_output(self, it, p):
+        pass
+
+
+def _l1_violation(c, nineq, gamma=None):
+    """Σ γ_i · viol_i with viol = max(0, -c) for inequalities, |c| for
+    equalities."""
+    if c.shape[0] == 0:
+        return jnp.zeros(())
+    idx = np.arange(c.shape[0])
+    viol = jnp.where(idx < nineq, jnp.maximum(0.0, -c), jnp.abs(c))
+    if gamma is not None:
+        viol = gamma * viol
+    return jnp.sum(viol)
+
+
+class TrustRegion:
+    """Trust-region outer loop (`ParOptTrustRegion`), the reference's default
+    algorithm."""
+
+    def __init__(self, problem: Problem, options: Optional[Any] = None):
+        self.problem = problem
+        if isinstance(options, OptionRegistry):
+            self.options = options
+        else:
+            self.options = make_options(options, which="facade")
+        o = self.options
+        self.qn_holder: Dict[str, Any] = {"state": None}
+        self.subproblem = QuadraticSubproblem(problem, self.qn_holder)
+
+        # per-constraint penalties, adaptively updated
+        self.penalty_gamma = np.full(problem.ncon, o["penalty_gamma"])
+        self.tr_size = o["tr_init_size"]
+        self.iter_count = 0
+        self._logger = None
+
+        # the IP solver over the quadratic subproblem
+        ip_opts = self.options.copy()
+        ip_opts["use_quasi_newton_update"] = False
+        ip_opts["write_output_frequency"] = 0
+        ip_opts["output_file"] = None
+        self.ip = InteriorPoint(self.subproblem, ip_opts)
+        self._init_ip_qn()
+        self.ip.set_quasi_newton_holder(self.qn_holder)
+
+        # steering / restoration solver over the infeasibility subproblem
+        self.infeas_problem = InfeasSubproblem(
+            self.subproblem, o["tr_adaptive_objective"],
+            o["tr_adaptive_constraint"])
+        inf_opts = self.options.copy()
+        inf_opts["use_quasi_newton_update"] = False
+        inf_opts["write_output_frequency"] = 0
+        inf_opts["output_file"] = None
+        if (o["tr_adaptive_objective"] in ("linear_objective",
+                                           "constant_objective")
+                and o["tr_adaptive_constraint"] == "linear_constraint"):
+            inf_opts["sequential_linear_method"] = True
+        if o["tr_steering_barrier_strategy"] != "default":
+            inf_opts["barrier_strategy"] = o["tr_steering_barrier_strategy"]
+        if o["tr_steering_starting_point_strategy"] != "default":
+            inf_opts["starting_point_strategy"] = (
+                o["tr_steering_starting_point_strategy"])
+        self.ip_infeas = InteriorPoint(self.infeas_problem, inf_opts)
+        self.ip_infeas.set_penalty_gamma(1.0)
+
+        self.filter: List[Tuple[float, float]] = []
+
+    def _init_ip_qn(self):
+        o = self.options
+        qt = o["qn_type"]
+        if qt != "none" and o["qn_subspace_size"] > 0:
+            self.qn_holder["state"] = qnmod.qn_init(
+                o["qn_subspace_size"], self.problem.nvars,
+                dtype=self.ip.dtype,
+                qn_type="bfgs" if qt == "scaled_bfgs" else qt,
+                update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])
+        else:
+            self.qn_holder["state"] = None
+
+    # -- shared helpers ------------------------------------------------------
+
+    def _model_infeas(self, c, gamma=None):
+        return float(_l1_violation(c, self.problem.ninequality, gamma))
+
+    def compute_kkt_error(self, z, zw) -> Tuple[float, float]:
+        """Projected-gradient KKT error with bound-activity masking
+        (`computeKKTError`, `ParOptTrustRegion.cpp:2391-2470`)."""
+        o = self.options
+        relax = o["tr_bound_relax"]
+        s = self.subproblem
+        r = s.gk - (s.Ak.T @ z if s.ncon else 0.0)
+        if s.nwcon > 0:
+            r = r - s.Awk.rmatvec(zw)
+        x, lb, ub = s.xk, s.lb, s.ub
+        r = jnp.where((x <= lb + relax) & (r > 0.0), 0.0, r)
+        r = jnp.where((x >= ub - relax) & (r < 0.0), 0.0, r)
+        l1 = float(jnp.sum(jnp.abs(r)))
+        linf = float(jnp.max(jnp.abs(r))) if r.size else 0.0
+        zmax = 1.0
+        if s.ncon:
+            zmax = max(zmax, float(jnp.max(jnp.abs(z))))
+        if s.nwcon:
+            zmax = max(zmax, float(jnp.max(jnp.abs(zw))))
+        g_l1 = float(jnp.sum(jnp.abs(s.gk)))
+        g_inf = float(jnp.max(jnp.abs(s.gk)))
+        return l1 / max(g_l1, zmax), linf / max(g_inf, zmax)
+
+    def _solve_subproblem(self):
+        self.ip.reset_design_and_bounds()
+        self.ip.set_penalty_gamma(jnp.asarray(self.penalty_gamma))
+        self.ip.optimize()
+        step, z, zw, _, _ = self.ip.get_optimized_point()
+        return step, z, zw
+
+    def _minimize_infeas(self):
+        """Steering / restoration infeasibility solve (`minimizeInfeas`,
+        `ParOptTrustRegion.cpp:1107-1229`). Returns (step, best_con_infeas)."""
+        o = self.options
+        gamma_big = max(1e6, 1e2 * o["tr_penalty_gamma_max"])
+        self.infeas_problem.obj_scale = 1.0 / gamma_big
+        self.ip_infeas.reset_design_and_bounds()
+        self.ip_infeas.optimize()
+        step, _, _, _, _ = self.ip_infeas.get_optimized_point()
+        _, c_best = self.subproblem.model_obj_con(step)
+        idx = np.arange(self.problem.ncon)
+        best = jnp.where(idx < self.problem.ninequality,
+                         jnp.maximum(0.0, -c_best), jnp.abs(c_best))
+        return step, np.asarray(best)
+
+    # -- main entry ----------------------------------------------------------
+
+    def optimize(self) -> Dict[str, Any]:
+        o = self.options
+        self._logger = TRLogger(o["tr_output_file"])
+        if o["tr_accept_step_strategy"] == "filter_method":
+            result = self._filter_optimize()
+        else:
+            result = self._sl1qp_optimize()
+        self._logger.close()
+        return result
+
+    def get_optimized_point(self):
+        return self.subproblem.xk
+
+    # -- SL1QP ---------------------------------------------------------------
+
+    def _sl1qp_optimize(self) -> Dict[str, Any]:
+        o = self.options
+        adaptive = o["tr_adaptive_gamma_update"]
+        max_iters = o["tr_max_iterations"]
+        infeas_tol = o["tr_infeas_tol"]
+        l1_tol, linf_tol = o["tr_l1_tol"], o["tr_linfty_tol"]
+        gamma_max = o["tr_penalty_gamma_max"]
+        gamma_min = o["tr_penalty_gamma_min"]
+        nineq = self.problem.ninequality
+        write_freq = o["tr_write_output_frequency"]
+
+        self.subproblem.init_model(self.tr_size)
+        converged = False
+        infeas = l1 = linf = float("inf")
+
+        for i in range(max_iters):
+            best_con_infeas = None
+            if adaptive:
+                _, best_con_infeas = self._minimize_infeas()
+
+            if write_freq > 0 and i % write_freq == 0:
+                self.problem.write_output(i, self.subproblem.xk)
+
+            step, z, zw = self._solve_subproblem()
+
+            if adaptive:
+                _, c0 = self.subproblem.model_obj_con(None)
+                _, cm = self.subproblem.model_obj_con(step)
+                idx = np.arange(self.problem.ncon)
+                con_infeas = np.asarray(jnp.where(
+                    idx < nineq, jnp.maximum(0.0, -c0), jnp.abs(c0)))
+                model_con_infeas = np.asarray(jnp.where(
+                    idx < nineq, jnp.maximum(0.0, -cm), jnp.abs(cm)))
+
+            infeas, l1, linf, rho = self._sl1qp_update(step, z, zw)
+
+            if infeas < infeas_tol and (l1 < l1_tol or linf < linf_tol):
+                converged = True
+                break
+
+            if adaptive:
+                # per-constraint penalty adaptation
+                # (`ParOptTrustRegion.cpp:1609-1671`)
+                zabs = np.abs(np.asarray(z))
+                for j in range(self.problem.ncon):
+                    infeas_reduction = con_infeas[j] - model_con_infeas[j]
+                    best_reduction = con_infeas[j] - best_con_infeas[j]
+                    if (zabs[j] > infeas_tol and con_infeas[j] < infeas_tol
+                            and self.penalty_gamma[j] >= 2.0 * zabs[j]):
+                        self.penalty_gamma[j] = max(
+                            0.5 * (self.penalty_gamma[j] + zabs[j]),
+                            gamma_min)
+                    elif (con_infeas[j] > infeas_tol
+                          and 0.995 * best_reduction > infeas_reduction):
+                        self.penalty_gamma[j] = min(
+                            1.5 * self.penalty_gamma[j], gamma_max)
+
+        return {"x": self.subproblem.xk, "fobj": float(self.subproblem.fk),
+                "converged": converged, "niter": self.iter_count,
+                "infeas": infeas, "l1": l1, "linfty": linf}
+
+    def _sl1qp_update(self, step, z, zw):
+        """Accept/reject + radius update (`sl1qpUpdate`,
+        `ParOptTrustRegion.cpp:1231-1452`)."""
+        o = self.options
+        t0 = time.time()
+        eta = o["tr_eta"]
+        tr_min, tr_max = o["tr_min_size"], o["tr_max_size"]
+        fprec = o["function_precision"]
+        gam = jnp.asarray(self.penalty_gamma)
+        nineq = self.problem.ninequality
+
+        fk, ck = self.subproblem.model_obj_con(None)
+        infeas_k = self._model_infeas(ck, gam)
+        ft_model, ct_model = self.subproblem.model_obj_con(step)
+        obj_reduc = float(fk - ft_model)
+        infeas_model = self._model_infeas(ct_model, gam)
+
+        ft, ct = self.subproblem.eval_trial_step_and_update(
+            True, step, z, zw)
+        infeas_t = self._model_infeas(ct, gam)
+
+        actual_reduc = float(fk - ft) + (infeas_k - infeas_t)
+        model_reduc = obj_reduc + (infeas_k - infeas_model)
+
+        if abs(model_reduc) <= fprec and abs(actual_reduc) <= fprec:
+            rho = 1.0
+        else:
+            rho = actual_reduc / model_reduc if model_reduc != 0 else 1.0
+
+        infeas_new = self._model_infeas(ct)
+
+        accepted = rho >= eta or self.tr_size <= tr_min
+        if accepted:
+            smax = float(jnp.max(jnp.abs(step))) if step.size else 0.0
+            self.subproblem.accept_trial_step(step)
+        else:
+            self.subproblem.reject_trial_step()
+            smax = 0.0
+
+        if rho < 0.25:
+            self.tr_size = max(0.25 * self.tr_size, tr_min)
+        elif rho > 0.75:
+            self.tr_size = min(1.5 * self.tr_size, tr_max)
+        self.subproblem.set_trust_region_bounds(self.tr_size)
+
+        l1, linf = self.compute_kkt_error(z, zw)
+
+        m = max(self.problem.ncon, 1)
+        zav = float(np.sum(np.abs(np.asarray(z)))) / m
+        zmax = float(np.max(np.abs(np.asarray(z)))) if self.problem.ncon \
+            else 0.0
+        gav = float(np.mean(self.penalty_gamma)) if self.problem.ncon else 0.0
+        gmax = float(np.max(self.penalty_gamma)) if self.problem.ncon else 0.0
+
+        skipped, damped = self.subproblem.qn_update_type
+        info = ("dampH " if damped else "") + ("skipH " if skipped else "")
+        info += f"{self.ip.niter} "
+        if not accepted:
+            info += "rej "
+        self._logger.log(self.iter_count, float(fk), infeas_new, l1, linf,
+                         smax, self.tr_size, rho, model_reduc, zav, zmax,
+                         gav, gmax, time.time() - t0, info)
+        self.iter_count += 1
+        return infeas_new, l1, linf, rho
+
+    # -- filter method -------------------------------------------------------
+
+    def _acceptable_by_pair(self, f_new, h_new, f_old, h_old) -> bool:
+        o = self.options
+        gamma = o["filter_gamma"]
+        if o["filter_sufficient_reduction"]:
+            return (h_new < (1.0 - gamma) * h_old
+                    or f_new < f_old - gamma * h_new)
+        return h_new < h_old or f_new < f_old
+
+    def _acceptable_by_filter(self, f, h) -> bool:
+        return all(self._acceptable_by_pair(f, h, fe, he)
+                   for fe, he in self.filter)
+
+    def _add_to_filter(self, f, h):
+        self.filter = [(fe, he) for fe, he in self.filter
+                       if not (f <= fe and h <= he)]
+        self.filter.append((f, h))
+
+    def _filter_optimize(self) -> Dict[str, Any]:
+        o = self.options
+        max_iters = o["tr_max_iterations"]
+        eta = o["tr_eta"]
+        tr_min, tr_max = o["tr_min_size"], o["tr_max_size"]
+        infeas_tol = o["tr_infeas_tol"]
+        l1_tol, linf_tol = o["tr_l1_tol"], o["tr_linfty_tol"]
+        has_restore = o["filter_has_feas_restore_phase"]
+        write_freq = o["tr_write_output_frequency"]
+
+        self.subproblem.init_model(self.tr_size)
+        f0, c0 = self.subproblem.model_obj_con(None)
+        h0 = self._model_infeas(c0)
+        self.filter = []
+        self._add_to_filter(-1e20, max(1e4, 1.25 * h0))
+
+        last_resto = False
+        converged = False
+        infeas_trial = l1 = linf = float("inf")
+
+        for it in range(max_iters):
+            t0 = time.time()
+            fk, ck = self.subproblem.model_obj_con(None)
+            fk = float(fk)
+            hk = self._model_infeas(ck)
+
+            step, z, zw = self._solve_subproblem()
+
+            this_resto = False
+            if has_restore:
+                _, cm = self.subproblem.model_obj_con(step)
+                resid = self._model_infeas(cm)
+                if resid > infeas_tol:
+                    this_resto = True
+                    self._add_to_filter(fk, hk)
+                elif last_resto and self.qn_holder["state"] is not None:
+                    self.qn_holder["state"] = qnmod.qn_reset(
+                        self.qn_holder["state"])
+
+            if this_resto:
+                if not last_resto and self.qn_holder["state"] is not None:
+                    self.qn_holder["state"] = qnmod.qn_reset(
+                        self.qn_holder["state"])
+                step, _ = self._minimize_infeas()
+
+            fobj_model, _ = self.subproblem.model_obj_con(step)
+            ft, ct = self.subproblem.eval_trial_step_and_update(
+                True, step, z, zw)
+            ft = float(ft)
+            infeas_trial = self._model_infeas(ct)
+            smax = float(jnp.max(jnp.abs(step))) if step.size else 0.0
+
+            init_tr = increase_tr = decrease_tr = False
+            accepted = False
+            info_rej = ""
+            model_red = fk - float(fobj_model)
+            actual_red = fk - ft
+            rho = actual_red / model_red if model_red != 0 else 1.0
+
+            if this_resto:
+                self.subproblem.accept_trial_step(step)
+                accepted = True
+                if smax >= 0.99 * self.tr_size:
+                    increase_tr = True
+            else:
+                by_filter = self._acceptable_by_filter(ft, infeas_trial)
+                by_pair = self._acceptable_by_pair(ft, infeas_trial, fk, hk)
+                if by_filter and by_pair:
+                    if actual_red < eta * model_red and model_red > 0.0:
+                        self.subproblem.reject_trial_step()
+                        smax = 0.0
+                        decrease_tr = True
+                        info_rej = "rej:rho"
+                    else:
+                        self.subproblem.accept_trial_step(step)
+                        accepted = True
+                        if model_red <= 0.0:
+                            self._add_to_filter(ft, infeas_trial)
+                        init_tr = True
+                elif self.tr_size <= tr_min:
+                    self.subproblem.accept_trial_step(step)
+                    accepted = True
+                    if smax >= 0.99 * self.tr_size:
+                        increase_tr = True
+                else:
+                    self.subproblem.reject_trial_step()
+                    smax = 0.0
+                    decrease_tr = True
+                    info_rej = "rej:" + ("F" if not by_filter else "") + (
+                        "xk" if not by_pair else "")
+
+            if write_freq > 0 and it % write_freq == 0:
+                self.problem.write_output(it, self.subproblem.xk)
+
+            l1, linf = self.compute_kkt_error(z, zw)
+
+            skipped, damped = self.subproblem.qn_update_type
+            info = ("dampH " if damped else "") + ("skipH " if skipped else "")
+            info += f"{self.ip.niter} f{len(self.filter)} "
+            if this_resto:
+                info += "R "
+            if not accepted:
+                info += info_rej or "rej"
+            m = max(self.problem.ncon, 1)
+            zav = float(np.sum(np.abs(np.asarray(z)))) / m
+            zmax = (float(np.max(np.abs(np.asarray(z))))
+                    if self.problem.ncon else 0.0)
+            self._logger.log(self.iter_count, ft, infeas_trial, l1, linf,
+                             smax, self.tr_size, rho, model_red, zav, zmax,
+                             float(np.mean(self.penalty_gamma))
+                             if self.problem.ncon else 0.0,
+                             float(np.max(self.penalty_gamma))
+                             if self.problem.ncon else 0.0,
+                             time.time() - t0, info)
+            self.iter_count += 1
+
+            if increase_tr:
+                self.tr_size = min(2.0 * self.tr_size, tr_max)
+            elif decrease_tr:
+                self.tr_size = max(0.5 * self.tr_size, tr_min)
+            if init_tr:
+                self.tr_size = tr_max
+            self.subproblem.set_trust_region_bounds(self.tr_size)
+            last_resto = this_resto
+
+            if infeas_trial < infeas_tol and (l1 < l1_tol or linf < linf_tol):
+                converged = True
+                break
+
+        return {"x": self.subproblem.xk, "fobj": float(self.subproblem.fk),
+                "converged": converged, "niter": self.iter_count,
+                "infeas": infeas_trial, "l1": l1, "linfty": linf}

@@ -76,21 +76,24 @@ class IPLogger(_FileLogger):
 
 
 class TRLogger(_FileLogger):
-    """Trust-region iteration log (`paropt.tr` layout)."""
+    """Trust-region iteration log (`paropt.tr` layout,
+    `ParOptTrustRegion.cpp:1425-1440`)."""
 
-    HEADER = ("\n%5s %9s %9s %9s %9s %9s %9s %9s %9s %9s %9s %9s %9s %s\n") % (
-        "iter", "fobj", "infeas", "l1", "linfty", "tr", "rho", "mod red.",
-        "avg z", "max z", "avg pen.", "max pen.", "time", "info")
+    HEADER = ("\n%5s %12s %9s %9s %9s %9s %9s %9s %9s %9s %9s %9s %9s %9s "
+              "%-12s\n") % (
+                  "iter", "fobj", "infeas", "l1", "linfty", "|x - xk|", "tr",
+                  "rho", "mod red.", "avg z", "max z", "avg pen.", "max pen.",
+                  "time(s)", "info")
 
-    def log(self, k, fobj, infeas, l1, linfty, tr, rho, smodel, avg_z, max_z,
-            avg_pen, max_pen, t, info: str = "") -> None:
+    def log(self, k, fobj, infeas, l1, linfty, smax, tr, rho, smodel, avg_z,
+            max_z, avg_pen, max_pen, t, info: str = "") -> None:
         if k % 10 == 0:
             self.write(self.HEADER)
         self.write(
-            "%5d %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e "
-            "%9.2e %9.2e %9.2e %s\n"
-            % (k, fobj, infeas, l1, linfty, tr, rho, smodel, avg_z, max_z,
-               avg_pen, max_pen, t, info))
+            "%5d %12.5e %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e %9.2e "
+            "%9.2e %9.2e %9.2e %9.2e %-12s\n"
+            % (k, fobj, infeas, l1, linfty, smax, tr, rho, smodel, avg_z,
+               max_z, avg_pen, max_pen, t, info))
 
 
 class MMALogger(_FileLogger):
@@ -151,8 +154,8 @@ def unpack_output(path: str) -> Dict[str, np.ndarray]:
 
 def unpack_tr_output(path: str) -> Dict[str, np.ndarray]:
     """Parse a `paropt.tr`-format TR log (`ParOpt.pyx:144-232`)."""
-    names = ["iter", "fobj", "infeas", "l1", "linfty", "tr", "rho", "smodel",
-             "avgz", "maxz", "avgpen", "maxpen", "time"]
+    names = ["iter", "fobj", "infeas", "l1", "linfty", "xnorm", "tr", "rho",
+             "smodel", "avgz", "maxz", "avgpen", "maxpen", "time"]
     rows = _parse_rows(path, len(names), int_cols={0})
     arr = np.asarray(rows, dtype=float) if rows else np.zeros((0, len(names)))
     return {name: arr[:, j] for j, name in enumerate(names)}
