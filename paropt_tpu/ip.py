@@ -871,8 +871,19 @@ class InteriorPoint:
 
             # -- step computation (quasi-Newton path) -----------------------
             fobj_before_step = float(self.fobj)
-            compact = self._qn_compact()
-            use_qn = use_qn_default
+            if o["use_diag_hessian"]:
+                # B = diag(h) from the problem's Hessian diagonal (the MMA
+                # subproblem path, `ParOptInteriorPoint.cpp:4944-4949`)
+                hd = jnp.asarray(self.problem.eval_hessian_diag(
+                    self.vars.x, self.vars.z, self.vars.zw), self.dtype)
+                self.nhvec += 1
+                if not bool(jnp.all(jnp.isfinite(hd))):
+                    raise RuntimeError("Hessian diagonal evaluation failed")
+                compact = (hd, None, None)
+                use_qn = True
+            else:
+                compact = self._qn_compact()
+                use_qn = use_qn_default
             p = _compute_step(self.vars, d, compact, mu_j, rbb, o["qn_sigma"],
                               refine_steps=refine_steps, use_qn=use_qn)
 

@@ -1,0 +1,558 @@
+"""Fused (fully-jitted) interior-point solver for pure-JAX problems.
+
+The host-loop `InteriorPoint` in ip.py supports arbitrary host callbacks (the
+reference's primary usage mode).  When the problem is pure JAX — every
+trust-region quadratic subproblem, every MMA separable subproblem, and any
+user problem written with `objective(x)`/`constraints(x)` — the entire major
+iteration can be ONE compiled XLA computation: residual + norms, quasi-definite
+KKT factor/solve, fraction-to-boundary scaling, merit/penalty update, the full
+Armijo line search (model evaluations inlined), and the variable update.
+
+This is the TPU-native answer to the reference's "hot loop = IP-on-QP"
+structure (SURVEY.md §3.1): a subproblem solve becomes ~K jitted step calls
+(host-paced, one device round-trip each) or a single `lax.while_loop` call
+(`solve` with jit_loop=True) with zero host round-trips — the right shape for
+a TPU where dispatch latency would otherwise dominate.
+
+Feature set (a subset of ip.py, sufficient for the TR/MMA inner solves and
+jax-native outer problems): elastic double-slack formulation, monotone /
+complementarity-fraction barriers, least-squares + affine-step starting
+strategies, compact-QN or diagonal or fixed Hessians (optional in-loop L-BFGS
+updates), merit line search with function-precision-relaxed Armijo and the
+ρ-penalty update, equal-step complementarity safeguard, iterative refinement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import kkt
+from .ops import qn as qnmod
+from .ops.kkt import IPVars, ProblemData
+
+__all__ = ["FusedIP", "FusedIPOptions", "FusedState", "ModelFns"]
+
+
+class ModelFns(NamedTuple):
+    """Pure-function problem definition.  Each callable takes
+    (model_params, ...) and must be jit-traceable.  `hess_diag` may be None
+    (use the compact/QN Hessian from params instead)."""
+    eval_obj_con: Callable[[Any, jnp.ndarray],
+                           Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+    # (params, x) -> (f, c[ncon], cw[nwcon])
+    eval_grad: Callable[[Any, jnp.ndarray],
+                        Tuple[jnp.ndarray, jnp.ndarray]]
+    # (params, x) -> (g[n], A[ncon, n])
+    hess_diag: Optional[Callable[[Any, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                                 jnp.ndarray]] = None
+    # (params, x, z, zw) -> h[n]
+
+
+class FusedIPOptions(NamedTuple):
+    """Static solver options (a subset of the full registry; changing any
+    value retraces)."""
+    abs_res_tol: float = 1e-6
+    init_barrier_param: float = 0.1
+    monotone_barrier_fraction: float = 0.25
+    monotone_barrier_power: float = 1.1
+    rel_bound_barrier: float = 1.0
+    min_fraction_to_boundary: float = 0.95
+    penalty_descent_fraction: float = 0.3
+    min_rho_penalty_search: float = 0.0
+    armijo_constant: float = 1e-5
+    function_precision: float = 1e-10
+    design_precision: float = 1e-14
+    max_line_iters: int = 10
+    use_backtracking_alpha: bool = False
+    max_major_iters: int = 200
+    iterative_refinement_steps: int = 1
+    qn_sigma: float = 0.0
+    barrier_strategy: str = "monotone"  # 'monotone'|'complementarity_fraction'
+    starting_point_strategy: str = "affine_step"
+    start_affine_multiplier_min: float = 1.0
+    use_line_search: bool = True
+    use_quasi_newton_update: bool = False   # in-loop L-BFGS updates
+    use_diag_hessian: bool = False          # B from model.hess_diag
+    sequential_linear_method: bool = False  # B = qn_sigma (bounds regularize)
+    norm_type: str = "infinity"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FusedState:
+    """Complete solver state — one pytree, so the step function is
+    (state, params) -> state and can live under lax.while_loop."""
+    vars: IPVars
+    qn: Optional[qnmod.QNState]
+    mu: jnp.ndarray
+    rho: jnp.ndarray
+    fobj: jnp.ndarray
+    c: jnp.ndarray
+    cw: jnp.ndarray
+    g: jnp.ndarray
+    A: jnp.ndarray
+    k: jnp.ndarray                 # iteration counter (int32)
+    converged: jnp.ndarray         # bool
+    res_norm: jnp.ndarray
+    comp: jnp.ndarray
+    fobj_prev: jnp.ndarray
+    line_search_test: jnp.ndarray  # int32 consecutive no-improvement count
+    neval: jnp.ndarray             # int32
+    alpha: jnp.ndarray             # last accepted line-search step
+    alpha_x: jnp.ndarray
+    alpha_z: jnp.ndarray
+
+
+def _norms(r: IPVars, norm_type: str):
+    from .ops.veclib import multi_norm
+    prime = multi_norm([r.x, r.s, r.t], norm_type)
+    dual = multi_norm([r.zl, r.zu, r.zs, r.zt, r.sw, r.tw, r.zsw, r.ztw],
+                     norm_type)
+    infeas = multi_norm([r.z, r.zw], norm_type)
+    if norm_type == "infinity":
+        res = jnp.maximum(prime, jnp.maximum(dual, infeas))
+    elif norm_type == "l1":
+        res = prime + dual + infeas
+    else:
+        res = jnp.sqrt(prime ** 2 + dual ** 2 + infeas ** 2)
+    return res
+
+
+class FusedIP:
+    """Factory for the fused solver.
+
+    Parameters
+    ----------
+    model : ModelFns
+    n, ncon, nwcon, nwblock : problem sizes (static)
+    opts : FusedIPOptions
+    """
+
+    def __init__(self, model: ModelFns, n: int, ncon: int, nwcon: int = 0,
+                 nwblock: int = 1, opts: FusedIPOptions = FusedIPOptions(),
+                 dtype=jnp.float64):
+        self.model = model
+        self.n, self.ncon, self.nwcon = n, ncon, nwcon
+        self.nwblock = nwblock
+        self.opts = opts
+        self.dtype = dtype
+        self._step_jit = jax.jit(partial(_fused_step, model, opts))
+        self._init_jit = jax.jit(partial(_fused_init, model, opts))
+        self._solve_jit = jax.jit(partial(_fused_solve_loop, model, opts))
+
+    def init(self, x0, data: ProblemData, model_params,
+             qn_state: Optional[qnmod.QNState], compact) -> FusedState:
+        """Initialize state (bounds clipping, multiplier start strategy)."""
+        return self._init_jit(x0, data, model_params, qn_state, compact)
+
+    def step(self, state: FusedState, data: ProblemData, model_params,
+             compact) -> FusedState:
+        return self._step_jit(state, data, model_params, compact)
+
+    def solve(self, x0, data: ProblemData, model_params,
+              qn_state: Optional[qnmod.QNState] = None, compact=None,
+              jit_loop: bool = False, max_iters: Optional[int] = None
+              ) -> FusedState:
+        """Run to convergence.  jit_loop=True runs the whole solve as one
+        `lax.while_loop` XLA computation (zero host round-trips — the TPU
+        path); otherwise the host paces the jitted steps and can stop early.
+        """
+        state = self.init(x0, data, model_params, qn_state, compact)
+        if jit_loop:
+            return self._solve_jit(state, data, model_params, compact)
+        iters = max_iters or self.opts.max_major_iters
+        for _ in range(iters):
+            state = self.step(state, data, model_params, compact)
+            if bool(state.converged):
+                break
+        return state
+
+
+# ---------------------------------------------------------------------------
+# implementation (module-level pure functions; `model`/`opts` bound at jit)
+# ---------------------------------------------------------------------------
+
+
+def _refresh_data(d: ProblemData, g, A, c, cw) -> ProblemData:
+    return dataclasses.replace(d, g=g, A=A, c=c, cw=cw)
+
+
+def _get_compact(opts: FusedIPOptions, model: ModelFns, state: FusedState,
+                 model_params, compact):
+    """Resolve the Hessian representation for this iteration."""
+    if opts.use_diag_hessian:
+        h = model.hess_diag(model_params, state.vars.x, state.vars.z,
+                            state.vars.zw)
+        return (h, None, None)
+    if opts.use_quasi_newton_update and state.qn is not None:
+        return qnmod.qn_compact(state.qn)
+    if compact is not None:
+        return compact
+    b0 = 0.0 if opts.sequential_linear_method else 1.0
+    return (jnp.asarray(b0, state.vars.x.dtype), None, None)
+
+
+def _fused_init(model: ModelFns, opts: FusedIPOptions, x0, d: ProblemData,
+                model_params, qn_state, compact) -> FusedState:
+    dtype = x0.dtype
+    eps = opts.design_precision
+    x = jnp.where((d.lb_mask > 0) & (x0 < d.lb + eps), d.lb + eps, x0)
+    x = jnp.where((d.ub_mask > 0) & (x > d.ub - eps), d.ub - eps, x)
+
+    n = x.shape[0]
+    ncon, nwcon = d.ncon, d.nwcon
+    mu0 = opts.init_barrier_param
+
+    fobj, c, cw = model.eval_obj_con(model_params, x)
+    g, A = model.eval_grad(model_params, x)
+    d = _refresh_data(d, g, A, c, cw)
+
+    full_c = jnp.full((ncon,), mu0, dtype)
+    full_w = jnp.full((nwcon,), mu0, dtype)
+    v = IPVars(
+        x=x,
+        zl=jnp.where(d.lb_mask > 0, mu0, 0.0).astype(dtype),
+        zu=jnp.where(d.ub_mask > 0, mu0, 0.0).astype(dtype),
+        s=full_c, t=full_c, z=full_c, zs=full_c, zt=full_c,
+        sw=full_w, tw=full_w, zw=full_w, zsw=full_w, ztw=full_w)
+
+    strategy = opts.starting_point_strategy
+    if strategy in ("least_squares_multipliers", "affine_step"):
+        # regularized least-squares multiplier estimate
+        # (`initLeastSquaresMultipliers`, ParOptInteriorPoint.cpp:5336-5534)
+        small = 1e-4
+        rhs = -(g - v.zl + v.zu)
+        if nwcon > 0:
+            blocks = d.Aw_inner_blocks(jnp.ones_like(x))
+            nb = d.nwblock
+            eye = jnp.eye(nb, dtype=dtype)
+            Cw_chol = jnp.linalg.cholesky(blocks + small * eye)
+        else:
+            Cw_chol = None
+        f0 = kkt.KKTFactor(Dinv=jnp.ones_like(x), Gamma=None, C0=None,
+                           Cw_chol=Cw_chol, Xa=None, Wa=None, G_lu=None,
+                           Zqn=None, Phi_x=None, Phi_z=None, Phi_w=None,
+                           Ce_lu=None)
+        if ncon > 0:
+            Xa, _ = kkt.quasi_def_solve(f0, d, d.A,
+                                        jnp.zeros((ncon, nwcon), dtype))
+            G = d.A @ Xa.T + small * jnp.eye(ncon, dtype=dtype)
+            yx0, _ = kkt.quasi_def_solve(f0, d, rhs, jnp.zeros(nwcon, dtype))
+            z = jnp.linalg.solve(G, -(d.A @ yx0))
+            gmax = 10.0 * jnp.maximum(d.gamma_s, d.gamma_t)
+            z = jnp.where((z < -gmax) | (z > gmax), 0.0, z)
+            v = dataclasses.replace(v, z=z)
+        if nwcon > 0:
+            rx = rhs + (d.A.T @ v.z if ncon else 0.0)
+            _, zw_neg = kkt.quasi_def_solve(f0, d, rx,
+                                            jnp.zeros(nwcon, dtype))
+            zw = -zw_neg
+            gwmax = 10.0 * jnp.maximum(d.gamma_sw, d.gamma_tw)
+            zw = jnp.where((zw < -gwmax) | (zw > gwmax), 0.0, zw)
+            v = dataclasses.replace(v, zw=zw)
+
+    mu = jnp.asarray(mu0, dtype)
+    if strategy == "affine_step":
+        # one μ=0 Newton step; variables = |v + p| floored
+        # (`initAffineStepMultipliers`, ParOptInteriorPoint.cpp:5536-5667)
+        cq = compact if compact is not None else (
+            (jnp.asarray(0.0 if opts.sequential_linear_method else 1.0,
+                         dtype), None, None))
+        if opts.use_diag_hessian and model.hess_diag is not None:
+            cq = (model.hess_diag(model_params, x, v.z, v.zw), None, None)
+        r = kkt.kkt_residual(v, d, jnp.asarray(0.0, dtype),
+                             opts.rel_bound_barrier)
+        f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=opts.qn_sigma)
+        p = kkt.solve_kkt(v, d, f, r)
+        amin = opts.start_affine_multiplier_min
+
+        def aff(val, st, mask=None):
+            out = jnp.maximum(amin, jnp.abs(val + st))
+            if mask is not None:
+                out = jnp.where(mask > 0, out, 0.0)
+            return out
+
+        v = IPVars(
+            x=v.x, zl=aff(v.zl, p.zl, d.lb_mask), zu=aff(v.zu, p.zu,
+                                                         d.ub_mask),
+            s=aff(v.s, p.s), t=aff(v.t, p.t), z=v.z + p.z,
+            zs=aff(v.zs, p.zs), zt=aff(v.zt, p.zt),
+            sw=aff(v.sw, p.sw), tw=aff(v.tw, p.tw), zw=v.zw + p.zw,
+            zsw=aff(v.zsw, p.zsw), ztw=aff(v.ztw, p.ztw))
+        mu = kkt.average_complementarity(v, d)
+
+    r = kkt.kkt_residual(v, d, mu, opts.rel_bound_barrier)
+    zero = jnp.zeros((), dtype)
+    return FusedState(
+        vars=v, qn=qn_state, mu=mu, rho=zero + opts.min_rho_penalty_search,
+        fobj=fobj, c=c, cw=cw, g=g, A=A,
+        k=jnp.zeros((), jnp.int32), converged=jnp.asarray(False),
+        res_norm=_norms(r, opts.norm_type), comp=kkt.average_complementarity(
+            v, d),
+        fobj_prev=fobj, line_search_test=jnp.zeros((), jnp.int32),
+        neval=jnp.ones((), jnp.int32), alpha=zero + 1.0, alpha_x=zero + 1.0,
+        alpha_z=zero + 1.0)
+
+
+def _merit_fn(opts: FusedIPOptions, d: ProblemData, x, s, t, sw, tw, fobj,
+              c, cw, mu, rho):
+    from .ip import _barrier_terms, _infeas_l2
+    return (fobj + jnp.sum(d.gamma_s * s) + jnp.sum(d.gamma_t * t)
+            + jnp.sum(d.gamma_sw * sw) + jnp.sum(d.gamma_tw * tw)
+            - mu * _barrier_terms(x, s, t, sw, tw, d, opts.rel_bound_barrier)
+            + rho * _infeas_l2(c, s, t, cw, sw, tw))
+
+
+def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
+                d: ProblemData, model_params, compact) -> FusedState:
+    """One full major iteration (pure, jittable)."""
+    from .ip import _barrier_terms, _infeas_l2
+    v = state.vars
+    dtype = v.x.dtype
+    d = _refresh_data(d, state.g, state.A, state.c, state.cw)
+    tol = opts.abs_res_tol
+
+    # -- barrier update (monotone / complementarity fraction) ---------------
+    r0 = kkt.kkt_residual(v, d, state.mu, opts.rel_bound_barrier)
+    res0 = _norms(r0, opts.norm_type)
+    comp = kkt.average_complementarity(v, d)
+    if opts.barrier_strategy == "complementarity_fraction":
+        mu = jnp.maximum(opts.monotone_barrier_fraction * comp, 0.1 * tol)
+    else:
+        barrier_conv = (state.k > 0) & ((res0 < 10.0 * state.mu)
+                                        | (state.line_search_test >= 2))
+        mu_frac = opts.monotone_barrier_fraction * state.mu
+        mu_pow = state.mu ** opts.monotone_barrier_power
+        new_mu = jnp.minimum(mu_frac, mu_pow)
+        new_mu = jnp.maximum(new_mu, 0.09999 * tol)
+        mu = jnp.where(barrier_conv, new_mu, state.mu)
+    # reset the no-improvement counter when a new barrier problem starts
+    # (ParOptInteriorPoint.cpp:4697-4700)
+    if opts.barrier_strategy == "monotone":
+        ls_base = jnp.where(barrier_conv & (state.mu > 0.1 * tol),
+                            jnp.zeros((), jnp.int32), state.line_search_test)
+    else:
+        ls_base = state.line_search_test
+
+    r = kkt.kkt_residual(v, d, mu, opts.rel_bound_barrier)
+    res_norm = _norms(r, opts.norm_type)
+
+    converged = (state.k > 0) & (mu <= 0.1 * tol) & (
+        (res_norm < tol) | (state.line_search_test >= 2))
+
+    # -- KKT step -----------------------------------------------------------
+    cq = _get_compact(opts, model, state, model_params, compact)
+    f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=opts.qn_sigma)
+    p = kkt.solve_kkt(v, d, f, r, refine_steps=opts.iterative_refinement_steps,
+                      qn_compact=cq)
+
+    # -- fraction-to-boundary scaling ---------------------------------------
+    tau = jnp.maximum(opts.min_fraction_to_boundary, 1.0 - mu)
+    ax, az = kkt.max_step_lengths(v, d, p, tau)
+    mb = 100.0
+    ax = jnp.where(ax > az, jnp.clip(ax, az / mb, az * mb), ax)
+    az = jnp.where(az > ax, jnp.clip(az, ax / mb, ax * mb), az)
+    comp_new = kkt.average_complementarity(v.axpy(ax, az, p), d)
+    amin2 = jnp.minimum(ax, az)
+    ceq = comp_new > 10.0 * comp
+    ax = jnp.where(ceq, amin2, ax)
+    az = jnp.where(ceq, amin2, az)
+    ps = IPVars(x=ax * p.x, zl=az * p.zl, zu=az * p.zu, s=ax * p.s,
+                t=ax * p.t, z=az * p.z, zs=az * p.zs, zt=az * p.zt,
+                sw=ax * p.sw, tw=ax * p.tw, zw=az * p.zw, zsw=az * p.zsw,
+                ztw=az * p.ztw)
+
+    # -- merit + rho update -------------------------------------------------
+    merit0 = (state.fobj + jnp.sum(d.gamma_s * v.s) + jnp.sum(d.gamma_t * v.t)
+              + jnp.sum(d.gamma_sw * v.sw) + jnp.sum(d.gamma_tw * v.tw)
+              - mu * _barrier_terms(v.x, v.s, v.t, v.sw, v.tw, d,
+                                    opts.rel_bound_barrier))
+    pbarrier = opts.rel_bound_barrier * (
+        jnp.sum(jnp.where(d.lb_mask > 0, ps.x / (v.x - d.lb), 0.0))
+        - jnp.sum(jnp.where(d.ub_mask > 0, ps.x / (d.ub - v.x), 0.0)))
+    for val, st in ((v.s, ps.s), (v.t, ps.t), (v.sw, ps.sw), (v.tw, ps.tw)):
+        if val.size:
+            pbarrier = pbarrier + jnp.sum(st / val)
+    pmerit0 = (jnp.vdot(d.g, ps.x)
+               + jnp.sum(d.gamma_s * ps.s) + jnp.sum(d.gamma_t * ps.t)
+               + jnp.sum(d.gamma_sw * ps.sw) + jnp.sum(d.gamma_tw * ps.tw)
+               - mu * pbarrier)
+    infeas = _infeas_l2(d.c, v.s, v.t, d.cw, v.sw, v.tw)
+    pdense = (jnp.sum((d.c - v.s + v.t) * (d.A @ ps.x - ps.s + ps.t))
+              if d.ncon else 0.0)
+    psparse = (jnp.sum((d.cw - v.sw + v.tw)
+                       * (d.Aw_matvec(ps.x) - ps.sw + ps.tw))
+               if d.nwcon else 0.0)
+    infeas_proj = jnp.where(infeas > 0.0,
+                            (pdense + psparse) / jnp.maximum(infeas, 1e-300),
+                            0.0)
+    b0c, Zc, Mc = cq
+    Bpx = b0c * ps.x
+    if Zc is not None:
+        Bpx = Bpx - Zc.T @ jnp.linalg.solve(Mc, Zc @ ps.x)
+    pTBp = jnp.vdot(ps.x, Bpx)
+
+    # ρ update (evalMeritInitDeriv tail, as jnp.where chains)
+    descent = opts.penalty_descent_fraction
+    numer = pmerit0 + jnp.where(pTBp > 0.0, 0.5 * pTBp, 0.0)
+    small_inf = infeas < 0.1 * tol
+    denom_small = -(1.0 - descent) * ax * infeas
+    rho_small = jnp.where((numer >= 0.0) & (denom_small < 0.0),
+                          -numer / jnp.where(denom_small < 0.0, denom_small,
+                                             -1.0), 0.0)
+    denom_big = infeas_proj + descent * ax * infeas
+    rho_big = jnp.where(
+        numer >= 0.0,
+        jnp.where(denom_big < 0.0,
+                  -numer / jnp.where(denom_big < 0.0, denom_big, -1.0),
+                  jnp.where(denom_small < 0.0,
+                            -numer / jnp.where(denom_small < 0.0, denom_small,
+                                               -1.0), 0.0)),
+        0.0)
+    rho_hat = jnp.where(small_inf, rho_small, rho_big)
+    rho = jnp.where(rho_hat > state.rho, rho_hat,
+                    jnp.maximum(0.5 * state.rho, rho_hat))
+    rho = jnp.maximum(rho, opts.min_rho_penalty_search)
+    m0 = merit0 + rho * infeas
+    dm0 = jnp.where(small_inf, pmerit0 - rho * ax * infeas,
+                    pmerit0 + rho * infeas_proj)
+
+    # -- line search --------------------------------------------------------
+    fprec = opts.function_precision
+    dprec = opts.design_precision
+
+    def trial(alpha):
+        xt = v.x + alpha * ps.x
+        xt = jnp.where((d.lb_mask > 0) & (xt <= d.lb + dprec), d.lb + dprec,
+                       xt)
+        xt = jnp.where((d.ub_mask > 0) & (xt + dprec >= d.ub), d.ub - dprec,
+                       xt)
+        clip = lambda a: jnp.maximum(a, dprec)
+        st_ = clip(v.s + alpha * ps.s)
+        tt = clip(v.t + alpha * ps.t)
+        swt = clip(v.sw + alpha * ps.sw)
+        twt = clip(v.tw + alpha * ps.tw)
+        ft, ct, cwt = model.eval_obj_con(model_params, xt)
+        merit = _merit_fn(opts, d, xt, st_, tt, swt, twt, ft, ct, cwt, mu,
+                          rho)
+        return merit
+
+    if opts.use_line_search:
+        px_norm = jnp.max(jnp.abs(ps.x))
+        alpha_min = jnp.minimum(
+            jnp.where(px_norm > 0, fprec / jnp.maximum(px_norm, 1e-300), 1.0),
+            0.5)
+
+        def ls_cond(carry):
+            j, alpha, best_a, best_m, done, success, neval = carry
+            return (~done) & (j < opts.max_line_iters)
+
+        def ls_body(carry):
+            j, alpha, best_a, best_m, done, success, neval = carry
+            merit = trial(alpha)
+            neval = neval + 1
+            better = (best_a < 0.0) | (merit < best_m)
+            best_a = jnp.where(better, alpha, best_a)
+            best_m = jnp.where(better, merit, best_m)
+            armijo_ok = (merit - opts.armijo_constant * alpha * dm0
+                         < m0 + fprec)
+            # quadratic interpolation backtrack
+            denom = merit - m0 - dm0 * alpha
+            if opts.use_backtracking_alpha:
+                alpha_new = 0.5 * alpha
+            else:
+                alpha_new = jnp.where(
+                    denom != 0.0,
+                    -0.5 * dm0 * alpha * alpha
+                    / jnp.where(denom != 0.0, denom, 1.0), alpha_min)
+                alpha_new = jnp.clip(alpha_new, 0.01 * alpha, alpha)
+            alpha_next = jnp.maximum(alpha_new, alpha_min)
+            min_step = alpha <= alpha_min
+            done = armijo_ok | min_step
+            success = success | armijo_ok
+            alpha = jnp.where(done, alpha, alpha_next)
+            return (j + 1, alpha, best_a, best_m, done, success, neval)
+
+        one = jnp.asarray(1.0, dtype)
+        init = (jnp.zeros((), jnp.int32), one, -one,
+                jnp.zeros((), dtype), jnp.asarray(False), jnp.asarray(False),
+                jnp.zeros((), jnp.int32))
+        jls, alpha_f, best_a, best_m, _, ls_done_ok, nev = (
+            jax.lax.while_loop(ls_cond, ls_body, init))
+        # if Armijo failed everywhere, fall back to the best alpha seen when
+        # it at least does not increase the merit beyond precision
+        use_best = (~ls_done_ok) & (best_m <= m0 + fprec) & (best_a > 0.0)
+        alpha = jnp.where(ls_done_ok, alpha_f,
+                          jnp.where(use_best, best_a, 0.0))
+        # descent-direction failure: don't move
+        alpha = jnp.where(dm0 >= 0.0, 0.0, alpha)
+        no_improve = ((best_m >= m0 - fprec) & (best_m <= m0 + fprec)) | \
+            (alpha <= 0.0) | (px_norm < dprec)
+        neval_add = nev
+    else:
+        alpha = jnp.asarray(1.0, dtype)
+        m1 = trial(alpha)
+        no_improve = ((m1 >= m0 - fprec) & (m1 <= m0 + fprec)) | \
+            (jnp.abs(dm0) <= fprec)
+        neval_add = jnp.ones((), jnp.int32)
+
+    # -- apply the step -----------------------------------------------------
+    vn = v.axpy(alpha, alpha, ps)
+    xn = vn.x
+    xn = jnp.where((d.lb_mask > 0) & (xn <= d.lb + dprec), d.lb + dprec, xn)
+    xn = jnp.where((d.ub_mask > 0) & (xn + dprec >= d.ub), d.ub - dprec, xn)
+    clip = lambda a: jnp.maximum(a, dprec)
+    vn = IPVars(x=xn, zl=jnp.where(d.lb_mask > 0, clip(vn.zl), 0.0),
+                zu=jnp.where(d.ub_mask > 0, clip(vn.zu), 0.0),
+                s=clip(vn.s), t=clip(vn.t), z=vn.z, zs=clip(vn.zs),
+                zt=clip(vn.zt), sw=clip(vn.sw), tw=clip(vn.tw), zw=vn.zw,
+                zsw=clip(vn.zsw), ztw=clip(vn.ztw))
+
+    fobj_n, c_n, cw_n = model.eval_obj_con(model_params, vn.x)
+    g_n, A_n = model.eval_grad(model_params, vn.x)
+
+    # optional in-loop quasi-Newton update
+    qn_n = state.qn
+    if opts.use_quasi_newton_update and state.qn is not None:
+        y = g_n - (A_n.T @ vn.z if d.ncon else 0.0)
+        y0 = state.g - (state.A.T @ vn.z if d.ncon else 0.0)
+        if d.nwcon > 0:
+            y = y - d.Aw_rmatvec(vn.zw)
+            y0 = y0 - d.Aw_rmatvec(vn.zw)
+        qn_upd, _, _ = qnmod.qn_update(state.qn, alpha * ps.x, y - y0)
+        do_upd = alpha > 0.0
+        qn_n = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do_upd, a, b), qn_upd, state.qn)
+
+    ls_count = jnp.where(no_improve, ls_base + 1,
+                         jnp.zeros((), jnp.int32))
+
+    new_state = FusedState(
+        vars=vn, qn=qn_n, mu=mu, rho=rho, fobj=fobj_n, c=c_n, cw=cw_n,
+        g=g_n, A=A_n, k=state.k + 1, converged=converged,
+        res_norm=res_norm, comp=comp, fobj_prev=state.fobj,
+        line_search_test=ls_count, neval=state.neval + neval_add + 1,
+        alpha=alpha, alpha_x=ax, alpha_z=az)
+
+    # freeze everything once converged (for the while_loop path)
+    return jax.tree_util.tree_map(
+        lambda new, old: jnp.where(converged, old, new),
+        new_state, dataclasses.replace(state, converged=converged))
+
+
+def _fused_solve_loop(model: ModelFns, opts: FusedIPOptions,
+                      state: FusedState, d: ProblemData, model_params,
+                      compact) -> FusedState:
+    def cond(s):
+        return (~s.converged) & (s.k < opts.max_major_iters)
+
+    def body(s):
+        return _fused_step(model, opts, s, d, model_params, compact)
+
+    return jax.lax.while_loop(cond, body, state)

@@ -1,0 +1,423 @@
+"""Method of Moving Asymptotes (Svanberg) optimizer.
+
+TPU-native re-design of `ParOptMMA` (`src/ParOptMMA.{h,cpp}`, 1.2k LoC): the
+MMA object is itself a `Problem` — the separable convex MMA approximation —
+solved each outer iteration by the interior-point method with a diagonal
+Hessian and no line search (forced options, `ParOptMMA.cpp:342-344`).
+
+All asymptote/coefficient updates are single fused jnp expressions over [n]
+arrays (one XLA kernel each under jit; embarrassingly parallel when sharded):
+
+- asymptote init at ±0.5·range, oscillation-detection contract(0.7)/relax(1.2)
+  rule from sign((x_k−x_{k−1})(x_{k−1}−x_{k−2})) (`ParOptMMA.cpp:615-664`)
+- p/q coefficients with ε/δ regularization (`:689-734`)
+- move limits (`:617-619`), inner bounds α/β
+- two constraint modes: true MMA approximation or linearization
+  (`use_true_mma`, `ParOptMMA.h:10-26`)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from typing import NamedTuple
+
+from .ip import InteriorPoint
+from .ip_fused import FusedIP, FusedIPOptions, ModelFns
+from .ops.kkt import ProblemData
+from .problem import Problem
+from .utils.logging import MMALogger
+from .utils.options import OptionRegistry, make_options
+
+__all__ = ["MMA"]
+
+
+class MMAParams(NamedTuple):
+    """Traced data for the separable MMA subproblem model."""
+    L: Any
+    U: Any
+    p0: Any
+    q0: Any
+    pi: Any
+    qi: Any
+    b: Any
+    cons: Any
+    A: Any
+    x0: Any
+    cwk: Any
+    Aw_cols: Any
+    Aw_vals: Any
+
+
+def make_mma_model(use_true_mma: bool, has_sparse: bool) -> ModelFns:
+    """Fused-IP model functions for the MMA subproblem
+    (`ParOptMMA::evalObjCon/evalObjConGradient/evalHessianDiag`,
+    `ParOptMMA.cpp:804-1010`)."""
+
+    def ev(p: MMAParams, x):
+        Uinv = 1.0 / (p.U - x)
+        Linv = 1.0 / (x - p.L)
+        f = jnp.sum(p.p0 * Uinv + p.q0 * Linv)
+        if p.cons.shape[0] == 0:
+            c = p.cons
+        elif use_true_mma:
+            c = -(p.pi @ Uinv + p.qi @ Linv + p.b)
+        else:
+            c = p.cons + p.A @ (x - p.x0)
+        if has_sparse:
+            gathered = jnp.take(x - p.x0, p.Aw_cols, axis=-1)
+            cw = p.cwk + jnp.sum(p.Aw_vals * gathered, axis=-1)
+        else:
+            cw = p.cwk
+        return f, c, cw
+
+    def gr(p: MMAParams, x):
+        Uinv = 1.0 / (p.U - x)
+        Linv = 1.0 / (x - p.L)
+        g = p.p0 * Uinv ** 2 - p.q0 * Linv ** 2
+        if p.cons.shape[0] == 0:
+            A = p.A
+        elif use_true_mma:
+            A = p.qi * (Linv ** 2)[None, :] - p.pi * (Uinv ** 2)[None, :]
+        else:
+            A = p.A
+        return g, A
+
+    def hd(p: MMAParams, x, z, zw):
+        Uinv = 1.0 / (p.U - x)
+        Linv = 1.0 / (x - p.L)
+        h = 2.0 * (p.p0 * Uinv ** 3 + p.q0 * Linv ** 3)
+        if use_true_mma and p.cons.shape[0] > 0:
+            h = h + 2.0 * (z @ (p.pi * (Uinv ** 3)[None, :]
+                                + p.qi * (Linv ** 3)[None, :]))
+        return h
+
+    return ModelFns(eval_obj_con=ev, eval_grad=gr, hess_diag=hd)
+
+
+class MMA(Problem):
+    """MMA outer loop; also the separable subproblem consumed by the IP."""
+
+    def __init__(self, problem: Problem, options: Optional[Any] = None):
+        super().__init__(nvars=problem.nvars, ncon=problem.ncon,
+                         nwcon=problem.nwcon, nwblock=problem.nwblock,
+                         ninequality=problem.ninequality,
+                         nwinequality=problem.nwinequality)
+        self.prob = problem
+        if isinstance(options, OptionRegistry):
+            self.options = options
+        else:
+            self.options = make_options(options, which="facade")
+        o = self.options
+        self.use_true_mma = not o["mma_use_constraint_linearization"]
+
+        x0, lb, ub = problem.get_vars_and_bounds()
+        self.x = jnp.asarray(x0)
+        self.lbv = jnp.asarray(lb)
+        self.ubv = jnp.asarray(ub)
+        self.x1 = self.x
+        self.x2 = self.x
+        n = self.nvars
+        self.L = jnp.zeros(n)
+        self.U = jnp.zeros(n)
+        self.alpha = jnp.zeros(n)
+        self.beta = jnp.zeros(n)
+        self.p0 = jnp.zeros(n)
+        self.q0 = jnp.zeros(n)
+        self.pi = jnp.zeros((self.ncon, n))
+        self.qi = jnp.zeros((self.ncon, n))
+        self.b = jnp.zeros(self.ncon)
+        self.fobj = None
+        self.cons = None
+        self.cw = None
+        self.g = None
+        self.A = None
+        self.z = jnp.zeros(self.ncon)
+        self.zw = jnp.zeros(self.nwcon)
+        self.zl = jnp.zeros(n)
+        self.zu = jnp.zeros(n)
+        self.mma_iter = 0
+        self.subproblem_iter = 0
+
+        # interior-point solver over this subproblem with forced options
+        # (`ParOptMMA.cpp:342-344`); kept for API parity and as a host-loop
+        # fallback — the fused jitted solver below is the default path
+        ip_opts = self.options.copy()
+        ip_opts["use_diag_hessian"] = True
+        ip_opts["use_line_search"] = False
+        ip_opts["qn_type"] = "none"
+        ip_opts["write_output_frequency"] = 0
+        ip_opts["output_file"] = None
+        self.ip = InteriorPoint(self, ip_opts)
+        self._logger = None
+        self._fused: Optional[FusedIP] = None
+
+    def _build_fused(self):
+        o = self.options
+        barrier = o["barrier_strategy"]
+        if barrier not in ("monotone", "complementarity_fraction"):
+            barrier = "monotone"
+        fopts = FusedIPOptions(
+            abs_res_tol=o["abs_res_tol"],
+            init_barrier_param=o["init_barrier_param"],
+            monotone_barrier_fraction=o["monotone_barrier_fraction"],
+            monotone_barrier_power=o["monotone_barrier_power"],
+            rel_bound_barrier=o["rel_bound_barrier"],
+            min_fraction_to_boundary=o["min_fraction_to_boundary"],
+            function_precision=o["function_precision"],
+            design_precision=o["design_precision"],
+            max_major_iters=o["max_major_iters"],
+            iterative_refinement_steps=o["iterative_refinement_steps"],
+            barrier_strategy=barrier,
+            starting_point_strategy=o["starting_point_strategy"],
+            use_line_search=False,
+            use_diag_hessian=True,
+            norm_type=o["norm_type"])
+        model = make_mma_model(self.use_true_mma, self.nwcon > 0)
+        self._fused = FusedIP(model, self.nvars, self.ncon, self.nwcon,
+                              self.nwblock, fopts, dtype=self.ip.dtype)
+
+    def _solve_subproblem_fused(self):
+        """One inner IP solve of the current MMA approximation, fully
+        jitted."""
+        if self._fused is None:
+            self._build_fused()
+        dt = self.ip.dtype
+        n, ncon, nwcon = self.nvars, self.ncon, self.nwcon
+        if nwcon > 0:
+            Aw = self.prob.sparse_jacobian(self.x)
+            cols, vals = Aw.cols, jnp.asarray(Aw.vals, dt)
+            cwk = jnp.asarray(self.cw, dt)
+        else:
+            cols = vals = None
+            cwk = jnp.zeros(0, dt)
+        params = MMAParams(
+            L=jnp.asarray(self.L, dt), U=jnp.asarray(self.U, dt),
+            p0=jnp.asarray(self.p0, dt), q0=jnp.asarray(self.q0, dt),
+            pi=jnp.asarray(self.pi, dt), qi=jnp.asarray(self.qi, dt),
+            b=jnp.asarray(self.b, dt), cons=jnp.asarray(self.cons, dt),
+            A=jnp.asarray(self.A, dt), x0=jnp.asarray(self.x, dt),
+            cwk=cwk, Aw_cols=cols, Aw_vals=vals)
+        gamma = self.options["penalty_gamma"]
+        idx = np.arange(ncon)
+        idxw = np.arange(nwcon)
+        ones = jnp.ones(n, dt)
+        data = ProblemData(
+            g=jnp.zeros(n, dt), A=jnp.zeros((ncon, n), dt),
+            c=jnp.zeros(ncon, dt), cw=jnp.zeros(nwcon, dt),
+            lb=jnp.asarray(self.alpha, dt), ub=jnp.asarray(self.beta, dt),
+            lb_mask=ones, ub_mask=ones,
+            gamma_s=jnp.asarray(np.where(idx < self.ninequality, 0.0, gamma),
+                                dt),
+            gamma_t=jnp.full((ncon,), gamma, dt),
+            gamma_sw=jnp.asarray(
+                np.where(idxw < self.nwinequality, 0.0, gamma), dt),
+            gamma_tw=jnp.full((nwcon,), gamma, dt),
+            Aw_cols=cols, Aw_vals=vals, nwblock=self.nwblock)
+        st = self._fused.solve(jnp.asarray(self.x, dt), data, params)
+        self.subproblem_iter += int(st.k)
+        return st.vars.x, st.vars.z, st.vars.zw, st.vars.zl, st.vars.zu
+
+    # ------------------------------------------------------------------
+    # outer loop
+    # ------------------------------------------------------------------
+
+    def optimize(self) -> Dict[str, Any]:
+        """`ParOptMMA::optimize` (`ParOptMMA.cpp:318-379`)."""
+        o = self.options
+        max_iters = o["mma_max_iterations"]
+        infeas_tol = o["mma_infeas_tol"]
+        l1_tol = o["mma_l1_tol"]
+        linf_tol = o["mma_linfty_tol"]
+        self._logger = MMALogger(o["mma_output_file"])
+
+        self.initialize_subproblem(self.x)
+        converged = False
+        infeas = l1 = linf = float("inf")
+        for i in range(max_iters):
+            x, z, zw, zl, zu = self._solve_subproblem_fused()
+            # set multipliers + re-linearize about the new point
+            self.z, self.zw, self.zl, self.zu = z, zw, zl, zu
+            self.initialize_subproblem(x)
+            infeas, l1, linf = self.compute_kkt_error()
+            if infeas < infeas_tol and (l1 < l1_tol or linf < linf_tol):
+                converged = True
+                break
+        self._logger.close()
+        return {"x": self.x, "fobj": float(self.fobj),
+                "converged": converged, "niter": self.mma_iter,
+                "infeas": infeas, "l1": l1, "linfty": linf}
+
+    def get_optimized_point(self):
+        return self.x
+
+    def initialize_subproblem(self, xv):
+        """Shift history, evaluate f/c/gradients at the new point, update
+        asymptotes and p/q coefficients (`initializeSubProblem`,
+        `ParOptMMA.cpp:523-790`)."""
+        o = self.options
+        self.x2, self.x1 = self.x1, self.x
+        self.x = jnp.asarray(xv)
+
+        fobj, cons = self.prob.eval_obj_con(self.x)
+        self.fobj = jnp.asarray(fobj)
+        self.cons = jnp.asarray(cons).reshape(self.ncon)
+        self.g, self.A = self.prob.eval_obj_con_gradient(self.x)
+        if self.nwcon > 0:
+            self.cw = jnp.asarray(self.prob.eval_sparse_con(self.x))
+
+        # log this outer iteration
+        if self._logger is not None:
+            infeas, l1, linf = self.compute_kkt_error()
+            l1_lambda = float(jnp.sum(jnp.abs(self.z))) if self.ncon else 0.0
+            self._logger.log(self.mma_iter, self.subproblem_iter,
+                             float(self.fobj), l1, linf, l1_lambda, infeas)
+
+        movlim = o["mma_move_limit"]
+        lower = jnp.maximum(self.lbv, self.x - movlim)
+        upper = jnp.minimum(self.ubv, self.x + movlim)
+
+        if self.mma_iter < 2:
+            off = o["mma_init_asymptote_offset"]
+            self.L = self.x - off * (upper - lower)
+            self.U = self.x + off * (upper - lower)
+        else:
+            contract = o["mma_asymptote_contract"]
+            relax = o["mma_asymptote_relax"]
+            min_off = o["mma_min_asymptote_offset"]
+            max_off = o["mma_max_asymptote_offset"]
+            indc = (self.x - self.x1) * (self.x1 - self.x2)
+            intrvl = jnp.clip(upper - lower, 0.01, 100.0)
+            fac = jnp.where(indc < 0.0, contract, relax)
+            L = self.x - fac * (self.x1 - self.L)
+            U = self.x + fac * (self.U - self.x1)
+            L = jnp.minimum(L, self.x - min_off * intrvl)
+            U = jnp.maximum(U, self.x + min_off * intrvl)
+            self.L = jnp.maximum(L, self.x - max_off * intrvl)
+            self.U = jnp.minimum(U, self.x + max_off * intrvl)
+
+        # inner bounds α/β (`ParOptMMA.cpp:700-710`)
+        self.alpha = jnp.maximum(jnp.maximum(lower,
+                                             0.9 * self.L + 0.1 * self.x),
+                                 self.x - 0.5 * (upper - lower))
+        self.beta = jnp.minimum(jnp.minimum(upper,
+                                            0.9 * self.U + 0.1 * self.x),
+                                self.x + 0.5 * (upper - lower))
+
+        eps = o["mma_eps_regularization"]
+        delta = o["mma_delta_regularization"]
+        gpos = jnp.maximum(0.0, self.g)
+        gneg = jnp.maximum(0.0, -self.g)
+        Umx = self.U - self.x
+        xmL = self.x - self.L
+        self.p0 = Umx ** 2 * ((1.0 + delta) * gpos + delta * gneg
+                              + eps / (self.U - self.L))
+        self.q0 = xmL ** 2 * ((1.0 + delta) * gneg + delta * gpos
+                              + eps / (self.U - self.L))
+
+        if self.use_true_mma and self.ncon > 0:
+            # convex approximation of -c(x) (`ParOptMMA.cpp:689-734`)
+            Apos = jnp.maximum(0.0, -self.A)
+            Aneg = jnp.maximum(0.0, self.A)
+            self.pi = Umx[None, :] ** 2 * Apos
+            self.qi = xmL[None, :] ** 2 * Aneg
+            bsum = jnp.sum(self.pi / Umx[None, :]
+                           + self.qi / xmL[None, :], axis=1)
+            self.b = -(self.cons + bsum)
+
+        self.mma_iter += 1
+
+    def compute_kkt_error(self):
+        """(infeas, l1, linfty) (`computeKKTError`, `ParOptMMA.cpp:
+        406-488`): projected gradient of the true Lagrangian with bound
+        relaxation."""
+        relax = self.options["mma_bound_relax"]
+        r = self.g - (self.A.T @ self.z if self.ncon else 0.0)
+        if self.nwcon > 0:
+            r = r - self.prob.sparse_jacobian_tvec(self.x, self.zw)
+        if relax > 0.0:
+            r = jnp.where((self.x <= self.lbv + relax) & (r > 0.0), 0.0, r)
+            r = jnp.where((self.x >= self.ubv - relax) & (r < 0.0), 0.0, r)
+        else:
+            r = r - self.zl + self.zu
+        l1 = float(jnp.sum(jnp.abs(r)))
+        linf = float(jnp.max(jnp.abs(r))) if r.size else 0.0
+        if self.ncon:
+            idx = np.arange(self.ncon)
+            viol = jnp.where(idx < self.ninequality,
+                             jnp.maximum(0.0, -self.cons),
+                             jnp.abs(self.cons))
+            infeas = float(jnp.sum(viol))
+        else:
+            infeas = 0.0
+        if self.nwcon:
+            idxw = np.arange(self.nwcon)
+            violw = jnp.where(idxw < self.nwinequality,
+                              jnp.maximum(0.0, -self.cw), jnp.abs(self.cw))
+            infeas += float(jnp.sum(violw))
+        return infeas, l1, linf
+
+    # ------------------------------------------------------------------
+    # the separable subproblem, as a Problem consumed by the IP
+    # ------------------------------------------------------------------
+
+    def get_vars_and_bounds(self):
+        return self.x, self.alpha, self.beta
+
+    def eval_obj_con(self, xv):
+        """MMA approximation (`ParOptMMA::evalObjCon`, `ParOptMMA.cpp:
+        804-868`)."""
+        Uinv = 1.0 / (self.U - xv)
+        Linv = 1.0 / (xv - self.L)
+        f = jnp.sum(self.p0 * Uinv + self.q0 * Linv)
+        if self.ncon == 0:
+            return f, jnp.zeros(0, xv.dtype)
+        if self.use_true_mma:
+            csum = self.pi @ Uinv + self.qi @ Linv
+            c = -(csum + self.b)
+        else:
+            c = self.cons + self.A @ (xv - self.x)
+        return f, c
+
+    def eval_obj_con_gradient(self, xv):
+        self.subproblem_iter += 1
+        Uinv = 1.0 / (self.U - xv)
+        Linv = 1.0 / (xv - self.L)
+        g = self.p0 * Uinv ** 2 - self.q0 * Linv ** 2
+        if self.ncon == 0:
+            return g, jnp.zeros((0, self.nvars), xv.dtype)
+        if self.use_true_mma:
+            A = self.qi * (Linv ** 2)[None, :] - self.pi * (Uinv ** 2)[None, :]
+        else:
+            A = self.A
+        return g, A
+
+    def eval_hessian_diag(self, xv, z, zw):
+        """`ParOptMMA::evalHessianDiag` (`ParOptMMA.cpp:967-1010`)."""
+        Uinv = 1.0 / (self.U - xv)
+        Linv = 1.0 / (xv - self.L)
+        h = 2.0 * (self.p0 * Uinv ** 3 + self.q0 * Linv ** 3)
+        if self.use_true_mma and self.ncon > 0:
+            h = h + 2.0 * (z @ (self.pi * (Uinv ** 3)[None, :]
+                                + self.qi * (Linv ** 3)[None, :]))
+        return h
+
+    def eval_hvec_product(self, xv, z, zw, px):
+        return self.eval_hessian_diag(xv, z, zw) * px
+
+    # sparse constraints: linearized about the outer point x
+    # (`ParOptMMA::evalSparseCon`, `ParOptMMA.cpp:1015-1050`)
+    def eval_sparse_con(self, xv):
+        Aw = self.prob.sparse_jacobian(self.x)
+        return self.cw + Aw.matvec(xv - self.x)
+
+    def sparse_jacobian(self, xv):
+        return self.prob.sparse_jacobian(self.x)
+
+    def write_output(self, it, xv):
+        pass

@@ -1,0 +1,64 @@
+"""Unified optimizer facade.
+
+Role of `ParOptOptimizer` (`src/ParOptOptimizer.{h,cpp}`): one entry point
+that dispatches on the `algorithm` option ('ip' | 'tr' | 'mma', default 'tr'),
+wires up the quasi-Newton approximation per `qn_type`, runs, and exposes the
+optimized point uniformly (`ParOptOptimizer.cpp:65-221`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from .ip import InteriorPoint
+from .utils.options import OptionRegistry, make_options
+
+__all__ = ["Optimizer"]
+
+
+class Optimizer:
+    def __init__(self, problem, options: Optional[Any] = None):
+        self.problem = problem
+        if isinstance(options, OptionRegistry):
+            self.options = options
+        else:
+            self.options = make_options(options, which="facade")
+        self.algorithm = self.options["algorithm"]
+        self._inner = None
+        self._result: Optional[Dict[str, Any]] = None
+
+    def optimize(self) -> Dict[str, Any]:
+        algo = self.options["algorithm"]
+        if algo == "ip":
+            self._inner = InteriorPoint(self.problem, self.options)
+            ckpt = self.options["ip_checkpoint_file"]
+            self._result = self._inner.optimize(checkpoint=ckpt)
+        elif algo == "tr":
+            from .tr import TrustRegion
+            self._inner = TrustRegion(self.problem, self.options)
+            self._result = self._inner.optimize()
+        elif algo == "mma":
+            from .mma import MMA
+            self._inner = MMA(self.problem, self.options)
+            self._result = self._inner.optimize()
+        else:  # pragma: no cover - registry validates
+            raise ValueError(f"unknown algorithm {algo!r}")
+        return self._result
+
+    def get_optimized_point(self):
+        """-> (x, z, zw, zl, zu) like `ParOptOptimizer::getOptimizedPoint`."""
+        if self._inner is None:
+            raise RuntimeError("call optimize() first")
+        if self.algorithm == "ip":
+            return self._inner.get_optimized_point()
+        if self.algorithm == "tr":
+            tr = self._inner
+            ip = tr.ip
+            _, z, zw, zl, zu = ip.get_optimized_point()
+            return tr.subproblem.xk, z, zw, zl, zu
+        mma = self._inner
+        return mma.x, mma.z, mma.zw, mma.zl, mma.zu
+
+    @property
+    def result(self) -> Optional[Dict[str, Any]]:
+        return self._result

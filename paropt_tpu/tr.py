@@ -28,13 +28,73 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from typing import NamedTuple
+
+import jax
+
 from .ip import InteriorPoint
+from .ip_fused import FusedIP, FusedIPOptions, ModelFns
 from .ops import qn as qnmod
+from .ops.kkt import ProblemData
 from .problem import Problem, SparseJacobian
 from .utils.logging import TRLogger
 from .utils.options import OptionRegistry, make_options
 
 __all__ = ["TrustRegion", "QuadraticSubproblem", "InfeasSubproblem"]
+
+
+# ---------------------------------------------------------------------------
+# fused-IP model of the quadratic subproblem: the whole inner solve is a
+# sequence of jitted steps with zero user-code involvement
+# ---------------------------------------------------------------------------
+
+
+class QPParams(NamedTuple):
+    """Traced linearization data for the quadratic subproblem model."""
+    fk: Any
+    gk: Any
+    ck: Any
+    Ak: Any
+    cwk: Any            # [nwcon] (zeros when unused)
+    Aw_cols: Any        # sparse Jacobian at xk ([nwcon, k] or None)
+    Aw_vals: Any
+    b0: Any             # compact-QN pieces (B = b0 I - Z' M^{-1} Z)
+    Z: Any              # may be None
+    M: Any
+    obj_scale: Any      # 1.0 for the QP; 1/gamma_big for the infeas problem
+
+
+def _qp_Bp(params: QPParams, p):
+    Bp = params.b0 * p
+    if params.Z is not None:
+        Bp = Bp - params.Z.T @ jnp.linalg.solve(params.M, params.Z @ p)
+    return Bp
+
+
+def make_qp_model(has_sparse: bool, obj_mode: str) -> ModelFns:
+    """Model functions for a (possibly sparse-constrained) QP subproblem;
+    `obj_mode` is 'quadratic' or 'linear' (static)."""
+
+    def ev(params: QPParams, p):
+        f = params.fk + jnp.vdot(params.gk, p)
+        if obj_mode == "quadratic":
+            f = f + 0.5 * jnp.vdot(p, _qp_Bp(params, p))
+        f = params.obj_scale * f
+        c = (params.ck + params.Ak @ p) if params.ck.shape[0] else params.ck
+        if has_sparse:
+            gathered = jnp.take(p, params.Aw_cols, axis=-1)
+            cw = params.cwk + jnp.sum(params.Aw_vals * gathered, axis=-1)
+        else:
+            cw = params.cwk
+        return f, c, cw
+
+    def gr(params: QPParams, p):
+        g = params.gk
+        if obj_mode == "quadratic":
+            g = g + _qp_Bp(params, p)
+        return params.obj_scale * g, params.Ak
+
+    return ModelFns(eval_obj_con=ev, eval_grad=gr, hess_diag=None)
 
 
 class QuadraticSubproblem(Problem):
@@ -295,6 +355,111 @@ class TrustRegion:
 
         self.filter: List[Tuple[float, float]] = []
 
+        # fused-IP inner solvers (pure-jax subproblems => zero host code in
+        # the inner loop); built lazily on first solve
+        self._fused_qp: Optional[FusedIP] = None
+        self._fused_infeas: Optional[FusedIP] = None
+        self.subproblem_iters = 0
+
+    # -- fused inner solver --------------------------------------------------
+
+    def _fused_opts(self, barrier: str, start: str,
+                    slm: bool) -> FusedIPOptions:
+        o = self.options
+        if barrier not in ("monotone", "complementarity_fraction"):
+            barrier = "monotone"  # fused path supports these two
+        if start == "default":
+            start = "affine_step"
+        return FusedIPOptions(
+            abs_res_tol=o["abs_res_tol"],
+            init_barrier_param=o["init_barrier_param"],
+            monotone_barrier_fraction=o["monotone_barrier_fraction"],
+            monotone_barrier_power=o["monotone_barrier_power"],
+            rel_bound_barrier=o["rel_bound_barrier"],
+            min_fraction_to_boundary=o["min_fraction_to_boundary"],
+            penalty_descent_fraction=o["penalty_descent_fraction"],
+            min_rho_penalty_search=o["min_rho_penalty_search"],
+            armijo_constant=o["armijo_constant"],
+            function_precision=o["function_precision"],
+            design_precision=o["design_precision"],
+            max_line_iters=o["max_line_iters"],
+            use_backtracking_alpha=o["use_backtracking_alpha"],
+            max_major_iters=o["max_major_iters"],
+            iterative_refinement_steps=o["iterative_refinement_steps"],
+            qn_sigma=o["qn_sigma"],
+            barrier_strategy=barrier,
+            starting_point_strategy=start,
+            start_affine_multiplier_min=o["start_affine_multiplier_min"],
+            use_line_search=o["use_line_search"],
+            use_quasi_newton_update=False,
+            sequential_linear_method=slm,
+            norm_type=o["norm_type"])
+
+    def _build_fused(self):
+        o = self.options
+        prob = self.problem
+        n, ncon, nwcon = prob.nvars, prob.ncon, prob.nwcon
+        has_sp = nwcon > 0
+        qp_model = make_qp_model(has_sp, "quadratic")
+        self._fused_qp = FusedIP(
+            qp_model, n, ncon, nwcon, prob.nwblock,
+            self._fused_opts(o["barrier_strategy"],
+                             o["starting_point_strategy"], False),
+            dtype=self.ip.dtype)
+        obj_mode = {"linear_objective": "linear",
+                    "constant_objective": "constant",
+                    "subproblem_objective": "quadratic"}[
+                        o["tr_adaptive_objective"]]
+        slm = (obj_mode in ("linear", "constant")
+               and o["tr_adaptive_constraint"] == "linear_constraint")
+        inf_model = make_qp_model(has_sp, obj_mode)
+        self._fused_infeas = FusedIP(
+            inf_model, n, ncon, nwcon, prob.nwblock,
+            self._fused_opts(o["tr_steering_barrier_strategy"],
+                             o["tr_steering_starting_point_strategy"], slm),
+            dtype=self.ip.dtype)
+
+    def _fused_data(self, gamma_s, gamma_t, gamma_scalar_sparse) -> ProblemData:
+        sub = self.subproblem
+        dt = self.ip.dtype
+        n, ncon, nwcon = sub.nvars, sub.ncon, sub.nwcon
+        ones = jnp.ones(n, dt)
+        if nwcon > 0:
+            cols, vals = sub.Awk.cols, jnp.asarray(sub.Awk.vals, dt)
+        else:
+            cols = vals = None
+        idxw = np.arange(nwcon)
+        gsw = jnp.where(idxw < self.problem.nwinequality, 0.0,
+                        gamma_scalar_sparse) * jnp.ones(nwcon, dt)
+        gtw = jnp.full((nwcon,), gamma_scalar_sparse, dt)
+        return ProblemData(
+            g=jnp.zeros(n, dt), A=jnp.zeros((ncon, n), dt),
+            c=jnp.zeros(ncon, dt), cw=jnp.zeros(nwcon, dt),
+            lb=jnp.asarray(sub.lk, dt), ub=jnp.asarray(sub.uk, dt),
+            lb_mask=ones, ub_mask=ones,
+            gamma_s=jnp.asarray(gamma_s, dt), gamma_t=jnp.asarray(gamma_t, dt),
+            gamma_sw=gsw, gamma_tw=gtw,
+            Aw_cols=cols, Aw_vals=vals, nwblock=sub.nwblock)
+
+    def _qp_params(self, obj_scale=1.0) -> "QPParams":
+        sub = self.subproblem
+        dt = self.ip.dtype
+        qn = self.qn_holder.get("state")
+        if qn is not None:
+            b0, Z, M = qnmod.qn_compact(qn)
+        else:
+            b0, Z, M = jnp.asarray(1.0, dt), None, None
+        nwcon = sub.nwcon
+        cwk = (jnp.asarray(sub.cwk, dt) if nwcon > 0
+               else jnp.zeros(0, dt))
+        return QPParams(
+            fk=jnp.asarray(sub.fk, dt), gk=jnp.asarray(sub.gk, dt),
+            ck=jnp.asarray(sub.ck, dt), Ak=jnp.asarray(sub.Ak, dt),
+            cwk=cwk,
+            Aw_cols=sub.Awk.cols if nwcon > 0 else None,
+            Aw_vals=(jnp.asarray(sub.Awk.vals, dt) if nwcon > 0 else None),
+            b0=b0, Z=Z, M=M, obj_scale=jnp.asarray(obj_scale, dt))
+
     def _init_ip_qn(self):
         o = self.options
         qt = o["qn_type"]
@@ -336,23 +501,43 @@ class TrustRegion:
         return l1 / max(g_l1, zmax), linf / max(g_inf, zmax)
 
     def _solve_subproblem(self):
-        self.ip.reset_design_and_bounds()
-        self.ip.set_penalty_gamma(jnp.asarray(self.penalty_gamma))
-        self.ip.optimize()
-        step, z, zw, _, _ = self.ip.get_optimized_point()
-        return step, z, zw
+        if self._fused_qp is None:
+            self._build_fused()
+        idx = np.arange(self.problem.ncon)
+        gam = jnp.asarray(self.penalty_gamma)
+        gamma_s = jnp.where(idx < self.problem.ninequality, 0.0, gam)
+        data = self._fused_data(gamma_s, gam,
+                                self.options["penalty_gamma"])
+        params = self._qp_params()
+        compact = (params.b0, params.Z, params.M)
+        p0 = 0.5 * (self.subproblem.lk + self.subproblem.uk)
+        st = self._fused_qp.solve(p0.astype(self.ip.dtype), data, params,
+                                  compact=compact)
+        self.subproblem_iters = int(st.k)
+        return st.vars.x, st.vars.z, st.vars.zw
 
     def _minimize_infeas(self):
         """Steering / restoration infeasibility solve (`minimizeInfeas`,
-        `ParOptTrustRegion.cpp:1107-1229`). Returns (step, best_con_infeas)."""
+        `ParOptTrustRegion.cpp:1107-1229`). Returns (step, best_con_infeas):
+        unit elastic penalties + a tiny objective scale make the IP minimize
+        the l1 constraint violation inside the TR box."""
         o = self.options
+        if self._fused_infeas is None:
+            self._build_fused()
         gamma_big = max(1e6, 1e2 * o["tr_penalty_gamma_max"])
-        self.infeas_problem.obj_scale = 1.0 / gamma_big
-        self.ip_infeas.reset_design_and_bounds()
-        self.ip_infeas.optimize()
-        step, _, _, _, _ = self.ip_infeas.get_optimized_point()
+        ncon = self.problem.ncon
+        ones = jnp.ones(ncon)
+        idx = np.arange(ncon)
+        gamma_s = jnp.where(idx < self.problem.ninequality, 0.0, ones)
+        data = self._fused_data(gamma_s, ones, 1.0)
+        use_quad = o["tr_adaptive_objective"] == "subproblem_objective"
+        params = self._qp_params(obj_scale=1.0 / gamma_big)
+        compact = (params.b0, params.Z, params.M) if use_quad else None
+        p0 = 0.5 * (self.subproblem.lk + self.subproblem.uk)
+        st = self._fused_infeas.solve(p0.astype(self.ip.dtype), data, params,
+                                      compact=compact)
+        step = st.vars.x
         _, c_best = self.subproblem.model_obj_con(step)
-        idx = np.arange(self.problem.ncon)
         best = jnp.where(idx < self.problem.ninequality,
                          jnp.maximum(0.0, -c_best), jnp.abs(c_best))
         return step, np.asarray(best)
@@ -491,7 +676,7 @@ class TrustRegion:
 
         skipped, damped = self.subproblem.qn_update_type
         info = ("dampH " if damped else "") + ("skipH " if skipped else "")
-        info += f"{self.ip.niter} "
+        info += f"{self.subproblem_iters} "
         if not accepted:
             info += "rej "
         self._logger.log(self.iter_count, float(fk), infeas_new, l1, linf,
@@ -617,7 +802,7 @@ class TrustRegion:
 
             skipped, damped = self.subproblem.qn_update_type
             info = ("dampH " if damped else "") + ("skipH " if skipped else "")
-            info += f"{self.ip.niter} f{len(self.filter)} "
+            info += f"{self.subproblem_iters} f{len(self.filter)} "
             if this_resto:
                 info += "R "
             if not accepted:
