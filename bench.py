@@ -1,0 +1,80 @@
+"""Benchmark: interior-point iterations/s on a 1M-variable synthetic topology
+problem (the reference's target workload shape, BASELINE.md) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no benchmark numbers (BASELINE.md), so vs_baseline is
+reported against the recorded north-star target of 10 IP iterations/s on 1M
+variables single-chip (BASELINE.json locally-defined anchor).
+"""
+
+import json
+import os
+import sys
+import time
+
+# On TPU run in f32 (f64 is emulated and pathologically slow on this
+# tunneled device); x64 stays enabled on CPU.
+if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+    os.environ["PAROPT_TPU_NO_X64"] = "1"
+
+import jax
+import jax.numpy as jnp
+
+TARGET_ITERS_PER_S = 10.0
+
+
+def main():
+    backend = jax.default_backend()
+    on_cpu = backend == "cpu"
+    dtype = jnp.float64 if on_cpu else jnp.float32
+    n = (1 << 17) if on_cpu else (1 << 20)  # 1M vars on the accelerator
+
+    from paropt_tpu.models.topology import SyntheticTopology
+    from paropt_tpu import ip_fused
+    from paropt_tpu.ops import qn as qnmod
+
+    prob = SyntheticTopology(n=n, block=8, dtype=dtype)
+    model = ip_fused.model_from_problem(prob)
+    opts = ip_fused.FusedIPOptions(
+        use_quasi_newton_update=True,
+        abs_res_tol=1e-4 if dtype == jnp.float32 else 1e-6)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts, dtype=dtype)
+    data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
+    qn0 = qnmod.qn_init(10, prob.nvars, dtype=dtype)
+
+    t0 = time.time()
+    state = fused.init(x0, data, (), qn0, None)
+    jax.block_until_ready(state)
+    sys.stderr.write(f"[bench] init+compile(init): {time.time()-t0:.1f}s "
+                     f"backend={backend} n={n} dtype={dtype.__name__}\n")
+
+    # warm-up / compile the step
+    t0 = time.time()
+    state = fused.step(state, data, (), None)
+    jax.block_until_ready(state)
+    sys.stderr.write(f"[bench] compile(step): {time.time()-t0:.1f}s\n")
+
+    # timed iterations
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        state = fused.step(state, data, (), None)
+    jax.block_until_ready(state)
+    dt = time.time() - t0
+    its_per_s = iters / dt
+    sys.stderr.write(
+        f"[bench] {iters} IP iterations in {dt:.3f}s "
+        f"({its_per_s:.2f} it/s); fobj={float(state.fobj):.6e} "
+        f"res={float(state.res_norm):.3e} mu={float(state.mu):.3e}\n")
+
+    print(json.dumps({
+        "metric": f"ip_iterations_per_s_n{n}",
+        "value": round(its_per_s, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(its_per_s / TARGET_ITERS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -556,3 +556,64 @@ def _fused_solve_loop(model: ModelFns, opts: FusedIPOptions,
         return _fused_step(model, opts, s, d, model_params, compact)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+# ---------------------------------------------------------------------------
+# convenience: wrap any pure-JAX Problem for the fused solver
+# ---------------------------------------------------------------------------
+
+
+def model_from_problem(problem) -> ModelFns:
+    """ModelFns closing over a jax-native `Problem` (its arrays become jit
+    constants; model_params is unused — pass ())."""
+
+    def ev(params, x):
+        f, c = problem.eval_obj_con(x)
+        if problem.nwcon > 0:
+            cw = problem.eval_sparse_con(x)
+        else:
+            cw = jnp.zeros(0, x.dtype)
+        return f, c, cw
+
+    def gr(params, x):
+        return problem.eval_obj_con_gradient(x)
+
+    def hd(params, x, z, zw):
+        # only traced when opts.use_diag_hessian is set; raises
+        # NotImplementedError for problems without a Hessian diagonal
+        return problem.eval_hessian_diag(x, z, zw)
+
+    return ModelFns(eval_obj_con=ev, eval_grad=gr, hess_diag=hd)
+
+
+def data_template_from_problem(problem, penalty_gamma: float = 1000.0,
+                               max_bound_value: float = 1e20,
+                               dtype=jnp.float64) -> Tuple[ProblemData, Any]:
+    """Build the static ProblemData template (bounds, masks, penalties,
+    sparse-Jacobian pattern) + x0 for a jax-native Problem."""
+    x0, lb, ub = problem.get_vars_and_bounds()
+    x0 = jnp.asarray(x0, dtype)
+    lb = jnp.asarray(lb, dtype)
+    ub = jnp.asarray(ub, dtype)
+    n, ncon, nwcon = problem.nvars, problem.ncon, problem.nwcon
+    idx = np.arange(ncon)
+    idxw = np.arange(nwcon)
+    if nwcon > 0:
+        Aw = problem.sparse_jacobian(x0)
+        cols, vals = Aw.cols, jnp.asarray(Aw.vals, dtype)
+    else:
+        cols = vals = None
+    d = ProblemData(
+        g=jnp.zeros(n, dtype), A=jnp.zeros((ncon, n), dtype),
+        c=jnp.zeros(ncon, dtype), cw=jnp.zeros(nwcon, dtype),
+        lb=lb, ub=ub,
+        lb_mask=(lb > -max_bound_value).astype(dtype),
+        ub_mask=(ub < max_bound_value).astype(dtype),
+        gamma_s=jnp.asarray(
+            np.where(idx < problem.ninequality, 0.0, penalty_gamma), dtype),
+        gamma_t=jnp.full((ncon,), penalty_gamma, dtype),
+        gamma_sw=jnp.asarray(
+            np.where(idxw < problem.nwinequality, 0.0, penalty_gamma), dtype),
+        gamma_tw=jnp.full((nwcon,), penalty_gamma, dtype),
+        Aw_cols=cols, Aw_vals=vals, nwblock=problem.nwblock)
+    return d, x0
