@@ -1,0 +1,99 @@
+"""Multi-device (virtual 8-CPU mesh) tests: the fused IP step must produce
+identical results sharded and unsharded — the SPMD analogue of the
+reference's rank-count-agnostic design (`SURVEY.md` §2.3, §5.8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from paropt_tpu import ip_fused
+from paropt_tpu.models.topology import SyntheticTopology
+from paropt_tpu.ops import qn as qnmod
+
+
+def _build(n=1024, msub=10, tol=1e-5):
+    prob = SyntheticTopology(n=n, block=8)
+    model = ip_fused.model_from_problem(prob)
+    opts = ip_fused.FusedIPOptions(use_quasi_newton_update=True,
+                                   abs_res_tol=tol,
+                                   max_major_iters=400)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts)
+    data, x0 = ip_fused.data_template_from_problem(prob)
+    qn0 = qnmod.qn_init(msub, prob.nvars)
+    return fused, data, x0, qn0
+
+
+def _shard_tree(tree, mesh, n):
+    shard_n = NamedSharding(mesh, P("d"))
+    shard_rows = NamedSharding(mesh, P(None, "d"))
+    repl = NamedSharding(mesh, P())
+
+    def place(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[-1] == n:
+            return jax.device_put(
+                leaf, shard_n if leaf.ndim == 1 else shard_rows)
+        return jax.device_put(leaf, repl)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def _tree_maxdiff(a, b):
+    diffs = [float(jnp.max(jnp.abs(x - y)))
+             for x, y in zip(jax.tree_util.tree_leaves(a),
+                             jax.tree_util.tree_leaves(b))
+             if hasattr(x, "size") and x.size]
+    return max(diffs)
+
+
+def test_fused_step_sharded_matches_unsharded():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    n = 1024
+    fused, data, x0, qn0 = _build(n=n)
+
+    # unsharded reference
+    st = fused.init(x0, data, (), qn0, None)
+    for _ in range(5):
+        st = fused.step(st, data, (), None)
+
+    # sharded over an 8-device mesh
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    st_s = fused.init(x0, data, (), qn0, None)
+    st_s = _shard_tree(st_s, mesh, n)
+    data_s = _shard_tree(data, mesh, n)
+    for _ in range(5):
+        st_s = fused.step(st_s, data_s, (), None)
+
+    assert _tree_maxdiff(st.vars, st_s.vars) < 1e-10
+    assert float(st.fobj) == pytest.approx(float(st_s.fobj), rel=1e-12)
+    assert int(st.k) == int(st_s.k)
+
+
+def test_fused_full_solve_sharded():
+    n = 1024
+    fused, data, x0, qn0 = _build(n=n)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    st = fused.init(x0, data, (), qn0, None)
+    st = _shard_tree(st, mesh, n)
+    data_s = _shard_tree(data, mesh, n)
+    out = fused.solve(st.vars.x, data_s, (), qn0, None, max_iters=400)
+    assert bool(out.converged), (float(out.res_norm), int(out.k))
+    # volume constraint satisfied at solution
+    assert float(out.c[0]) > -1e-6
+
+
+def test_jit_loop_whole_solve():
+    """The zero-round-trip lax.while_loop path gives the same answer as the
+    host-paced path."""
+    n = 512
+    fused, data, x0, qn0 = _build(n=n)
+    out_host = fused.solve(x0, data, (), qn0, None)
+    out_jit = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    assert bool(out_jit.converged)
+    assert float(out_jit.fobj) == pytest.approx(float(out_host.fobj),
+                                                rel=1e-8)
+    assert np.allclose(np.asarray(out_jit.vars.x),
+                       np.asarray(out_host.vars.x), atol=1e-8)
