@@ -55,11 +55,23 @@ def main():
     jax.block_until_ready(state)
     sys.stderr.write(f"[bench] compile(step): {time.time()-t0:.1f}s\n")
 
-    # timed iterations
+    # timed iterations: K steps fused into ONE device computation via
+    # lax.fori_loop, so host/tunnel dispatch latency is excluded and the
+    # number reflects on-device throughput
     iters = 20
+
+    @jax.jit
+    def run_k(state):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, s: fused._step_jit(s, data, (), None), state)
+
     t0 = time.time()
-    for _ in range(iters):
-        state = fused.step(state, data, (), None)
+    state = run_k(state)
+    jax.block_until_ready(state)
+    sys.stderr.write(f"[bench] compile(run_k): {time.time()-t0:.1f}s\n")
+
+    t0 = time.time()
+    state = run_k(state)
     jax.block_until_ready(state)
     dt = time.time() - t0
     its_per_s = iters / dt

@@ -312,7 +312,7 @@ class InteriorPoint:
             return
         self.qn = qnmod.qn_init(
             msub, self.problem.nvars, dtype=self.dtype,
-            qn_type="bfgs" if qt == "scaled_bfgs" else qt,
+            qn_type=qt,
             update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])
 
     def set_quasi_newton_holder(self, holder: Dict[str, Any]):
@@ -676,9 +676,106 @@ class InteriorPoint:
             s_step = alpha * p.x
             s_step, y = self.problem.compute_quasi_newton_update_correction(
                 new_vars.x, z_new, zw_new, s_step, y)
-            self.qn, skipped, damped = qnmod.qn_update(self.qn, s_step, y)
+            z0 = (z_new[0] if (self.qn.scaled and d.ncon > 0) else None)
+            self.qn, skipped, damped = qnmod.qn_update(self.qn, s_step, y,
+                                                       z0=z0)
         self.vars = new_vars
         return True, int(skipped), int(damped)
+
+    # -- Newton-Krylov (GMRES) inexact phase --------------------------------
+
+    def _gmres_step(self, d, mu_j, compact, rtol):
+        """Right-preconditioned GMRES on the exact KKT linearization with
+        user Hessian-vector products (`computeKKTGMRESStep`,
+        `ParOptInteriorPoint.cpp:5774-6195`).
+
+        The preconditioner is the diagonal+SMW KKT factorization (with the
+        quasi-Newton Hessian when `use_qn_gmres_precon`); the operator uses
+        `eval_hvec_product` for the Hessian block.  Returns (step, iters) or
+        (None, 0) if GMRES fails to reduce the residual."""
+        o = self.options
+        v = self.vars
+        m = o["gmres_subspace_size"]
+        atol = o["gmres_atol"]
+        r = kkt.kkt_residual(v, d, mu_j, o["rel_bound_barrier"])
+        b = jax.tree_util.tree_map(jnp.negative, r)
+
+        use_qn = (self.qn is not None and bool(o["use_qn_gmres_precon"])
+                  and not o["sequential_linear_method"])
+        cq = compact if use_qn else (compact[0], None, None)
+        f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=o["qn_sigma"])
+
+        def tdot(a, c):
+            return sum(jnp.vdot(x, y) for x, y in
+                       zip(jax.tree_util.tree_leaves(a),
+                           jax.tree_util.tree_leaves(c)))
+
+        def taxpy(alpha, a, c):
+            return jax.tree_util.tree_map(lambda x, y: alpha * x + y, a, c)
+
+        def tscale(alpha, a):
+            return jax.tree_util.tree_map(lambda x: alpha * x, a)
+
+        def precon(w):
+            neg_w = jax.tree_util.tree_map(jnp.negative, w)
+            return kkt.solve_kkt(v, d, f, neg_w, qn_compact=cq)
+
+        def op(p):
+            hvp = self.problem.eval_hvec_product(v.x, v.z, v.zw, p.x)
+            self.nhvec += 1
+            return kkt.apply_kkt_matrix(v, d, p, qn_sigma=o["qn_sigma"],
+                                        hvp=jnp.asarray(hvp, self.dtype))
+
+        bnorm = float(jnp.sqrt(tdot(b, b)))
+        if bnorm == 0.0:
+            return None, 0
+        V = [tscale(1.0 / bnorm, b)]
+        Z = []
+        H = np.zeros((m + 1, m))
+        g_vec = np.zeros(m + 1)
+        g_vec[0] = bnorm
+        cs = np.zeros(m)
+        sn = np.zeros(m)
+        iters = 0
+        for j in range(m):
+            zj = precon(V[j])
+            Z.append(zj)
+            w = op(zj)
+            for i in range(j + 1):
+                H[i, j] = float(tdot(w, V[i]))
+                w = taxpy(-H[i, j], V[i], w)
+            wnorm = float(jnp.sqrt(tdot(w, w)))
+            H[j + 1, j] = wnorm
+            if j + 1 < m and wnorm > 0.0:
+                V.append(tscale(1.0 / wnorm, w))
+            # Givens rotations to maintain the QR of H
+            for i in range(j):
+                t = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
+                H[i + 1, j] = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
+                H[i, j] = t
+            denom = np.hypot(H[j, j], H[j + 1, j])
+            cs[j] = H[j, j] / denom if denom else 1.0
+            sn[j] = H[j + 1, j] / denom if denom else 0.0
+            H[j, j] = denom
+            H[j + 1, j] = 0.0
+            g_vec[j + 1] = -sn[j] * g_vec[j]
+            g_vec[j] = cs[j] * g_vec[j]
+            iters = j + 1
+            res = abs(g_vec[j + 1])
+            if res < rtol * bnorm or res < atol or wnorm == 0.0:
+                break
+        # back-substitute y
+        k = iters
+        y = np.zeros(k)
+        for i in range(k - 1, -1, -1):
+            y[i] = (g_vec[i] - H[i, i + 1:k] @ y[i + 1:k]) / H[i, i]
+        p = tscale(0.0, b)
+        for i in range(k):
+            p = taxpy(float(y[i]), Z[i], p)
+        final_res = abs(g_vec[k])
+        if not np.isfinite(final_res) or final_res > bnorm:
+            return None, iters
+        return p, iters
 
     # -- checkpointing (`writeSolutionFile`/`readSolutionFile`,
     #    ParOptInteriorPoint.cpp:883-1110) ----------------------------------
@@ -869,8 +966,29 @@ class InteriorPoint:
                 converged = True
                 break
 
-            # -- step computation (quasi-Newton path) -----------------------
+            # -- step computation ------------------------------------------
             fobj_before_step = float(self.fobj)
+            # Newton-Krylov inexact phase (`ParOptInteriorPoint.cpp:
+            # 4853-4899`): once all residuals drop below nk_switch_tol and
+            # the Eisenstat-Walker forcing term is small enough, solve the
+            # exact KKT linearization by preconditioned GMRES with user
+            # Hessian-vector products.
+            inexact_step = None
+            gmres_iters = 0
+            if (o["use_hvec_product"] and o["gmres_subspace_size"] > 0
+                    and res_norm_prev is not None and res_norm_prev > 0):
+                gmres_rtol = (o["eisenstat_walker_gamma"]
+                              * (res_norm / res_norm_prev)
+                              ** o["eisenstat_walker_alpha"])
+                nk_tol = o["nk_switch_tol"]
+                if (prime < nk_tol and dual < nk_tol and infeas_n < nk_tol
+                        and gmres_rtol < o["max_gmres_rtol"]):
+                    mu_j = jnp.asarray(self.mu, self.dtype)
+                    inexact_step, gmres_iters = self._gmres_step(
+                        d, mu_j, self._qn_compact(),
+                        max(gmres_rtol, 1e-12))
+                    if inexact_step is not None:
+                        info += f"iNK{gmres_iters} "
             if o["use_diag_hessian"]:
                 # B = diag(h) from the problem's Hessian diagonal (the MMA
                 # subproblem path, `ParOptInteriorPoint.cpp:4944-4949`)
@@ -884,11 +1002,15 @@ class InteriorPoint:
             else:
                 compact = self._qn_compact()
                 use_qn = use_qn_default
-            p = _compute_step(self.vars, d, compact, mu_j, rbb, o["qn_sigma"],
-                              refine_steps=refine_steps, use_qn=use_qn)
+            if inexact_step is not None:
+                p = inexact_step
+            else:
+                p = _compute_step(self.vars, d, compact, mu_j, rbb,
+                                  o["qn_sigma"], refine_steps=refine_steps,
+                                  use_qn=use_qn)
 
-            if barrier_strategy in ("mehrotra",
-                                    "mehrotra_predictor_corrector"):
+            if inexact_step is None and barrier_strategy in (
+                    "mehrotra", "mehrotra_predictor_corrector"):
                 # affine probe: step toward μ = 0 from the same factorization
                 p_aff = _compute_step(self.vars, d, compact,
                                       jnp.asarray(0.0, self.dtype), rbb,
@@ -908,10 +1030,10 @@ class InteriorPoint:
 
             res_norm_prev = max(res_norm, 1e-30)
 
-            # fraction-to-boundary scaling
+            # fraction-to-boundary scaling (equal steps for Newton steps)
             p_s, ax, az, ceq = _scale_step(
                 self.vars, d, p, mu_j, jnp.asarray(comp, self.dtype),
-                jnp.asarray(False))
+                jnp.asarray(inexact_step is not None))
             ax, az = float(ax), float(az)
             if bool(ceq):
                 info += "cmpEq "

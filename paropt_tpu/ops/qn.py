@@ -48,12 +48,15 @@ class QNState:
     Y: jnp.ndarray          # [m, n]
     count: jnp.ndarray      # int32 scalar, number of active pairs (<= m)
     b0: jnp.ndarray         # scalar initial diagonal
+    z0: jnp.ndarray         # objective-multiplier scale (scaled_bfgs only)
     # static config
     qn_type: str = dataclasses.field(metadata=dict(static=True), default="bfgs")
     update_type: str = dataclasses.field(metadata=dict(static=True),
                                          default="skip_negative_curvature")
     diag_type: str = dataclasses.field(metadata=dict(static=True),
                                        default="yty_over_yts")
+    scaled: bool = dataclasses.field(metadata=dict(static=True),
+                                     default=False)
 
     @property
     def msub(self) -> int:
@@ -67,12 +70,15 @@ class QNState:
 def qn_init(msub: int, nvars: int, dtype=jnp.float64, qn_type: str = "bfgs",
             update_type: str = "skip_negative_curvature",
             diag_type: str = "yty_over_yts", b0: float = 1.0) -> QNState:
+    scaled = qn_type == "scaled_bfgs"
     return QNState(
         S=jnp.zeros((msub, nvars), dtype=dtype),
         Y=jnp.zeros((msub, nvars), dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
         b0=jnp.asarray(b0, dtype=dtype),
-        qn_type=qn_type, update_type=update_type, diag_type=diag_type)
+        z0=jnp.ones((), dtype=dtype),
+        qn_type="bfgs" if scaled else qn_type,
+        update_type=update_type, diag_type=diag_type, scaled=scaled)
 
 
 def qn_reset(state: QNState) -> QNState:
@@ -121,8 +127,12 @@ def qn_compact(state: QNState):
 
     The analogue of `getCompactMat` (`ParOptQuasiNewton.h:32-67`); when
     count == 0, Z is all zero and M the identity, so B = b0 I exactly.
-    """
+    For the scaled-BFGS decorator (`ParOptScaledQuasiNewton.h:7-103`) the
+    inner approximation is scaled by the objective multiplier:
+    B = z0·B_inner, i.e. (z0·b0, sqrt(z0)·Z, M)."""
     Z, M = _assemble_M(state, state.b0)
+    if state.scaled:
+        return state.z0 * state.b0, jnp.sqrt(state.z0) * Z, M
     return state.b0, Z, M
 
 
@@ -141,7 +151,8 @@ def _new_b0(state: QNState, s, y, yTs, yTy, sTs):
     return jnp.where(yTs > 0.0, val, state.b0)
 
 
-def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray
+def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
+              z0: Optional[jnp.ndarray] = None
               ) -> Tuple[QNState, jnp.ndarray, jnp.ndarray]:
     """Apply one (s, y) update.
 
@@ -157,7 +168,19 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray
     dtype = state.S.dtype
     s = s.astype(dtype)
     y = y.astype(dtype)
-    Bs = qn_mult(state, s)
+    if state.scaled:
+        # scaled-BFGS decorator: the inner approximation models the
+        # Lagrangian Hessian divided by the objective multiplier z0
+        # (`ParOptScaledQuasiNewton.h:22-103`)
+        z0_new = (jnp.maximum(jnp.abs(jnp.asarray(z0, dtype)), 1e-8)
+                  if z0 is not None else state.z0)
+        state = dataclasses.replace(state, z0=z0_new)
+        y = y / z0_new
+        # the curvature/damping tests below operate on the INNER
+        # approximation B0 (the decorator delegates, ScaledQuasiNewton.h)
+        Bs = qn_mult(dataclasses.replace(state, scaled=False), s)
+    else:
+        Bs = qn_mult(state, s)
     # one fused reduction for all the scalars (mdot pattern)
     G = jnp.stack([s, y, Bs]) @ jnp.stack([s, y]).T  # [3, 2]
     sTs, yTs, yTy, sBs = G[0, 0], G[1, 0], G[1, 1], G[2, 0]

@@ -467,7 +467,7 @@ class TrustRegion:
             self.qn_holder["state"] = qnmod.qn_init(
                 o["qn_subspace_size"], self.problem.nvars,
                 dtype=self.ip.dtype,
-                qn_type="bfgs" if qt == "scaled_bfgs" else qt,
+                qn_type=qt,
                 update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])
         else:
             self.qn_holder["state"] = None

@@ -131,3 +131,38 @@ def test_output_log_contract(tmp_path):
     assert hist["fobj"][-1] == pytest.approx(res["fobj"], rel=1e-4)
     # counters are monotone
     assert (np.diff(hist["nobj"]) >= 0).all()
+
+
+def test_scaled_bfgs_linear_objective():
+    """scaled_bfgs: for ncon==1 + linear objective the QN models the
+    constraint curvature scaled by z0 (`ParOptScaledQuasiNewton.h`)."""
+    import jax.numpy as jnp
+    from paropt_tpu.problem import Problem
+
+    class LinObjProb(Problem):
+        def __init__(self):
+            super().__init__(nvars=8, ncon=1)
+
+        def objective(self, x):
+            return jnp.sum(x) / 8.0
+
+        def constraints(self, x):
+            return jnp.array([2.0 - jnp.sum(x ** 2)])
+
+        def get_vars_and_bounds(self):
+            n = 8
+            return (jnp.full(n, 0.6), jnp.full(n, 0.01), jnp.full(n, 2.0))
+
+    prob = LinObjProb()
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-8,
+                              "qn_type": "scaled_bfgs",
+                              "max_major_iters": 200})
+    res = ip.optimize()
+    assert res["converged"], res
+    # compare with plain bfgs
+    ip2 = InteriorPoint(LinObjProb(), {"output_file": None,
+                                       "abs_res_tol": 1e-8,
+                                       "max_major_iters": 200})
+    res2 = ip2.optimize()
+    assert np.allclose(np.asarray(res["x"]), np.asarray(res2["x"]),
+                       atol=1e-5)
