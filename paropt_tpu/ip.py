@@ -510,7 +510,20 @@ class InteriorPoint:
 
     # -- helpers -------------------------------------------------------------
 
+    def _reset_qn(self):
+        """Reset whichever Hessian approximation is installed (QNState or a
+        duck-typed provider like EigenQuasiNewton)."""
+        if self.qn is None:
+            return
+        if isinstance(self.qn, qnmod.QNState):
+            self.qn = qnmod.qn_reset(self.qn)
+        else:
+            self.qn.reset()
+
     def _qn_compact(self):
+        if self.qn is not None and not isinstance(self.qn, qnmod.QNState):
+            # duck-typed compact provider (e.g. EigenQuasiNewton)
+            return self.qn.compact()
         if self.qn is not None:
             return qnmod.qn_compact(self.qn)
         # Without a QN the Hessian block is b0·I: zero for the sequential
@@ -663,6 +676,13 @@ class InteriorPoint:
         g_old, A_old, x_old = self.g, self.A, v.x
         self.g, self.A = self._eval_gradients(new_vars.x)
         skipped = damped = 0
+        if (self.qn is not None and perform_qn_update
+                and not o["use_quasi_newton_update"]
+                and hasattr(self.qn, "update_multipliers")):
+            # refresh multiplier-dependent pieces of an externally-managed
+            # Hessian approximation (EigenQuasiNewton z0 refresh, the role
+            # of qn->update(x, z, zw) at ParOptInteriorPoint.cpp:4263)
+            self.qn.update_multipliers(new_vars.x, new_vars.z, new_vars.zw)
         if (self.qn is not None and perform_qn_update
                 and o["use_quasi_newton_update"]):
             z_new, zw_new = new_vars.z, new_vars.zw
@@ -877,7 +897,7 @@ class InteriorPoint:
             if (self.qn is not None and not seq_linear and k > 0
                     and k % hessian_reset_freq == 0
                     and o["use_quasi_newton_update"]):
-                self.qn = qnmod.qn_reset(self.qn)
+                self._reset_qn()
                 qn_hessian_reset = True
 
             if write_freq > 0 and k % write_freq == 0:
@@ -1061,7 +1081,7 @@ class InteriorPoint:
                         # not a descent direction: reset QN, diagonal-only
                         # step (ParOptInteriorPoint.cpp:5130-5173)
                         if self.qn is not None:
-                            self.qn = qnmod.qn_reset(self.qn)
+                            self._reset_qn()
                             qn_hessian_reset = True
                         compact = self._qn_compact()
                         p = _compute_step(self.vars, d, compact, mu_j, rbb,
@@ -1122,7 +1142,7 @@ class InteriorPoint:
                              | LS_FAILURE))
             if (line_fail & LS_FAILURE):
                 if self.qn is not None and o["use_quasi_newton_update"]:
-                    self.qn = qnmod.qn_reset(self.qn)
+                    self._reset_qn()
                 info += "resetH "
             if qn_hessian_reset:
                 info += "rstH "

@@ -308,15 +308,24 @@ class TrustRegion:
     """Trust-region outer loop (`ParOptTrustRegion`), the reference's default
     algorithm."""
 
-    def __init__(self, problem: Problem, options: Optional[Any] = None):
+    def __init__(self, problem: Problem, options: Optional[Any] = None,
+                 subproblem: Optional[QuadraticSubproblem] = None):
         self.problem = problem
         if isinstance(options, OptionRegistry):
             self.options = options
         else:
             self.options = make_options(options, which="facade")
         o = self.options
-        self.qn_holder: Dict[str, Any] = {"state": None}
-        self.subproblem = QuadraticSubproblem(problem, self.qn_holder)
+        # a custom subproblem (e.g. the eigenvalue EigenSubproblem) may be
+        # injected (`ParOptOptimizer::setTrustRegionSubproblem`); its inner
+        # solves use the host-loop IP since its models are not plain QPs
+        self._custom_sub = subproblem is not None
+        if self._custom_sub:
+            self.subproblem = subproblem
+            self.qn_holder = subproblem.qn_holder
+        else:
+            self.qn_holder: Dict[str, Any] = {"state": None}
+            self.subproblem = QuadraticSubproblem(problem, self.qn_holder)
 
         # per-constraint penalties, adaptively updated
         self.penalty_gamma = np.full(problem.ncon, o["penalty_gamma"])
@@ -330,7 +339,8 @@ class TrustRegion:
         ip_opts["write_output_frequency"] = 0
         ip_opts["output_file"] = None
         self.ip = InteriorPoint(self.subproblem, ip_opts)
-        self._init_ip_qn()
+        if not self._custom_sub:
+            self._init_ip_qn()
         self.ip.set_quasi_newton_holder(self.qn_holder)
 
         # steering / restoration solver over the infeasibility subproblem
@@ -501,6 +511,13 @@ class TrustRegion:
         return l1 / max(g_l1, zmax), linf / max(g_inf, zmax)
 
     def _solve_subproblem(self):
+        if self._custom_sub:
+            self.ip.reset_design_and_bounds()
+            self.ip.set_penalty_gamma(jnp.asarray(self.penalty_gamma))
+            self.ip.optimize()
+            self.subproblem_iters = self.ip.niter
+            step, z, zw, _, _ = self.ip.get_optimized_point()
+            return step, z, zw
         if self._fused_qp is None:
             self._build_fused()
         idx = np.arange(self.problem.ncon)
@@ -522,6 +539,23 @@ class TrustRegion:
         unit elastic penalties + a tiny objective scale make the IP minimize
         the l1 constraint violation inside the TR box."""
         o = self.options
+        if self._custom_sub:
+            gamma_big = max(1e6, 1e2 * o["tr_penalty_gamma_max"])
+            qn_obj = self.qn_holder.get("state")
+            if hasattr(qn_obj, "use_quasi_newton_objective"):
+                qn_obj.use_quasi_newton_objective = False
+            self.infeas_problem.obj_scale = 1.0 / gamma_big
+            self.ip_infeas.set_quasi_newton_holder(self.qn_holder)
+            self.ip_infeas.reset_design_and_bounds()
+            self.ip_infeas.optimize()
+            step, _, _, _, _ = self.ip_infeas.get_optimized_point()
+            if hasattr(qn_obj, "use_quasi_newton_objective"):
+                qn_obj.use_quasi_newton_objective = True
+            _, c_best = self.subproblem.model_obj_con(step)
+            idx = np.arange(self.problem.ncon)
+            best = jnp.where(idx < self.problem.ninequality,
+                             jnp.maximum(0.0, -c_best), jnp.abs(c_best))
+            return step, np.asarray(best)
         if self._fused_infeas is None:
             self._build_fused()
         gamma_big = max(1e6, 1e2 * o["tr_penalty_gamma_max"])
@@ -654,7 +688,10 @@ class TrustRegion:
         accepted = rho >= eta or self.tr_size <= tr_min
         if accepted:
             smax = float(jnp.max(jnp.abs(step))) if step.size else 0.0
-            self.subproblem.accept_trial_step(step)
+            try:
+                self.subproblem.accept_trial_step(step, z, zw)
+            except TypeError:
+                self.subproblem.accept_trial_step(step)
         else:
             self.subproblem.reject_trial_step()
             smax = 0.0
