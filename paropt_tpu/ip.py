@@ -88,6 +88,42 @@ def _compute_step(v: IPVars, d: ProblemData, compact, mu, rel_bound_barrier,
     return p
 
 
+@partial(jax.jit, static_argnames=("refine_steps", "use_qn"))
+def _compute_step_mpc(v: IPVars, d: ProblemData, compact, mu,
+                      rel_bound_barrier, qn_sigma, p_aff: IPVars,
+                      refine_steps: int, use_qn: bool):
+    """Mehrotra predictor-corrector step: the complementarity residuals get
+    the second-order Δ·Δ terms from the affine predictor
+    (`ParOptInteriorPoint.cpp:4999-5051`)."""
+    r = kkt.kkt_residual(v, d, mu, rel_bound_barrier)
+    r = dataclasses.replace(
+        r,
+        zs=r.zs + p_aff.s * p_aff.zs,
+        zt=r.zt + p_aff.t * p_aff.zt,
+        zsw=r.zsw + p_aff.sw * p_aff.zsw,
+        ztw=r.ztw + p_aff.tw * p_aff.ztw,
+        zl=jnp.where(d.lb_mask > 0, r.zl + p_aff.x * p_aff.zl, 0.0),
+        zu=jnp.where(d.ub_mask > 0, r.zu - p_aff.x * p_aff.zu, 0.0))
+    cq = compact if use_qn else (compact[0], None, None)
+    f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=qn_sigma)
+    p = kkt.solve_kkt(v, d, f, r, refine_steps=refine_steps, qn_compact=cq)
+    return p
+
+
+@partial(jax.jit, static_argnames=("use_qn",))
+def _check_kkt_step(v: IPVars, d: ProblemData, p: IPVars, compact, mu,
+                    rel_bound_barrier, qn_sigma, use_qn: bool):
+    """Max per-equation error of K·p + r (`checkKKTStep`,
+    `ParOptInteriorPoint.cpp:6212+`)."""
+    r = kkt.kkt_residual(v, d, mu, rel_bound_barrier)
+    cq = compact if use_qn else (compact[0], None, None)
+    Kp = kkt.apply_kkt_matrix(v, d, p, qn_compact=cq, qn_sigma=qn_sigma)
+    err = jax.tree_util.tree_map(lambda a, b: a + b, Kp, r)
+    leaves = [jnp.max(jnp.abs(l)) for l in jax.tree_util.tree_leaves(err)
+              if l.size]
+    return jnp.max(jnp.stack(leaves)) if leaves else jnp.zeros(())
+
+
 @jax.jit
 def _scale_step(v: IPVars, d: ProblemData, p: IPVars, mu, comp, inexact):
     """Fraction-to-boundary scaling with the equal-step safeguard
@@ -1044,11 +1080,38 @@ class InteriorPoint:
                             0.01)
                 self.mu = max(sigma * comp, 0.09999 * abs_res_tol)
                 mu_j = jnp.asarray(self.mu, self.dtype)
-                p = _compute_step(self.vars, d, compact, mu_j, rbb,
-                                  o["qn_sigma"], refine_steps=refine_steps,
-                                  use_qn=use_qn)
+                if barrier_strategy == "mehrotra_predictor_corrector":
+                    ax_aff = min(float(ax_a), 1.0)
+                    az_aff = min(float(az_a), 1.0)
+                    p_aff_s = IPVars(
+                        x=ax_aff * p_aff.x, zl=az_aff * p_aff.zl,
+                        zu=az_aff * p_aff.zu, s=ax_aff * p_aff.s,
+                        t=ax_aff * p_aff.t, z=az_aff * p_aff.z,
+                        zs=az_aff * p_aff.zs, zt=az_aff * p_aff.zt,
+                        sw=ax_aff * p_aff.sw, tw=ax_aff * p_aff.tw,
+                        zw=az_aff * p_aff.zw, zsw=az_aff * p_aff.zsw,
+                        ztw=az_aff * p_aff.ztw)
+                    p = _compute_step_mpc(self.vars, d, compact, mu_j, rbb,
+                                          o["qn_sigma"], p_aff_s,
+                                          refine_steps=refine_steps,
+                                          use_qn=use_qn)
+                else:
+                    p = _compute_step(self.vars, d, compact, mu_j, rbb,
+                                      o["qn_sigma"],
+                                      refine_steps=refine_steps,
+                                      use_qn=use_qn)
 
             res_norm_prev = max(res_norm, 1e-30)
+
+            sv_freq = o["step_verification_frequency"]
+            if (sv_freq > 0 and k % sv_freq == 0 and inexact_step is None
+                    and barrier_strategy not in
+                    ("mehrotra", "mehrotra_predictor_corrector")):
+                err = float(_check_kkt_step(self.vars, d, p, compact, mu_j,
+                                            rbb, o["qn_sigma"],
+                                            use_qn=use_qn))
+                self._logger.write(
+                    f"KKT step check: max |K*p + r| = {err:.6e}\n")
 
             # fraction-to-boundary scaling (equal steps for Newton steps)
             p_s, ax, az, ceq = _scale_step(

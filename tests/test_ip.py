@@ -78,7 +78,9 @@ def test_scalable_rosenbrock_sparse():
 
 
 def test_monotone_vs_mehrotra_same_answer():
-    for strat in ("monotone", "mehrotra", "complementarity_fraction"):
+    for strat in ("monotone", "mehrotra",
+                  "mehrotra_predictor_corrector",
+                  "complementarity_fraction"):
         prob = RandomConvexQP(n=12, ncon=2, seed=3)
         ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-7,
                                   "barrier_strategy": strat,
