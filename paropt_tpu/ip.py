@@ -447,15 +447,18 @@ class InteriorPoint:
             Aw = prob.sparse_jacobian(self.vars.x)
             Aw_cols, Aw_vals = Aw.cols, jnp.asarray(Aw.vals, self.dtype)
             nwblock = prob.nwblock
+            blocked = kkt.is_blocked_pattern(Aw_cols, prob.nvars)
         else:
             Aw_cols = Aw_vals = None
             nwblock = 1
+            blocked = False
         return ProblemData(
             g=self.g, A=self.A, c=self.c, cw=self.cw, lb=self.lb, ub=self.ub,
             lb_mask=self.lb_mask, ub_mask=self.ub_mask,
             gamma_s=self.gamma_s, gamma_t=self.gamma_t,
             gamma_sw=self.gamma_sw, gamma_tw=self.gamma_tw,
-            Aw_cols=Aw_cols, Aw_vals=Aw_vals, nwblock=nwblock)
+            Aw_cols=Aw_cols, Aw_vals=Aw_vals, nwblock=nwblock,
+            Aw_blocked=blocked)
 
     # -- multiplier initialization ------------------------------------------
 

@@ -601,8 +601,10 @@ def data_template_from_problem(problem, penalty_gamma: float = 1000.0,
     if nwcon > 0:
         Aw = problem.sparse_jacobian(x0)
         cols, vals = Aw.cols, jnp.asarray(Aw.vals, dtype)
+        blocked = kkt.is_blocked_pattern(cols, n)
     else:
         cols = vals = None
+        blocked = False
     d = ProblemData(
         g=jnp.zeros(n, dtype), A=jnp.zeros((ncon, n), dtype),
         c=jnp.zeros(ncon, dtype), cw=jnp.zeros(nwcon, dtype),
@@ -615,5 +617,6 @@ def data_template_from_problem(problem, penalty_gamma: float = 1000.0,
         gamma_sw=jnp.asarray(
             np.where(idxw < problem.nwinequality, 0.0, penalty_gamma), dtype),
         gamma_tw=jnp.full((nwcon,), penalty_gamma, dtype),
-        Aw_cols=cols, Aw_vals=vals, nwblock=problem.nwblock)
+        Aw_cols=cols, Aw_vals=vals, nwblock=problem.nwblock,
+        Aw_blocked=blocked)
     return d, x0

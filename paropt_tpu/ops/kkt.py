@@ -48,6 +48,16 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+def is_blocked_pattern(cols, n) -> bool:
+    """True when cols == arange(n).reshape(nwcon, k): the partition pattern
+    whose Jacobian products are pure reshapes (no gather/scatter)."""
+    import numpy as _np
+    if cols is None:
+        return False
+    c = _np.asarray(cols)
+    return c.size == n and bool(_np.array_equal(c.reshape(-1), _np.arange(n)))
+
+
 __all__ = ["IPVars", "ProblemData", "KKTFactor", "kkt_residual",
            "setup_kkt_factor", "solve_kkt", "apply_kkt_matrix",
            "recover_full_step", "max_step_lengths", "average_complementarity"]
@@ -119,6 +129,12 @@ class ProblemData:
     Aw_cols: Optional[jnp.ndarray] = None   # [nwcon, k] sparse Jacobian indices
     Aw_vals: Optional[jnp.ndarray] = None   # [nwcon, k]
     nwblock: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # True when Aw_cols == arange(n).reshape(nwcon, k): the common
+    # partition-structured weighting-constraint pattern (each variable in
+    # exactly one constraint).  Products then become pure reshapes — no
+    # gather/scatter, which are pathologically slow on TPU.
+    Aw_blocked: bool = dataclasses.field(metadata=dict(static=True),
+                                         default=False)
 
     @property
     def n(self):
@@ -136,12 +152,17 @@ class ProblemData:
     #    leading batch axis for the multi-RHS KKT solves) -------------------
     def Aw_matvec(self, px):
         """Aw @ px for px [..., n] -> [..., nwcon]."""
+        if self.Aw_blocked:
+            shaped = px.reshape(px.shape[:-1] + self.Aw_cols.shape)
+            return jnp.sum(self.Aw_vals * shaped, axis=-1)
         gathered = jnp.take(px, self.Aw_cols, axis=-1)  # [..., nwcon, k]
         return jnp.sum(self.Aw_vals * gathered, axis=-1)
 
     def Aw_rmatvec(self, pzw):
-        """Aw' @ pzw for pzw [..., nwcon] -> [..., n] (scatter-add)."""
+        """Aw' @ pzw for pzw [..., nwcon] -> [..., n]."""
         contrib = self.Aw_vals * pzw[..., :, None]      # [..., nwcon, k]
+        if self.Aw_blocked:
+            return contrib.reshape(contrib.shape[:-2] + (self.n,))
         flat = contrib.reshape(contrib.shape[:-2] + (-1,))
         idx = self.Aw_cols.reshape(-1)
         out = jnp.zeros(contrib.shape[:-2] + (self.n,), dtype=contrib.dtype)
@@ -150,7 +171,10 @@ class ProblemData:
     def Aw_inner_blocks(self, d):
         """Blocks of Aw @ diag(d) @ Aw' -> [nblocks, nwblock, nwblock]."""
         nb = self.nwblock
-        dw = d[self.Aw_cols]                      # [nwcon, k]
+        if self.Aw_blocked:
+            dw = d.reshape(self.Aw_cols.shape)    # [nwcon, k]
+        else:
+            dw = d[self.Aw_cols]                  # [nwcon, k]
         if nb == 1:
             return jnp.sum(self.Aw_vals ** 2 * dw, axis=1).reshape(-1, 1, 1)
         nblocks = self.nwcon // nb
@@ -284,7 +308,12 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
         blocks = d.Aw_inner_blocks(Dinv)
         eye = jnp.eye(nb, dtype=dtype)
         Cw = blocks + C0.reshape(-1, nb)[:, :, None] * eye
-        Cw_chol = jnp.linalg.cholesky(Cw)
+        if nb == 1:
+            # scalar blocks: "Cholesky" is an elementwise sqrt — avoids a
+            # batched LAPACK/XLA cholesky over nwcon tiny problems
+            Cw_chol = jnp.sqrt(Cw)
+        else:
+            Cw_chol = jnp.linalg.cholesky(Cw)
     else:
         C0 = jnp.zeros(0, dtype)
         Cw_chol = None

@@ -66,15 +66,25 @@ class SparseJacobian:
         assert self.nwcon % max(self.nwblock, 1) == 0
         self.cols = cols
         self.vals = jnp.asarray(vals)
+        # partition-structured pattern => products are pure reshapes
+        import numpy as _np
+        c = _np.asarray(cols)
+        self.blocked = (c.size == self.nvars
+                        and bool(_np.array_equal(c.reshape(-1),
+                                                 _np.arange(self.nvars))))
 
     # -- products -----------------------------------------------------------
     def matvec(self, px: jnp.ndarray) -> jnp.ndarray:
         """Aw @ px -> [nwcon]."""
+        if self.blocked:
+            return jnp.sum(self.vals * px.reshape(self.cols.shape), axis=1)
         return jnp.sum(self.vals * px[self.cols], axis=1)
 
     def rmatvec(self, zw: jnp.ndarray) -> jnp.ndarray:
-        """Aw^T @ zw -> [nvars] (scatter-add)."""
+        """Aw^T @ zw -> [nvars]."""
         contrib = self.vals * zw[:, None]
+        if self.blocked:
+            return contrib.reshape(self.nvars)
         return jnp.zeros(self.nvars, dtype=contrib.dtype).at[
             self.cols.reshape(-1)
         ].add(contrib.reshape(-1))
@@ -87,7 +97,8 @@ class SparseJacobian:
         `ParOptSparseMat.cpp:41-224`).
         """
         nb = self.nwblock
-        cw = c[self.cols]  # [nwcon, k]
+        cw = (c.reshape(self.cols.shape) if self.blocked
+              else c[self.cols])  # [nwcon, k]
         if nb == 1:
             diag = jnp.sum(self.vals * self.vals * cw, axis=1)
             return diag.reshape(-1, 1, 1)
