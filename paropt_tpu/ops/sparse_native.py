@@ -1,0 +1,188 @@
+"""Python bindings for the native sparse kernels (src_native/paropt_sparse.cpp).
+
+The general-CSR constraint path needs a fill-reducing ordering + sparse
+Cholesky of the quasi-definite Schur complement Cw = C + Aw·D⁻¹·Awᵀ when Cw is
+NOT block diagonal — the role of the reference's `ParOptSparseCholesky` /
+`ParOptAMD` / `ParOptSparseUtils` / `ParOptQuasiDefSparseMat` (serial
+per-process, `ParOptSparseMat.cpp:231-233`).  The library is compiled on
+first use with g++ (cached next to this file) and driven through ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["SparseCholesky", "csr_adat", "amd_order", "native_available"]
+
+_LIB = None
+_LOCK = threading.Lock()
+
+
+def _source_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(here, "src_native", "paropt_sparse.cpp")
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "_paropt_sparse.so")
+
+
+def _build() -> str:
+    src, out = _source_path(), _lib_path()
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", out]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def _load():
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        out = _lib_path()
+        src = _source_path()
+        if (not os.path.exists(out)
+                or (os.path.exists(src)
+                    and os.path.getmtime(src) > os.path.getmtime(out))):
+            _build()
+        lib = ctypes.CDLL(out)
+        ip = ctypes.POINTER(ctypes.c_int)
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.paropt_amd_order.restype = ctypes.c_int
+        lib.paropt_amd_order.argtypes = [ctypes.c_int, ip, ip, ip]
+        lib.paropt_chol_create.restype = ctypes.c_void_p
+        lib.paropt_chol_create.argtypes = [ctypes.c_int, ip, ip, ctypes.c_int]
+        lib.paropt_chol_nnz.restype = ctypes.c_int
+        lib.paropt_chol_nnz.argtypes = [ctypes.c_void_p]
+        lib.paropt_chol_factor.restype = ctypes.c_int
+        lib.paropt_chol_factor.argtypes = [ctypes.c_void_p, dp]
+        lib.paropt_chol_solve.restype = ctypes.c_int
+        lib.paropt_chol_solve.argtypes = [ctypes.c_void_p, dp, ctypes.c_int]
+        lib.paropt_chol_destroy.restype = None
+        lib.paropt_chol_destroy.argtypes = [ctypes.c_void_p]
+        lib.paropt_adat_symbolic.restype = ctypes.c_int
+        lib.paropt_adat_symbolic.argtypes = [ctypes.c_int, ctypes.c_int, ip,
+                                             ip, ip, ip]
+        lib.paropt_adat_numeric.restype = ctypes.c_int
+        lib.paropt_adat_numeric.argtypes = [ctypes.c_int, ctypes.c_int, ip,
+                                            ip, dp, dp, dp, ip, ip, dp]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def _dptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def amd_order(rowp, cols) -> np.ndarray:
+    """Minimum-degree fill-reducing ordering: perm[old] = new position
+    (the role of `ParOptAMD`)."""
+    lib = _load()
+    rowp = np.ascontiguousarray(rowp, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    n = rowp.shape[0] - 1
+    perm = np.zeros(n, dtype=np.int32)
+    rc = lib.paropt_amd_order(n, _iptr(rowp), _iptr(cols), _iptr(perm))
+    if rc != 0:
+        raise RuntimeError("amd ordering failed")
+    return perm
+
+
+class SparseCholesky:
+    """Sparse Cholesky L·Lᵀ = P·A·Pᵀ of a symmetric positive-definite CSR
+    matrix (the role of `ParOptSparseCholesky`, `ParOptSparseCholesky.h:
+    29-47`): `setValues`/`factor`/`solve` with NATURAL or minimum-degree
+    ordering."""
+
+    ORDER_NATURAL = 0
+    ORDER_AMD = 1
+
+    def __init__(self, rowp, cols, ordering: str = "amd"):
+        self._lib = _load()
+        self.rowp = np.ascontiguousarray(rowp, dtype=np.int32)
+        self.cols = np.ascontiguousarray(cols, dtype=np.int32)
+        self.n = self.rowp.shape[0] - 1
+        order = self.ORDER_AMD if ordering == "amd" else self.ORDER_NATURAL
+        self._h = self._lib.paropt_chol_create(
+            self.n, _iptr(self.rowp), _iptr(self.cols), order)
+        if not self._h:
+            raise RuntimeError("sparse cholesky symbolic analysis failed")
+
+    @property
+    def nnz(self) -> int:
+        return int(self._lib.paropt_chol_nnz(self._h))
+
+    def factor(self, values) -> None:
+        values = np.ascontiguousarray(values, dtype=np.float64)
+        rc = self._lib.paropt_chol_factor(self._h, _dptr(values))
+        if rc != 0:
+            raise RuntimeError(
+                f"sparse Cholesky failed: not positive definite at "
+                f"column {rc - 1}")
+
+    def solve(self, b) -> np.ndarray:
+        b = np.array(b, dtype=np.float64, order="F", copy=True)
+        nrhs = 1 if b.ndim == 1 else b.shape[1]
+        rc = self._lib.paropt_chol_solve(self._h, _dptr(b), nrhs)
+        if rc != 0:
+            raise RuntimeError("sparse solve failed")
+        return b
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.paropt_chol_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+
+def csr_adat(rowp, cols, vals, dvec, cdiag=None
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(rowp, cols, vals) of  C + A·diag(d)·Aᵀ  for CSR A [m x n]
+    (the role of the symbolic/numeric products in `ParOptSparseUtils.h:
+    8-49`)."""
+    lib = _load()
+    rowp = np.ascontiguousarray(rowp, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    dvec = np.ascontiguousarray(dvec, dtype=np.float64)
+    m = rowp.shape[0] - 1
+    n = dvec.shape[0]
+    out_rowp = np.zeros(m + 1, dtype=np.int32)
+    null_ip = ctypes.cast(None, ctypes.POINTER(ctypes.c_int))
+    lib.paropt_adat_symbolic(m, n, _iptr(rowp), _iptr(cols), _iptr(out_rowp),
+                             null_ip)
+    out_cols = np.zeros(out_rowp[m], dtype=np.int32)
+    lib.paropt_adat_symbolic(m, n, _iptr(rowp), _iptr(cols), _iptr(out_rowp),
+                             _iptr(out_cols))
+    out_vals = np.zeros(out_rowp[m], dtype=np.float64)
+    if cdiag is not None:
+        cdiag_arr = np.ascontiguousarray(cdiag, dtype=np.float64)
+        cd = _dptr(cdiag_arr)
+    else:
+        cd = ctypes.cast(None, ctypes.POINTER(ctypes.c_double))
+    lib.paropt_adat_numeric(m, n, _iptr(rowp), _iptr(cols), _dptr(vals),
+                            _dptr(dvec), cd, _iptr(out_rowp),
+                            _iptr(out_cols), _dptr(out_vals))
+    return out_rowp, out_cols, out_vals

@@ -1,0 +1,148 @@
+"""Native sparse kernel tests (AMD ordering, sparse Cholesky, A·D·Aᵀ)
+verified against dense numpy references."""
+
+import numpy as np
+import pytest
+
+from paropt_tpu.ops import sparse_native as sn
+
+pytestmark = pytest.mark.skipif(not sn.native_available(),
+                                reason="native library unavailable")
+
+
+def _random_spd_csr(n, density=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.random((n, n)) < density
+    A = np.triu(A, 1)
+    A = A + A.T
+    vals = rng.standard_normal((n, n)) * A
+    vals = 0.5 * (vals + vals.T)
+    # diagonally dominant => SPD
+    np.fill_diagonal(vals, np.abs(vals).sum(axis=1) + 1.0)
+    dense = vals
+    pattern = dense != 0.0
+    rowp = np.zeros(n + 1, dtype=np.int32)
+    cols, data = [], []
+    for i in range(n):
+        idx = np.nonzero(pattern[i])[0]
+        cols.extend(idx.tolist())
+        data.extend(dense[i, idx].tolist())
+        rowp[i + 1] = len(cols)
+    return dense, rowp, np.asarray(cols, np.int32), np.asarray(data)
+
+
+@pytest.mark.parametrize("ordering", ["natural", "amd"])
+@pytest.mark.parametrize("n", [10, 50, 200])
+def test_sparse_cholesky_solve(n, ordering):
+    dense, rowp, cols, data = _random_spd_csr(n, seed=n)
+    chol = sn.SparseCholesky(rowp, cols, ordering=ordering)
+    chol.factor(data)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(n)
+    x = chol.solve(b)
+    assert np.allclose(dense @ x, b, atol=1e-8), np.abs(dense @ x - b).max()
+    # multiple right-hand sides
+    B = np.asfortranarray(rng.standard_normal((n, 3)))
+    X = chol.solve(B)
+    assert np.allclose(dense @ X, B, atol=1e-8)
+
+
+def test_sparse_cholesky_refactor():
+    dense, rowp, cols, data = _random_spd_csr(30, seed=3)
+    chol = sn.SparseCholesky(rowp, cols)
+    chol.factor(data)
+    # scale values and refactor with the same symbolic
+    chol.factor(2.0 * data)
+    b = np.ones(30)
+    x = chol.solve(b)
+    assert np.allclose(2.0 * dense @ x, b, atol=1e-8)
+
+
+def test_sparse_cholesky_not_spd():
+    dense, rowp, cols, data = _random_spd_csr(10, seed=4)
+    data = data.copy()
+    data[rowp[5]:rowp[6]] = 0.0  # zero out a row -> singular
+    chol = sn.SparseCholesky(rowp, cols)
+    with pytest.raises(RuntimeError):
+        chol.factor(data)
+
+
+def test_amd_is_valid_permutation_and_reduces_fill():
+    # arrow matrix: natural ordering causes full fill; AMD should order the
+    # hub last
+    n = 40
+    rows = [[0] + list(range(n))] + [[0, i] for i in range(1, n)]
+    rowp = np.zeros(n + 1, dtype=np.int32)
+    cols = []
+    for i in range(n):
+        idx = sorted(set(rows[i] if i == 0 else rows[i]))
+        cols.extend(idx)
+        rowp[i + 1] = len(cols)
+    cols = np.asarray(cols, np.int32)
+    perm = sn.amd_order(rowp, cols)
+    assert sorted(perm.tolist()) == list(range(n))
+    assert perm[0] >= n - 2  # the hub is eliminated (nearly) last
+
+    chol_nat = sn.SparseCholesky(rowp, cols, ordering="natural")
+    chol_amd = sn.SparseCholesky(rowp, cols, ordering="amd")
+    assert chol_amd.nnz < chol_nat.nnz
+
+
+def test_adat_matches_dense():
+    rng = np.random.default_rng(7)
+    m, n = 12, 20
+    A = (rng.random((m, n)) < 0.25) * rng.standard_normal((m, n))
+    rowp = np.zeros(m + 1, dtype=np.int32)
+    cols, vals = [], []
+    for i in range(m):
+        idx = np.nonzero(A[i])[0]
+        cols.extend(idx.tolist())
+        vals.extend(A[i, idx].tolist())
+        rowp[i + 1] = len(cols)
+    cols = np.asarray(cols, np.int32)
+    vals = np.asarray(vals)
+    d = rng.random(n) + 0.5
+    cdiag = rng.random(m) + 0.1
+    orp, oc, ov = sn.csr_adat(rowp, cols, vals, d, cdiag)
+    got = np.zeros((m, m))
+    for i in range(m):
+        for p in range(orp[i], orp[i + 1]):
+            got[i, oc[p]] = ov[p]
+    want = A @ np.diag(d) @ A.T + np.diag(cdiag)
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_quasi_def_csr_end_to_end():
+    """Factor Cw = C0 + Aw D^{-1} Aw' for a general (non-block) CSR Jacobian
+    and verify the quasi-definite solve against dense — the role of
+    ParOptQuasiDefSparseMat (`ParOptSparseMat.cpp:231-451`)."""
+    rng = np.random.default_rng(9)
+    m, n = 15, 40
+    Aw = (rng.random((m, n)) < 0.2) * rng.standard_normal((m, n))
+    Aw[np.arange(m), rng.integers(0, n, m)] += 1.0  # no empty rows
+    D = rng.random(n) + 0.5
+    C0 = rng.random(m) + 0.1
+    rowp = np.zeros(m + 1, dtype=np.int32)
+    cols, vals = [], []
+    for i in range(m):
+        idx = np.nonzero(Aw[i])[0]
+        cols.extend(idx.tolist())
+        vals.extend(Aw[i, idx].tolist())
+        rowp[i + 1] = len(cols)
+    cols = np.asarray(cols, np.int32)
+    vals = np.asarray(vals)
+
+    orp, oc, ov = sn.csr_adat(rowp, cols, vals, 1.0 / D, C0)
+    chol = sn.SparseCholesky(orp, oc)
+    chol.factor(ov)
+
+    bx = rng.standard_normal(n)
+    bw = rng.standard_normal(m)
+    # solve [[D, -Aw'], [Aw, C0]] [yx; yw] = [bx; bw]
+    yw = chol.solve(bw - Aw @ (bx / D))
+    yx = (bx + Aw.T @ yw) / D
+    # dense check
+    K = np.block([[np.diag(D), -Aw.T], [Aw, np.diag(C0)]])
+    sol = np.linalg.solve(K, np.concatenate([bx, bw]))
+    assert np.allclose(yx, sol[:n], atol=1e-8)
+    assert np.allclose(yw, sol[n:], atol=1e-8)
