@@ -110,6 +110,18 @@ def _compute_step_mpc(v: IPVars, d: ProblemData, compact, mu,
     return p
 
 
+def _compute_step_eager(v, d, compact, mu, rel_bound_barrier, qn_sigma,
+                        refine_steps, use_qn, csr_mat):
+    """Un-jitted step computation for the general-CSR path (the native
+    factor object cannot live under jit; the reference's general-sparse path
+    is likewise serial per-process)."""
+    r = kkt.kkt_residual(v, d, mu, rel_bound_barrier)
+    cq = compact if use_qn else (compact[0], None, None)
+    f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=qn_sigma,
+                             csr_mat=csr_mat)
+    return kkt.solve_kkt(v, d, f, r, refine_steps=refine_steps, qn_compact=cq)
+
+
 @partial(jax.jit, static_argnames=("use_qn",))
 def _check_kkt_step(v: IPVars, d: ProblemData, p: IPVars, compact, mu,
                     rel_bound_barrier, qn_sigma, use_qn: bool):
@@ -323,6 +335,12 @@ class InteriorPoint:
         self.vars: Optional[IPVars] = None
         self._init_vars()
 
+        # general-CSR constraint path: host-side native quasi-definite
+        # factor (ParOptQuasiDefSparseMat role); forces eager KKT solves
+        self._csr_mat = None
+        if getattr(problem, "use_csr_path", False):
+            self._csr_mat = problem.create_quasi_def_mat()
+
         self._logger = None
         self._converged_reason = ""
 
@@ -452,6 +470,8 @@ class InteriorPoint:
             Aw_cols = Aw_vals = None
             nwblock = 1
             blocked = False
+        if self._csr_mat is not None and prob.nwcon > 0:
+            self._csr_mat.set_values(prob._data)
         return ProblemData(
             g=self.g, A=self.A, c=self.c, cw=self.cw, lb=self.lb, ub=self.ub,
             lb_mask=self.lb_mask, ub_mask=self.ub_mask,
@@ -484,6 +504,10 @@ class InteriorPoint:
 
         small = 1e-4
         rhs = -(d.g - v.zl + v.zu)
+        if self._csr_mat is not None:
+            self._csr_mat.set_values(self.problem._data)
+            self._csr_mat.factor(jnp.ones_like(v.x),
+                                 jnp.full((nwcon,), small))
         # quasi-definite system with D = I, C = small
         f0 = kkt.KKTFactor(
             Dinv=jnp.ones_like(v.x), Gamma=None, C0=None,
@@ -494,7 +518,7 @@ class InteriorPoint:
                          + small * jnp.eye(d.nwblock, dtype=dt))
                       if nwcon > 0 else None)),
             Xa=None, Wa=None, G_lu=None, Zqn=None, Phi_x=None, Phi_z=None,
-            Phi_w=None, Ce_lu=None)
+            Phi_w=None, Ce_lu=None, csr_solver=self._csr_mat)
         if ncon > 0:
             Xa, _ = kkt.quasi_def_solve(f0, d, d.A,
                                         jnp.zeros((ncon, nwcon), dt))
@@ -527,9 +551,15 @@ class InteriorPoint:
         use_qn = (self.qn is not None and bool(o["use_qn_gmres_precon"])
                   and not o["sequential_linear_method"]
                   and not o["use_diag_hessian"])
-        p = _compute_step(v, d, compact, jnp.asarray(0.0, self.dtype),
-                          o["rel_bound_barrier"], o["qn_sigma"],
-                          refine_steps=0, use_qn=use_qn)
+        if self._csr_mat is not None:
+            p = _compute_step_eager(v, d, compact,
+                                    jnp.asarray(0.0, self.dtype),
+                                    o["rel_bound_barrier"], o["qn_sigma"],
+                                    0, use_qn, self._csr_mat)
+        else:
+            p = _compute_step(v, d, compact, jnp.asarray(0.0, self.dtype),
+                              o["rel_bound_barrier"], o["qn_sigma"],
+                              refine_steps=0, use_qn=use_qn)
         amin = o["start_affine_multiplier_min"]
 
         def aff(val, st, mask=None):
@@ -762,7 +792,8 @@ class InteriorPoint:
         use_qn = (self.qn is not None and bool(o["use_qn_gmres_precon"])
                   and not o["sequential_linear_method"])
         cq = compact if use_qn else (compact[0], None, None)
-        f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=o["qn_sigma"])
+        f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=o["qn_sigma"],
+                                 csr_mat=self._csr_mat)
 
         def tdot(a, c):
             return sum(jnp.vdot(x, y) for x, y in
@@ -1063,6 +1094,10 @@ class InteriorPoint:
                 use_qn = use_qn_default
             if inexact_step is not None:
                 p = inexact_step
+            elif self._csr_mat is not None:
+                p = _compute_step_eager(self.vars, d, compact, mu_j, rbb,
+                                        o["qn_sigma"], refine_steps, use_qn,
+                                        self._csr_mat)
             else:
                 p = _compute_step(self.vars, d, compact, mu_j, rbb,
                                   o["qn_sigma"], refine_steps=refine_steps,
@@ -1071,10 +1106,15 @@ class InteriorPoint:
             if inexact_step is None and barrier_strategy in (
                     "mehrotra", "mehrotra_predictor_corrector"):
                 # affine probe: step toward μ = 0 from the same factorization
-                p_aff = _compute_step(self.vars, d, compact,
-                                      jnp.asarray(0.0, self.dtype), rbb,
-                                      o["qn_sigma"], refine_steps=0,
-                                      use_qn=use_qn)
+                if self._csr_mat is not None:
+                    p_aff = _compute_step_eager(
+                        self.vars, d, compact, jnp.asarray(0.0, self.dtype),
+                        rbb, o["qn_sigma"], 0, use_qn, self._csr_mat)
+                else:
+                    p_aff = _compute_step(self.vars, d, compact,
+                                          jnp.asarray(0.0, self.dtype), rbb,
+                                          o["qn_sigma"], refine_steps=0,
+                                          use_qn=use_qn)
                 ax_a, az_a = kkt.max_step_lengths(
                     self.vars, d, p_aff, jnp.asarray(1.0, self.dtype))
                 v_aff = self.vars.axpy(float(ax_a), float(az_a), p_aff)
@@ -1083,7 +1123,8 @@ class InteriorPoint:
                             0.01)
                 self.mu = max(sigma * comp, 0.09999 * abs_res_tol)
                 mu_j = jnp.asarray(self.mu, self.dtype)
-                if barrier_strategy == "mehrotra_predictor_corrector":
+                if (barrier_strategy == "mehrotra_predictor_corrector"
+                        and self._csr_mat is None):
                     ax_aff = min(float(ax_a), 1.0)
                     az_aff = min(float(az_a), 1.0)
                     p_aff_s = IPVars(
@@ -1098,6 +1139,10 @@ class InteriorPoint:
                                           o["qn_sigma"], p_aff_s,
                                           refine_steps=refine_steps,
                                           use_qn=use_qn)
+                elif self._csr_mat is not None:
+                    p = _compute_step_eager(self.vars, d, compact, mu_j, rbb,
+                                            o["qn_sigma"], refine_steps,
+                                            use_qn, self._csr_mat)
                 else:
                     p = _compute_step(self.vars, d, compact, mu_j, rbb,
                                       o["qn_sigma"],
@@ -1150,10 +1195,16 @@ class InteriorPoint:
                             self._reset_qn()
                             qn_hessian_reset = True
                         compact = self._qn_compact()
-                        p = _compute_step(self.vars, d, compact, mu_j, rbb,
-                                          o["qn_sigma"],
-                                          refine_steps=refine_steps,
-                                          use_qn=False)
+                        if self._csr_mat is not None:
+                            p = _compute_step_eager(
+                                self.vars, d, compact, mu_j, rbb,
+                                o["qn_sigma"], refine_steps, False,
+                                self._csr_mat)
+                        else:
+                            p = _compute_step(self.vars, d, compact, mu_j,
+                                              rbb, o["qn_sigma"],
+                                              refine_steps=refine_steps,
+                                              use_qn=False)
                         p_s, ax, az, ceq = _scale_step(
                             self.vars, d, p, mu_j,
                             jnp.asarray(comp, self.dtype), jnp.asarray(False))

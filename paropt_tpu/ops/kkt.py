@@ -245,6 +245,10 @@ class KKTFactor:
     Phi_z: Optional[jnp.ndarray]         # [K, ncon]
     Phi_w: Optional[jnp.ndarray]         # [K, nwcon]
     Ce_lu: Any                           # lu_factor of Ce (K x K)
+    # host-side factor object for the general-CSR constraint path (the
+    # ParOptQuasiDefSparseMat role); eager-mode only, never traced
+    csr_solver: Any = dataclasses.field(metadata=dict(static=True),
+                                        default=None)
 
 
 def _bound_quotients(v: IPVars, d: ProblemData):
@@ -270,22 +274,38 @@ def _chol_solve_blocks(chol, b):
 def quasi_def_solve(f: "KKTFactor", d: ProblemData, bx, bw):
     """Solve [[D, -Aw'], [Aw, C0]] [yx; yw] = [bx; bw] via the block-diagonal
     Schur complement Cw = C0 + Aw·D⁻¹·Aw' (`ParOptSparseMat.cpp:41-224`).
-    Batched over leading dims of bx [..., n] / bw [..., nwcon]."""
+    Batched over leading dims of bx [..., n] / bw [..., nwcon].
+
+    With a `csr_solver` installed (general-CSR path), Cw is a general sparse
+    matrix factored by the native host Cholesky — eager mode only."""
     if d.nwcon == 0:
         return f.Dinv * bx, bw
     rw = bw - d.Aw_matvec(f.Dinv * bx)
-    yw = _chol_solve_blocks(f.Cw_chol, rw)
+    if f.csr_solver is not None:
+        import numpy as _np
+        rw_np = _np.asarray(rw)
+        if rw_np.ndim == 1:
+            yw = jnp.asarray(f.csr_solver.solve(rw_np))
+        else:
+            yw = jnp.asarray(
+                f.csr_solver.solve(_np.asfortranarray(rw_np.T)).T)
+    else:
+        yw = _chol_solve_blocks(f.Cw_chol, rw)
     yx = f.Dinv * (bx + d.Aw_rmatvec(yw))
     return yx, yw
 
 
 def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
-                     qn_sigma: float = 0.0, use_qn: bool = True) -> KKTFactor:
+                     qn_sigma: float = 0.0, use_qn: bool = True,
+                     csr_mat=None) -> KKTFactor:
     """Build all per-iteration factorizations.
 
     qn_compact: (b0, Z [K, n], M [K, K]) from `qn_compact()` or None for a
     pure-diagonal Hessian b0=qn_sigma... (sequential-linear / diag mode pass
     their diagonal via qn_compact=(diag_vec, None, None)).
+
+    csr_mat: host-side general-CSR quasi-definite factor object with
+    `.factor(Dinv, C0)` (eager mode only; the ParOptQuasiDefSparseMat role).
     """
     dtype = v.x.dtype
     ql, qu = _bound_quotients(v, d)
@@ -302,7 +322,11 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
 
     Gamma = v.s / v.zs + v.t / v.zt if d.ncon > 0 else jnp.zeros(0, dtype)
 
-    if d.nwcon > 0:
+    if d.nwcon > 0 and csr_mat is not None:
+        C0 = v.sw / v.zsw + v.tw / v.ztw
+        csr_mat.factor(Dinv, C0)
+        Cw_chol = None
+    elif d.nwcon > 0:
         C0 = v.sw / v.zsw + v.tw / v.ztw
         nb = d.nwblock
         blocks = d.Aw_inner_blocks(Dinv)
@@ -322,7 +346,8 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
     ncon = d.ncon
     f0 = KKTFactor(Dinv=Dinv, Gamma=Gamma, C0=C0, Cw_chol=Cw_chol,
                    Xa=jnp.zeros((ncon, d.n), dtype), Wa=None, G_lu=None,
-                   Zqn=None, Phi_x=None, Phi_z=None, Phi_w=None, Ce_lu=None)
+                   Zqn=None, Phi_x=None, Phi_z=None, Phi_w=None, Ce_lu=None,
+                   csr_solver=csr_mat)
     if ncon > 0:
         zerow = jnp.zeros((ncon, d.nwcon), dtype)
         Xa, Wa = quasi_def_solve(f0, d, d.A, zerow)  # batched: [ncon, n]

@@ -186,3 +186,50 @@ def csr_adat(rowp, cols, vals, dvec, cdiag=None
                             _dptr(dvec), cd, _iptr(out_rowp),
                             _iptr(out_cols), _dptr(out_vals))
     return out_rowp, out_cols, out_vals
+
+
+class CSRQuasiDefMat:
+    """General-CSR quasi-definite matrix [[D, -Aw'], [Aw, C0]] factored via
+    the Schur complement Cw = C0 + Aw·D⁻¹·Aw' with the native sparse
+    Cholesky — the role of `ParOptQuasiDefSparseMat`
+    (`ParOptSparseMat.cpp:231-451`), serial per-host like the reference."""
+
+    def __init__(self, nvars: int, rowp, cols, ordering: str = "amd"):
+        self.nvars = int(nvars)
+        self.rowp = np.ascontiguousarray(rowp, dtype=np.int32)
+        self.cols = np.ascontiguousarray(cols, dtype=np.int32)
+        self.nwcon = self.rowp.shape[0] - 1
+        self._ordering = ordering
+        self._vals = np.zeros(self.rowp[-1])
+        self._chol: Optional[SparseCholesky] = None
+        self._pattern: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.nfactor = 0
+
+    def set_values(self, vals) -> None:
+        """Install the current CSR Jacobian values (`setSparseJacobianData`,
+        `ParOptProblem.cpp:632-676`)."""
+        self._vals = np.ascontiguousarray(vals, dtype=np.float64)
+
+    def factor(self, Dinv, C0) -> None:
+        orp, oc, ov = csr_adat(self.rowp, self.cols, self._vals,
+                               np.asarray(Dinv, dtype=np.float64),
+                               np.asarray(C0, dtype=np.float64))
+        if self._pattern is None or len(oc) != len(self._pattern[1]) \
+                or not np.array_equal(orp, self._pattern[0]):
+            self._chol = SparseCholesky(orp, oc, ordering=self._ordering)
+            self._pattern = (orp, oc)
+        self._chol.factor(ov)
+        self.nfactor += 1
+
+    def solve(self, b) -> np.ndarray:
+        return self._chol.solve(b)
+
+    def get_factor_info(self) -> str:
+        """Fill-in statistics (`getFactorInfo`, `ParOptSparseMat.cpp:
+        433-451`)."""
+        if self._chol is None:
+            return "unfactored"
+        nnz_a = int(self._pattern[0][-1])
+        nnz_l = self._chol.nnz
+        return (f"CSR quasi-def: n={self.nwcon} nnz(Cw)={nnz_a} "
+                f"nnz(L)={nnz_l} fill={nnz_l / max(nnz_a, 1):.2f}")

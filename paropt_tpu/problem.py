@@ -325,3 +325,69 @@ def check_gradients(problem: Problem, dh: float = 1e-6, x=None,
         for k, v in out.items():
             print(f"  check_gradients: {k:22s} rel err {v:10.3e}")
     return out
+
+
+class CSRSparseProblem(Problem):
+    """Problem with a general-CSR sparse constraint Jacobian — the role of
+    ``ParOptSparseProblem`` (`ParOptProblem.h:301-407`): the user sets the CSR
+    pattern ONCE in the constructor and fills the numerical values in
+    ``eval_sparse_jacobian_data(x)``; Jacobian products and the quasi-definite
+    KKT factorization are then handled generically (the latter by the native
+    host sparse Cholesky — serial per-host, matching the reference's
+    `ParOptQuasiDefSparseMat`).
+
+    Unlike the block path, Aw·D·Awᵀ need not be block diagonal here.
+    """
+
+    def __init__(self, nvars: int, ncon: int, rowp, cols,
+                 ninequality: Optional[int] = None,
+                 nwinequality: Optional[int] = None):
+        rowp = np.asarray(rowp, dtype=np.int32)
+        cols_arr = np.asarray(cols, dtype=np.int32)
+        nwcon = rowp.shape[0] - 1
+        super().__init__(nvars=nvars, ncon=ncon, nwcon=nwcon, nwblock=1,
+                         ninequality=ninequality, nwinequality=nwinequality)
+        self.csr_rowp = rowp
+        self.csr_cols = cols_arr
+        self.use_csr_path = True
+        # padded fixed-k representation for the (jit-friendly) products
+        counts = np.diff(rowp)
+        self._kmax = int(counts.max()) if nwcon else 0
+        pad_cols = np.zeros((nwcon, self._kmax), dtype=np.int32)
+        self._pad_mask = np.zeros((nwcon, self._kmax), dtype=bool)
+        for i in range(nwcon):
+            k = counts[i]
+            pad_cols[i, :k] = cols_arr[rowp[i]:rowp[i + 1]]
+            self._pad_mask[i, :k] = True
+        self._pad_cols = jnp.asarray(pad_cols)
+        self._data = np.zeros(rowp[-1])
+
+    # -- user surface --------------------------------------------------------
+    def eval_sparse_jacobian_data(self, x) -> jnp.ndarray:
+        """Return the CSR ``data`` array of Aw(x) aligned with the pattern
+        given at construction (`evalSparseObjConGradient` data-fill role)."""
+        raise NotImplementedError
+
+    def set_sparse_jacobian_data(self, data) -> None:
+        self._data = np.asarray(data, dtype=np.float64)
+
+    # -- generic implementations --------------------------------------------
+    def _padded_vals(self, data):
+        vals = np.zeros((self.nwcon, self._kmax))
+        for i in range(self.nwcon):
+            k = self.csr_rowp[i + 1] - self.csr_rowp[i]
+            vals[i, :k] = np.asarray(
+                data[self.csr_rowp[i]:self.csr_rowp[i + 1]])
+        return jnp.asarray(vals)
+
+    def sparse_jacobian(self, x) -> SparseJacobian:
+        data = self.eval_sparse_jacobian_data(x)
+        self.set_sparse_jacobian_data(data)
+        return SparseJacobian(self.nvars, self._pad_cols,
+                              self._padded_vals(self._data), nwblock=1)
+
+    def create_quasi_def_mat(self):
+        """Native general-CSR quasi-definite factor
+        (`createQuasiDefMat`, `ParOptProblem.cpp:709-711`)."""
+        from .ops.sparse_native import CSRQuasiDefMat
+        return CSRQuasiDefMat(self.nvars, self.csr_rowp, self.csr_cols)

@@ -146,3 +146,52 @@ def test_quasi_def_csr_end_to_end():
     sol = np.linalg.solve(K, np.concatenate([bx, bw]))
     assert np.allclose(yx, sol[:n], atol=1e-8)
     assert np.allclose(yw, sol[n:], atol=1e-8)
+
+
+def test_csr_sparse_problem_ip_end_to_end():
+    """Interior point on a general-CSR sparse-constraint problem (the
+    ParOptSparseProblem + ParOptQuasiDefSparseMat path): overlapping
+    constraint supports, so Aw D Aw' is NOT block diagonal."""
+    import jax.numpy as jnp
+    from paropt_tpu import InteriorPoint
+    from paropt_tpu.problem import CSRSparseProblem
+
+    n, m = 20, 6
+    # overlapping windows of 5 variables, stride 3
+    rows = [list(range(3 * i, 3 * i + 5)) for i in range(m)]
+    rowp = np.zeros(m + 1, dtype=np.int32)
+    cols = []
+    for i, r in enumerate(rows):
+        cols.extend(r)
+        rowp[i + 1] = len(cols)
+    cols = np.asarray(cols, np.int32)
+
+    class WindowProb(CSRSparseProblem):
+        def __init__(self):
+            super().__init__(nvars=n, ncon=0, rowp=rowp, cols=cols)
+            self.target = jnp.asarray(np.linspace(0.5, 1.5, n))
+
+        def objective(self, x):
+            return jnp.sum((x - self.target) ** 2)
+
+        def sparse_constraints(self, x):
+            # window sums bounded: 3.0 - sum(window) >= 0
+            return jnp.array([3.0 - sum(x[j] for j in rows[i])
+                              for i in range(m)])
+
+        def eval_sparse_jacobian_data(self, x):
+            return -np.ones(rowp[-1])
+
+        def get_vars_and_bounds(self):
+            return (jnp.full(n, 0.5), jnp.zeros(n), jnp.full(n, 2.0))
+
+    prob = WindowProb()
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-7,
+                              "max_major_iters": 200})
+    res = ip.optimize()
+    assert res["converged"], res
+    cw = np.asarray(prob.sparse_constraints(res["x"]))
+    assert (cw > -1e-6).all()
+    # at least one window constraint should be active (targets sum > 3)
+    assert cw.min() < 1e-3
+    assert ip._csr_mat.nfactor > 0
