@@ -1,0 +1,133 @@
+"""pyOptSparse driver (the role of `paropt/paropt_pyoptsparse.py`).
+
+Registers a `ParOpt` optimizer class with pyOptSparse.  The adapter converts
+pyOptSparse's constraint convention to the framework's c(x) >= 0 form by
+negating constraint values/Jacobians (`paropt_pyoptsparse.py:74-86`) and
+applies the reference's starting-point clipping heuristic (move strictly
+inside the bounds by half the average bound gap, `:48-72`).
+
+Requires `pyoptsparse`; importing this module without it raises ImportError.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+
+from pyoptsparse.pyOpt_optimizer import Optimizer as _PyOptOptimizer
+from pyoptsparse.pyOpt_utils import INFINITY
+
+from ..optimizer import Optimizer as _FrameworkOptimizer
+from ..problem import Problem
+from ..utils.options import make_options
+
+__all__ = ["ParOpt"]
+
+
+def _clip_start(xs, blx, bux):
+    """Starting-point clipping heuristic (`paropt_pyoptsparse.py:48-72`)."""
+    n = len(xs)
+    bound_sum = 0.0
+    for i in range(n):
+        if blx[i] <= -INFINITY or bux[i] >= INFINITY:
+            bound_sum += 1.0
+        else:
+            bound_sum += bux[i] - blx[i]
+    bound_sum /= n
+    x = np.array(xs, dtype=float)
+    for i in range(n):
+        if xs[i] <= blx[i]:
+            x[i] = blx[i] + 0.5 * min(bound_sum, bux[i] - blx[i])
+        elif xs[i] >= bux[i]:
+            x[i] = bux[i] - 0.5 * min(bound_sum, bux[i] - blx[i])
+    return x
+
+
+class _DenseAdapter(Problem):
+    """Wraps pyOptSparse's _masterFunc as a dense-constraint Problem
+    (`ParOptDenseProblem`, `paropt_pyoptsparse.py:92-160`)."""
+
+    def __init__(self, ptr, nvars, ncon, ninequality, xs, blx, bux):
+        super().__init__(nvars=nvars, ncon=ncon, ninequality=ninequality)
+        self.ptr = ptr
+        self.xs = xs
+        self.blx = blx
+        self.bux = bux
+
+    def get_vars_and_bounds(self):
+        import jax.numpy as jnp
+        return (jnp.asarray(_clip_start(self.xs, self.blx, self.bux)),
+                jnp.asarray(self.blx), jnp.asarray(self.bux))
+
+    def eval_obj_con(self, x):
+        import jax.numpy as jnp
+        fobj, fcon, fail = self.ptr._masterFunc(np.asarray(x),
+                                                ["fobj", "fcon"])
+        if fail:
+            return jnp.asarray(np.nan), jnp.full(self.ncon, np.nan)
+        return jnp.asarray(float(fobj)), jnp.asarray(-np.atleast_1d(fcon))
+
+    def eval_obj_con_gradient(self, x):
+        import jax.numpy as jnp
+        gobj, gcon, fail = self.ptr._masterFunc(np.asarray(x),
+                                                ["gobj", "gcon"])
+        g = jnp.asarray(np.asarray(gobj).reshape(self.nvars))
+        A = jnp.asarray(-np.asarray(gcon).reshape(self.ncon, self.nvars))
+        return g, A
+
+
+class ParOpt(_PyOptOptimizer):
+    """pyOptSparse-compatible optimizer class backed by this framework."""
+
+    def __init__(self, raiseError=True, options={}):
+        name = "ParOpt"
+        category = "Local Optimizer"
+        # expose every framework option as a pyoptsparse option
+        defOpts = {}
+        registry = make_options()
+        for desc in registry.descriptors():
+            defOpts[desc.name] = [type(desc.default)
+                                  if desc.default is not None else str,
+                                  desc.default]
+        super().__init__(name, category, defaultOptions=defOpts,
+                         informs={}, options=options)
+
+    def __call__(self, optProb, sens=None, sensStep=None, sensMode=None,
+                 storeHistory=None, hotStart=None, storeSens=True):
+        self.startTime = datetime.datetime.now()
+        self.unconstrained = len(optProb.constraints) == 0
+        self._setSens(sens, sensStep, sensMode)
+        blx, bux, xs = self._assembleContinuousVariables()
+        ncon = 0
+        nineq = 0
+        if not self.unconstrained:
+            indices, blc, buc, fact = self.optProb.getOrdering(
+                ["ne", "ni", "le", "li"], oneSided=True, noEquality=False)
+            ncon = len(indices)
+            ineq, _, _, _ = self.optProb.getOrdering(
+                ["ni", "li"], oneSided=True, noEquality=False)
+            nineq = len(ineq)
+            self.optProb.jacIndices = indices
+            self.optProb.fact = fact
+            self.optProb.offset = buc
+        self.optProb.comm = None
+
+        self._setInitialCacheValues()
+        self._setHistory(storeHistory, hotStart)
+
+        # inequalities first in the framework's ordering convention
+        prob = _DenseAdapter(self, len(xs), ncon, nineq, xs, blx, bux)
+        user_opts = {k: v for k, v in self.options.items()
+                     if k in make_options()}
+        opt = _FrameworkOptimizer(prob, user_opts)
+        result = opt.optimize()
+        x, z, zw, zl, zu = opt.get_optimized_point()
+
+        sol_inform = {"value": int(result.get("converged", False)),
+                      "text": result.get("reason", "")}
+        xstar = np.asarray(x)
+        fobj, fcon, fail = self._masterFunc(xstar, ["fobj", "fcon"])
+        opt_time = (datetime.datetime.now() - self.startTime).total_seconds()
+        sol = self._createSolution(opt_time, sol_inform, fobj, xstar)
+        return sol

@@ -1,0 +1,66 @@
+"""Driver-layer tests: FunctionProblem (callback adapter) + plot_history
++ import-gating of the pyOptSparse/OpenMDAO drivers."""
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+from paropt_tpu import InteriorPoint
+from paropt_tpu.drivers import FunctionProblem
+
+
+def test_function_problem_with_gradients():
+    Q = np.diag([1.0, 2.0, 3.0])
+    prob = FunctionProblem(
+        x0=[2.0, 2.0, 2.0], lb=[-5] * 3, ub=[5] * 3,
+        objective=lambda x: 0.5 * x @ Q @ x,
+        gradient=lambda x: Q @ x,
+        constraints=lambda x: np.array([x.sum() - 1.0]),
+        jacobian=lambda x: np.ones((1, 3)))
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-8})
+    res = ip.optimize()
+    assert res["converged"], res
+    x = np.asarray(res["x"])
+    # analytic solution of min 1/2 x'Qx st sum(x)=1 active:
+    # x = lambda * Q^{-1} 1 with sum = 1
+    qinv1 = np.linalg.solve(Q, np.ones(3))
+    want = qinv1 / qinv1.sum()
+    assert np.allclose(x, want, atol=1e-5), (x, want)
+
+
+def test_function_problem_fd_gradients():
+    prob = FunctionProblem(
+        x0=[0.0, 0.0], lb=[-2] * 2, ub=[2] * 2,
+        objective=lambda x: (x[0] - 1.0) ** 2 + (x[1] + 0.5) ** 2)
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-5})
+    res = ip.optimize()
+    assert res["converged"], res
+    assert np.allclose(np.asarray(res["x"]), [1.0, -0.5], atol=1e-3)
+    assert prob.ngeval > 0
+
+
+def test_plot_history(tmp_path):
+    from paropt_tpu.models.analytic import Rosenbrock
+    from paropt_tpu.utils.plot_history import plot_history
+    path = str(tmp_path / "paropt.out")
+    ip = InteriorPoint(Rosenbrock(), {"output_file": path,
+                                      "abs_res_tol": 1e-6})
+    ip.optimize()
+    out = str(tmp_path / "hist.png")
+    fig = plot_history(path, output=out)
+    assert fig is not None
+    import os
+    assert os.path.exists(out)
+
+
+@pytest.mark.skipif(importlib.util.find_spec("pyoptsparse") is None,
+                    reason="pyoptsparse not installed")
+def test_pyoptsparse_driver_import():
+    from paropt_tpu.drivers.pyoptsparse_driver import ParOpt  # noqa: F401
+
+
+@pytest.mark.skipif(importlib.util.find_spec("openmdao") is None,
+                    reason="openmdao not installed")
+def test_openmdao_driver_import():
+    from paropt_tpu.drivers.openmdao_driver import ParOptDriver  # noqa: F401
