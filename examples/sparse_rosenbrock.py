@@ -1,0 +1,20 @@
+"""Rosenbrock with a sparse weighting constraint
+(the role of `examples/sparse/sparse_rosenbrock.py`)."""
+
+import numpy as np
+
+from paropt_tpu import InteriorPoint
+from paropt_tpu.models.analytic import SparseRosenbrock
+
+
+def main():
+    prob = SparseRosenbrock()
+    prob.check_gradients(1e-6)
+    ip = InteriorPoint(prob, {"abs_res_tol": 1e-7, "output_file": "-"})
+    res = ip.optimize()
+    print(f"\nconverged: {res['converged']}  f* = {res['fobj']:.8e}")
+    print(f"x* = {np.asarray(res['x'])}")
+
+
+if __name__ == "__main__":
+    main()
