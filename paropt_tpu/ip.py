@@ -518,7 +518,7 @@ class InteriorPoint:
                          + small * jnp.eye(d.nwblock, dtype=dt))
                       if nwcon > 0 else None)),
             Xa=None, Wa=None, G_lu=None, Zqn=None, Phi_x=None, Phi_z=None,
-            Phi_w=None, Ce_lu=None, csr_solver=self._csr_mat)
+            Phi_w=None, Ce_inv=None, csr_solver=self._csr_mat)
         if ncon > 0:
             Xa, _ = kkt.quasi_def_solve(f0, d, d.A,
                                         jnp.zeros((ncon, nwcon), dt))

@@ -238,7 +238,7 @@ def _fused_init(model: ModelFns, opts: FusedIPOptions, x0, d: ProblemData,
         f0 = kkt.KKTFactor(Dinv=jnp.ones_like(x), Gamma=None, C0=None,
                            Cw_chol=Cw_chol, Xa=None, Wa=None, G_lu=None,
                            Zqn=None, Phi_x=None, Phi_z=None, Phi_w=None,
-                           Ce_lu=None)
+                           Ce_inv=None)
         if ncon > 0:
             Xa, _ = kkt.quasi_def_solve(f0, d, d.A,
                                         jnp.zeros((ncon, nwcon), dtype))
@@ -525,7 +525,9 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
         if d.nwcon > 0:
             y = y - d.Aw_rmatvec(vn.zw)
             y0 = y0 - d.Aw_rmatvec(vn.zw)
-        qn_upd, _, _ = qnmod.qn_update(state.qn, alpha * ps.x, y - y0)
+        qn_upd, _, _ = qnmod.qn_update(
+            state.qn, alpha * ps.x, y - y0,
+            compact=None if opts.use_diag_hessian else cq)
         do_upd = alpha > 0.0
         qn_n = jax.tree_util.tree_map(
             lambda a, b: jnp.where(do_upd, a, b), qn_upd, state.qn)

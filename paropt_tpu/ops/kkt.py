@@ -244,7 +244,9 @@ class KKTFactor:
     Phi_x: Optional[jnp.ndarray]         # [K, n]
     Phi_z: Optional[jnp.ndarray]         # [K, ncon]
     Phi_w: Optional[jnp.ndarray]         # [K, nwcon]
-    Ce_lu: Any                           # lu_factor of Ce (K x K)
+    Ce_inv: Any                          # explicit inverse of Ce (K x K):
+    # one LU at setup, then every SMW correction is a matmul (MXU) instead
+    # of sequential triangular solves
     # host-side factor object for the general-CSR constraint path (the
     # ParOptQuasiDefSparseMat role); eager-mode only, never traced
     csr_solver: Any = dataclasses.field(metadata=dict(static=True),
@@ -346,13 +348,23 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
     ncon = d.ncon
     f0 = KKTFactor(Dinv=Dinv, Gamma=Gamma, C0=C0, Cw_chol=Cw_chol,
                    Xa=jnp.zeros((ncon, d.n), dtype), Wa=None, G_lu=None,
-                   Zqn=None, Phi_x=None, Phi_z=None, Phi_w=None, Ce_lu=None,
+                   Zqn=None, Phi_x=None, Phi_z=None, Phi_w=None, Ce_inv=None,
                    csr_solver=csr_mat)
     if ncon > 0:
         zerow = jnp.zeros((ncon, d.nwcon), dtype)
         Xa, Wa = quasi_def_solve(f0, d, d.A, zerow)  # batched: [ncon, n]
         Gmat = jnp.diag(Gamma) + d.A @ Xa.T
-        G_lu = jax.scipy.linalg.lu_factor(Gmat)
+        if ncon == 1:
+            # closed-form inverse avoids a sequential LU on TPU for the
+            # common single-dense-constraint case; consumers branch on the
+            # static ncon
+            G_lu = 1.0 / Gmat
+        elif ncon == 2:
+            det = Gmat[0, 0] * Gmat[1, 1] - Gmat[0, 1] * Gmat[1, 0]
+            G_lu = jnp.array([[Gmat[1, 1], -Gmat[0, 1]],
+                              [-Gmat[1, 0], Gmat[0, 0]]]) / det
+        else:
+            G_lu = jax.scipy.linalg.lu_factor(Gmat)
     else:
         Xa = jnp.zeros((0, d.n), dtype)
         Wa = jnp.zeros((0, d.nwcon), dtype)
@@ -370,9 +382,9 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
         zw = jnp.zeros((K, d.nwcon), dtype)
         Phi_x, Phi_z, Phi_w = _solve_diag3(f1, d, Zqn, zc, zw)
         Ce = Mqn - Zqn @ Phi_x.T
-        Ce_lu = jax.scipy.linalg.lu_factor(Ce)
+        Ce_inv = jnp.linalg.inv(Ce)
         return dataclasses.replace(f1, Zqn=Zqn, Phi_x=Phi_x, Phi_z=Phi_z,
-                                   Phi_w=Phi_w, Ce_lu=Ce_lu)
+                                   Phi_w=Phi_w, Ce_inv=Ce_inv)
     return f1
 
 
@@ -383,8 +395,11 @@ def _solve_diag3(f: KKTFactor, d: ProblemData, bx, bc, bw):
     px0, pw0 = quasi_def_solve(f, d, bx, bw)
     if d.ncon > 0:
         rhs = bc - px0 @ d.A.T if bx.ndim > 1 else bc - d.A @ px0
-        pz = jax.scipy.linalg.lu_solve(f.G_lu, rhs.T).T \
-            if bx.ndim > 1 else jax.scipy.linalg.lu_solve(f.G_lu, rhs)
+        if d.ncon <= 2:
+            pz = rhs @ f.G_lu.T if bx.ndim > 1 else f.G_lu @ rhs
+        else:
+            pz = jax.scipy.linalg.lu_solve(f.G_lu, rhs.T).T \
+                if bx.ndim > 1 else jax.scipy.linalg.lu_solve(f.G_lu, rhs)
         px = px0 + pz @ f.Xa if bx.ndim > 1 else px0 + f.Xa.T @ pz
         pw = pw0 + pz @ f.Wa if bx.ndim > 1 else pw0 + f.Wa.T @ pz
     else:
@@ -398,7 +413,7 @@ def _solve_reduced(f: KKTFactor, d: ProblemData, bx, bc, bw):
     px, pz, pw = _solve_diag3(f, d, bx, bc, bw)
     if f.Zqn is not None:
         w = f.Zqn @ px
-        y = jax.scipy.linalg.lu_solve(f.Ce_lu, w)
+        y = f.Ce_inv @ w
         px = px + f.Phi_x.T @ y
         pz = pz + f.Phi_z.T @ y
         pw = pw + f.Phi_w.T @ y

@@ -99,8 +99,11 @@ def _assemble_M(state: QNState, b0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     S, Y = state.S, state.Y
     m = state.msub
     mask = _active_mask(state)
-    SS = (S * mask[:, None]) @ S.T          # [m, m], one fused reduction
-    SY = (S * mask[:, None]) @ (Y * mask[:, None]).T  # SY[i,j] = s_i . y_j
+    # inactive rows of S/Y are exactly zero, so no operand masking is needed;
+    # one fused [m, 2m] matmul gives both Gram blocks (the mdot pattern)
+    G2 = S @ jnp.concatenate([S, Y], axis=0).T  # [m, 2m]
+    SS = G2[:, :m]
+    SY = G2[:, m:]                          # SY[i,j] = s_i . y_j
     D = jnp.diag(jnp.diag(SY))
     Lmat = jnp.tril(SY, k=-1)               # strictly lower: s_i.y_j, i > j
     if state.qn_type in ("bfgs", "scaled_bfgs"):
@@ -136,9 +139,10 @@ def qn_compact(state: QNState):
     return state.b0, Z, M
 
 
-def qn_mult(state: QNState, x: jnp.ndarray) -> jnp.ndarray:
-    """B @ x."""
-    b0, Z, M = qn_compact(state)
+def qn_mult(state: QNState, x: jnp.ndarray,
+            compact=None) -> jnp.ndarray:
+    """B @ x.  Pass a precomputed ``compact`` to avoid re-assembly."""
+    b0, Z, M = compact if compact is not None else qn_compact(state)
     return b0 * x - Z.T @ jnp.linalg.solve(M, Z @ x)
 
 
@@ -152,7 +156,7 @@ def _new_b0(state: QNState, s, y, yTs, yTy, sTs):
 
 
 def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
-              z0: Optional[jnp.ndarray] = None
+              z0: Optional[jnp.ndarray] = None, compact=None
               ) -> Tuple[QNState, jnp.ndarray, jnp.ndarray]:
     """Apply one (s, y) update.
 
@@ -180,7 +184,7 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
         # approximation B0 (the decorator delegates, ScaledQuasiNewton.h)
         Bs = qn_mult(dataclasses.replace(state, scaled=False), s)
     else:
-        Bs = qn_mult(state, s)
+        Bs = qn_mult(state, s, compact=compact)
     # one fused reduction for all the scalars (mdot pattern)
     G = jnp.stack([s, y, Bs]) @ jnp.stack([s, y]).T  # [3, 2]
     sTs, yTs, yTy, sBs = G[0, 0], G[1, 0], G[1, 1], G[2, 0]
