@@ -1,0 +1,234 @@
+"""Drop-in compatibility layer for reference-ParOpt user code.
+
+The reference's Python surface (`paropt/ParOpt.pyx`) has users subclass
+``ParOpt.Problem`` with *fill-style* callbacks:
+
+    class MyProblem(ParOpt.Problem):
+        def __init__(self):
+            super().__init__(comm, nvars=..., ncon=...)
+        def getVarsAndBounds(self, x, lb, ub):  x[:] = ...; lb[:] = ...
+        def evalObjCon(self, x):                return fail, fobj, con
+        def evalObjConGradient(self, x, g, A):  g[:] = ...; A[i][:] = ...
+
+This module reproduces that surface on top of the TPU-native framework so
+reference scripts port with only the import changed:
+
+    from paropt_tpu import compat as ParOpt
+    ...
+    opt = ParOpt.Optimizer(problem, options)
+    opt.optimize()
+
+The ``comm`` argument is accepted and ignored (SPMD replaces MPI), and the
+sparse-constraint variants (`nwcon`/`nwblock` block path, `rowp`/`cols` CSR
+path) mirror `ParOpt.pyx:787-907`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import problem as _problem
+from .ip import InteriorPoint as _InteriorPoint
+from .mma import MMA as _MMA
+from .optimizer import Optimizer as _Optimizer
+from .tr import TrustRegion as _TrustRegion
+from .utils.logging import (unpack_mma_output, unpack_output,
+                            unpack_tr_output)
+
+__all__ = ["Problem", "Optimizer", "InteriorPoint", "TrustRegion", "MMA",
+           "unpack_output", "unpack_tr_output", "unpack_mma_output"]
+
+
+class Problem(_problem.Problem):
+    """Reference-style fill-callback problem base class."""
+
+    def __init__(self, comm=None, nvars: int = 0, ncon: int = 0,
+                 num_dense_inequalities: Optional[int] = None,
+                 nwcon: int = 0, nwblock: int = 1,
+                 num_sparse_constraints: Optional[int] = None,
+                 num_sparse_inequalities: Optional[int] = None,
+                 rowp=None, cols=None, **kwargs):
+        self.comm = comm  # accepted for signature parity; SPMD replaces MPI
+        if num_sparse_constraints is not None:
+            nwcon = num_sparse_constraints
+        self._csr = None
+        if rowp is not None and cols is not None:
+            # general CSR sparse-constraint variant (ParOpt.pyx:837-907)
+            self._csr = (np.asarray(rowp, np.int32),
+                         np.asarray(cols, np.int32))
+            nwcon = len(rowp) - 1
+        super(Problem, self).__init__(
+            nvars=nvars, ncon=ncon, nwcon=nwcon, nwblock=nwblock,
+            ninequality=num_dense_inequalities,
+            nwinequality=num_sparse_inequalities)
+        if self._csr is not None:
+            self.use_csr_path = True
+            self.csr_rowp, self.csr_cols = self._csr
+            counts = np.diff(self.csr_rowp)
+            self._kmax = int(counts.max()) if nwcon else 0
+            pad_cols = np.zeros((nwcon, self._kmax), dtype=np.int32)
+            for i in range(nwcon):
+                k = counts[i]
+                pad_cols[i, :k] = self.csr_cols[
+                    self.csr_rowp[i]:self.csr_rowp[i + 1]]
+            self._pad_cols = jnp.asarray(pad_cols)
+            self._data = np.zeros(self.csr_rowp[-1])
+
+    # -- reference-style fill callbacks (users override these) --------------
+    def getVarsAndBounds(self, x, lb, ub):
+        raise NotImplementedError
+
+    def evalObjCon(self, x):
+        """-> (fail, fobj, con) — reference convention."""
+        raise NotImplementedError
+
+    def evalObjConGradient(self, x, g, A):
+        """Fill g[:] and A[i][:] in place; return fail."""
+        raise NotImplementedError
+
+    def evalSparseCon(self, x, out):
+        out[:] = 0.0
+
+    def addSparseJacobian(self, alpha, x, px, out):
+        raise NotImplementedError
+
+    def addSparseJacobianTranspose(self, alpha, x, pz, out):
+        raise NotImplementedError
+
+    def addSparseInnerProduct(self, alpha, x, c, A):
+        raise NotImplementedError
+
+    def evalSparseObjCon(self, x, sparse_con):
+        """CSR variant: fill sparse_con[:], return (fail, fobj, con)."""
+        raise NotImplementedError
+
+    def evalSparseObjConGradient(self, x, g, A, data):
+        """CSR variant: fill g[:] and the CSR data[:]; return fail."""
+        raise NotImplementedError
+
+    def checkGradients(self, dh=1e-6, x=None, check_hvec_product=False):
+        return self.check_gradients(dh, x=x,
+                                    check_hvec_product=check_hvec_product)
+
+    # -- adapters to the framework surface ----------------------------------
+    def get_vars_and_bounds(self):
+        x = np.zeros(self.nvars)
+        lb = np.zeros(self.nvars)
+        ub = np.zeros(self.nvars)
+        self.getVarsAndBounds(x, lb, ub)
+        return jnp.asarray(x), jnp.asarray(lb), jnp.asarray(ub)
+
+    def eval_obj_con(self, x):
+        xnp = np.asarray(x)
+        if self._csr is not None:
+            cw = np.zeros(self.nwcon)
+            fail, fobj, con = self.evalSparseObjCon(xnp, cw)
+            self._cw_cache = cw
+        else:
+            fail, fobj, con = self.evalObjCon(xnp)
+        if fail:
+            return jnp.asarray(np.nan), jnp.full(self.ncon, np.nan)
+        con = np.asarray(con, dtype=float).reshape(self.ncon)
+        return jnp.asarray(float(fobj)), jnp.asarray(con)
+
+    def eval_obj_con_gradient(self, x):
+        xnp = np.asarray(x)
+        g = np.zeros(self.nvars)
+        if self._csr is not None:
+            data = np.zeros(self.csr_rowp[-1])
+            A = [np.zeros(self.nvars) for _ in range(self.ncon)]
+            fail = self.evalSparseObjConGradient(xnp, g, A, data)
+            self._data = data
+        else:
+            A = [np.zeros(self.nvars) for _ in range(self.ncon)]
+            fail = self.evalObjConGradient(xnp, g, A)
+        Amat = (np.stack(A) if self.ncon
+                else np.zeros((0, self.nvars)))
+        return jnp.asarray(g), jnp.asarray(Amat)
+
+    # -- sparse-constraint surface -------------------------------------------
+    def eval_sparse_con(self, x):
+        xnp = np.asarray(x)
+        if self._csr is not None:
+            cw = np.zeros(self.nwcon)
+            self.evalSparseObjCon(xnp, cw)
+            return jnp.asarray(cw)
+        out = np.zeros(self.nwcon)
+        self.evalSparseCon(xnp, out)
+        return jnp.asarray(out)
+
+    def sparse_jacobian_vec(self, x, px):
+        if self._csr is not None:
+            return self.sparse_jacobian(x).matvec(px)
+        out = np.zeros(self.nwcon)
+        self.addSparseJacobian(1.0, np.asarray(x), np.asarray(px), out)
+        return jnp.asarray(out)
+
+    def sparse_jacobian_tvec(self, x, zw):
+        if self._csr is not None:
+            return self.sparse_jacobian(x).rmatvec(zw)
+        out = np.zeros(self.nvars)
+        self.addSparseJacobianTranspose(1.0, np.asarray(x), np.asarray(zw),
+                                        out)
+        return jnp.asarray(out)
+
+    def sparse_inner_product(self, x, cvec):
+        if self._csr is not None:
+            return self.sparse_jacobian(x).inner_product_blocks(cvec)
+        nb = self.nwblock
+        A = np.zeros((self.nwcon // nb, nb, nb))
+        self.addSparseInnerProduct(1.0, np.asarray(x), np.asarray(cvec),
+                                   A.reshape(-1) if nb == 1 else A)
+        return jnp.asarray(A.reshape(self.nwcon // nb, nb, nb))
+
+    def sparse_jacobian(self, x):
+        if self._csr is not None:
+            counts = np.diff(self.csr_rowp)
+            vals = np.zeros((self.nwcon, self._kmax))
+            for i in range(self.nwcon):
+                k = counts[i]
+                vals[i, :k] = self._data[
+                    self.csr_rowp[i]:self.csr_rowp[i + 1]]
+            return _problem.SparseJacobian(self.nvars, self._pad_cols,
+                                           jnp.asarray(vals), nwblock=1)
+        # block-callback variant: materialize the padded pattern once by
+        # probing the transpose operator with basis vectors is too costly;
+        # require nwblock-structured problems to use the framework surface.
+        raise NotImplementedError(
+            "block sparse callbacks: override sparse_jacobian() or use the "
+            "framework Problem surface")
+
+    def create_quasi_def_mat(self):
+        from .ops.sparse_native import CSRQuasiDefMat
+        return CSRQuasiDefMat(self.nvars, self.csr_rowp, self.csr_cols)
+
+
+def _wrap_options(options):
+    return dict(options) if options else {}
+
+
+class Optimizer(_Optimizer):
+    """`ParOpt.Optimizer(problem, options)` facade (ParOpt.pyx:1461-1522)."""
+
+    def __init__(self, problem, options: Optional[Dict[str, Any]] = None):
+        super().__init__(problem, _wrap_options(options))
+
+    def getOptimizedPoint(self):
+        x, z, zw, zl, zu = self.get_optimized_point()
+        return np.asarray(x), np.asarray(z), np.asarray(zw), \
+            np.asarray(zl), np.asarray(zu)
+
+
+class InteriorPoint(_InteriorPoint):
+    def getOptimizedPoint(self):
+        return tuple(np.asarray(v) for v in self.get_optimized_point())
+
+    def checkGradients(self, dh):
+        return self.problem.check_gradients(dh)
+
+
+TrustRegion = _TrustRegion
+MMA = _MMA

@@ -195,11 +195,12 @@ class EigenSubproblem(QuadraticSubproblem):
         if self._update_fn is not None:
             self._update_fn(xt, eigh)
         if z is not None and self.approx.qn is not None:
-            y = self.gt - (self.At.T @ z if self.ncon else 0.0)
             y0 = self.gk - (self.Ak.T @ z if self.ncon else 0.0)
             if self.nwcon > 0:
-                y = y - self.prob.sparse_jacobian_tvec(xt, zw)
                 y0 = y0 - self.prob.sparse_jacobian_tvec(self.xk, zw)
+            y = self.gt - (self.At.T @ z if self.ncon else 0.0)
+            if self.nwcon > 0:
+                y = y - self.prob.sparse_jacobian_tvec(xt, zw)
             y = y - y0
             s, y = self.prob.compute_quasi_newton_update_correction(
                 xt, z, zw, p, y)

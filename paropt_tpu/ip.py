@@ -743,6 +743,18 @@ class InteriorPoint:
             self.fobj, self.c, self.cw = fobj, c, cw
 
         g_old, A_old, x_old = self.g, self.A, v.x
+        do_qn = (self.qn is not None and perform_qn_update
+                 and o["use_quasi_newton_update"])
+        z_new, zw_new = new_vars.z, new_vars.zw
+        # the old-point Lagrangian gradient must be formed BEFORE the new
+        # gradient evaluation: stateful problems (CSR data-fill style)
+        # overwrite their stored Jacobian on evaluation
+        # (`computeStepAndUpdate` ordering, ParOptInteriorPoint.cpp:4199-4216)
+        if do_qn:
+            y_old = g_old - (A_old.T @ z_new if d.ncon else 0.0)
+            if d.nwcon > 0:
+                y_old = y_old - self.problem.sparse_jacobian_tvec(x_old,
+                                                                  zw_new)
         self.g, self.A = self._eval_gradients(new_vars.x)
         skipped = damped = 0
         if (self.qn is not None and perform_qn_update
@@ -752,15 +764,10 @@ class InteriorPoint:
             # Hessian approximation (EigenQuasiNewton z0 refresh, the role
             # of qn->update(x, z, zw) at ParOptInteriorPoint.cpp:4263)
             self.qn.update_multipliers(new_vars.x, new_vars.z, new_vars.zw)
-        if (self.qn is not None and perform_qn_update
-                and o["use_quasi_newton_update"]):
-            z_new, zw_new = new_vars.z, new_vars.zw
+        if do_qn:
             y = self.g - (self.A.T @ z_new if d.ncon else 0.0)
-            y_old = g_old - (A_old.T @ z_new if d.ncon else 0.0)
             if d.nwcon > 0:
                 y = y - self.problem.sparse_jacobian_tvec(new_vars.x, zw_new)
-                y_old = y_old - self.problem.sparse_jacobian_tvec(x_old,
-                                                                  zw_new)
             y = y - y_old
             s_step = alpha * p.x
             s_step, y = self.problem.compute_quasi_newton_update_correction(

@@ -164,18 +164,22 @@ class QuadraticSubproblem(Problem):
         update the quasi-Newton pair (`evalTrialStepAndUpdate`,
         `ParOptTrustRegion.cpp:172-212`). Returns (ft, ct)."""
         xt = self.xk + p
+        # old-point Lagrangian gradient BEFORE the new evaluation (stateful
+        # CSR-style problems overwrite their stored Jacobian on evaluation)
+        qn = self.qn_holder.get("state")
+        if qn is not None and update_flag:
+            y0 = self.gk - (self.Ak.T @ z if self.ncon else 0.0)
+            if self.nwcon > 0:
+                y0 = y0 - self.prob.sparse_jacobian_tvec(self.xk, zw)
         ft, ct = self.prob.eval_obj_con(xt)
         self.ft = jnp.asarray(ft)
         self.ct = jnp.asarray(ct).reshape(self.ncon)
         self.gt, self.At = self.prob.eval_obj_con_gradient(xt)
         self.qn_update_type = (0, 0)
-        qn = self.qn_holder.get("state")
         if qn is not None and update_flag:
             y = self.gt - (self.At.T @ z if self.ncon else 0.0)
-            y0 = self.gk - (self.Ak.T @ z if self.ncon else 0.0)
             if self.nwcon > 0:
                 y = y - self.prob.sparse_jacobian_tvec(xt, zw)
-                y0 = y0 - self.prob.sparse_jacobian_tvec(self.xk, zw)
             y = y - y0
             s, y = self.prob.compute_quasi_newton_update_correction(
                 xt, z, zw, p, y)

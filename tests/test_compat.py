@@ -1,0 +1,140 @@
+"""Reference-API compatibility layer: reference example code ported with
+only the import line changed (fill-style callbacks, fail-flag returns)."""
+
+import numpy as np
+
+from paropt_tpu import compat as ParOpt
+
+
+class Rosenbrock(ParOpt.Problem):
+    """Verbatim structure of `examples/rosenbrock/rosenbrock.py`."""
+
+    def __init__(self):
+        self.nvars = 2
+        self.ncon = 1
+        super(Rosenbrock, self).__init__(None, nvars=self.nvars,
+                                         ncon=self.ncon)
+
+    def getVarsAndBounds(self, x, lb, ub):
+        x[:] = np.array([-1.5, -1.0])
+        lb[:] = -2.0
+        ub[:] = 2.0
+
+    def evalObjCon(self, x):
+        fail = 0
+        con = np.zeros(1)
+        fobj = 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+        con[0] = x[0] + x[1] + 5.0
+        return fail, fobj, con
+
+    def evalObjConGradient(self, x, g, A):
+        fail = 0
+        g[0] = -400.0 * (x[1] - x[0] ** 2) * x[0] - 2.0 * (1.0 - x[0])
+        g[1] = 200.0 * (x[1] - x[0] ** 2)
+        A[0][0] = 1.0
+        A[0][1] = 1.0
+        return fail
+
+
+def test_compat_rosenbrock_tr():
+    rosen = Rosenbrock()
+    options = {
+        "algorithm": "tr",
+        "qn_type": "bfgs",
+        "qn_update_type": "damped_update",
+        "tr_init_size": 0.5,
+        "tr_min_size": 1e-6,
+        "tr_max_size": 10.0,
+        "tr_eta": 0.1,
+        "tr_adaptive_gamma_update": True,
+        "tr_max_iterations": 200,
+        "tr_output_file": None,
+        "output_file": None,
+    }
+    opt = ParOpt.Optimizer(rosen, options)
+    res = opt.optimize()
+    x, z, zw, zl, zu = opt.getOptimizedPoint()
+    assert res["converged"], res
+    assert np.allclose(x, [1.0, 1.0], atol=1e-3), x
+
+
+def test_compat_interior_point():
+    rosen = Rosenbrock()
+    ip = ParOpt.InteriorPoint(rosen, {"output_file": None,
+                                      "abs_res_tol": 1e-7})
+    res = ip.optimize()
+    x, z, zw, zl, zu = ip.getOptimizedPoint()
+    assert res["converged"]
+    assert np.allclose(x, [1.0, 1.0], atol=1e-4)
+
+
+class ElectronCompat(ParOpt.Problem):
+    """CSR sparse-constraint compat surface
+    (`examples/COPS/electron/electron.py` structure)."""
+
+    def __init__(self, n=6):
+        self.n = n
+        rowp = [0]
+        cols = []
+        for i in range(n):
+            cols.extend([i, n + i, 2 * n + i])
+            rowp.append(len(cols))
+        super().__init__(None, nvars=3 * n, num_sparse_constraints=n,
+                         num_sparse_inequalities=0, rowp=rowp, cols=cols)
+
+    def getVarsAndBounds(self, x, lb, ub):
+        np.random.seed(0)
+        n = self.n
+        alpha = np.random.uniform(0.0, 2 * np.pi, n)
+        beta = np.random.uniform(-np.pi, np.pi, n)
+        x[:n] = np.cos(beta) * np.cos(alpha)
+        x[n:2 * n] = np.cos(beta) * np.sin(alpha)
+        x[2 * n:] = np.sin(beta)
+        lb[:] = -10.0
+        ub[:] = 10.0
+
+    def _pairs(self, x):
+        n = self.n
+        pts = np.stack([x[:n], x[n:2 * n], x[2 * n:]], axis=1)
+        iu = np.triu_indices(n, k=1)
+        d = pts[iu[0]] - pts[iu[1]]
+        return iu, pts, (d * d).sum(axis=1)
+
+    def evalSparseObjCon(self, x, sparse_con):
+        n = self.n
+        _, _, dsq = self._pairs(x)
+        fobj = np.sum(np.maximum(dsq, 1e-10) ** -0.5)
+        sparse_con[:] = 1.0 - (x[:n] ** 2 + x[n:2 * n] ** 2 + x[2 * n:] ** 2)
+        return 0, fobj, []
+
+    def evalSparseObjConGradient(self, x, g, A, data):
+        n = self.n
+        iu, pts, dsq = self._pairs(x)
+        dsq = np.maximum(dsq, 1e-10)
+        coef = -(dsq ** -1.5)
+        grad = np.zeros((n, 3))
+        diff = pts[iu[0]] - pts[iu[1]]
+        for k in range(len(iu[0])):
+            grad[iu[0][k]] += coef[k] * diff[k]
+            grad[iu[1][k]] -= coef[k] * diff[k]
+        g[:n] = grad[:, 0]
+        g[n:2 * n] = grad[:, 1]
+        g[2 * n:] = grad[:, 2]
+        for i in range(n):
+            data[3 * i] = -2.0 * x[i]
+            data[3 * i + 1] = -2.0 * x[n + i]
+            data[3 * i + 2] = -2.0 * x[2 * n + i]
+        return 0
+
+
+def test_compat_csr_sparse():
+    prob = ElectronCompat(n=6)
+    ip = ParOpt.InteriorPoint(prob, {"output_file": None,
+                                     "abs_res_tol": 1e-6,
+                                     "max_major_iters": 300})
+    res = ip.optimize()
+    assert res["converged"], res
+    x = np.asarray(res["x"])
+    n = 6
+    radii = x[:n] ** 2 + x[n:2 * n] ** 2 + x[2 * n:] ** 2
+    assert np.allclose(radii, 1.0, atol=1e-5)
