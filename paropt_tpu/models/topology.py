@@ -58,9 +58,16 @@ class SyntheticTopology(Problem):
         self._dtype = dt
 
     def _filter(self, x):
+        # shift-and-add stencil: small-width 1-D convolutions lower poorly
+        # on the TPU MXU; explicit shifts are pure VPU work (and so is the
+        # autodiff transpose)
         pad = self.kernel.shape[0] // 2
         xp = jnp.pad(x, pad, mode="edge")
-        return jnp.convolve(xp, self.kernel, mode="valid")[:x.shape[0]]
+        n = x.shape[0]
+        out = jnp.zeros_like(x)
+        for j in range(self.kernel.shape[0]):
+            out = out + self.kernel[j] * jax.lax.dynamic_slice(xp, (j,), (n,))
+        return out
 
     def objective(self, x):
         xf = self._filter(x)

@@ -227,22 +227,28 @@ class Problem:
 
     # -- verification --------------------------------------------------------
     def check_gradients(self, dh: float = 1e-6, x: Optional[jnp.ndarray] = None,
-                        check_hvec_product: bool = False, verbose: bool = True):
+                        check_hvec_product: bool = False, verbose: bool = True,
+                        mode: str = "central"):
         return check_gradients(self, dh, x=x,
                                check_hvec_product=check_hvec_product,
-                               verbose=verbose)
+                               verbose=verbose, mode=mode)
 
 
 def check_gradients(problem: Problem, dh: float = 1e-6, x=None,
-                    check_hvec_product: bool = False, verbose: bool = True):
-    """Finite-difference / exact derivative verification.
+                    check_hvec_product: bool = False, verbose: bool = True,
+                    mode: str = "central"):
+    """Finite-difference / complex-step derivative verification.
 
     Equivalent of ``ParOptProblem::checkGradients`` (`ParOptProblem.cpp:
     225-622`): probes the objective/constraint gradients along px = sign(g),
     checks Jacobian/transpose adjoint consistency <zw, Aw px> == <Aw^T zw, px>
     (`:503-519`) and the block inner-product Aw C Aw^T against products
-    (`:521-586`).  Where the reference needs a complex-step build for exact
-    derivatives, we difference against float64 central differences.
+    (`:521-586`).
+
+    mode='central' uses float64 central differences; mode='complex' uses the
+    complex-step derivative Im(f(x + i·dh·px))/dh — exact to machine
+    precision for real-analytic jnp objectives, the role of the reference's
+    ``PAROPT_USE_COMPLEX`` recompile (`ParOptVec.h:17-23`, SURVEY.md §4).
 
     Returns a dict of relative errors.
     """
@@ -255,6 +261,25 @@ def check_gradients(problem: Problem, dh: float = 1e-6, x=None,
     f0, c0 = problem.eval_obj_con(x)
     g, A = problem.eval_obj_con_gradient(x)
     px = jnp.where(g >= 0, 1.0, -1.0).astype(dtype)
+
+    if mode == "complex":
+        xc = x.astype(jnp.complex128) + 1j * dh * px.astype(jnp.complex128)
+        fc, cc = problem.eval_obj_con(xc)
+        fd_obj = jnp.imag(fc) / dh
+        fd_con_c = jnp.imag(cc) / dh if problem.ncon else None
+        an_obj = jnp.vdot(g, px)
+        out["obj_gradient"] = float(
+            abs(fd_obj - an_obj) / max(abs(float(an_obj)), 1e-30))
+        if problem.ncon > 0:
+            an_con = A @ px
+            denom = jnp.maximum(jnp.abs(an_con), 1e-30)
+            out["con_gradient"] = float(
+                jnp.max(jnp.abs(fd_con_c - an_con) / denom))
+        if verbose:
+            for k, v in out.items():
+                print(f"  check_gradients[complex]: {k:22s} "
+                      f"rel err {v:10.3e}")
+        return out
 
     fp, cp = problem.eval_obj_con(x + dh * px)
     fm, cm = problem.eval_obj_con(x - dh * px)

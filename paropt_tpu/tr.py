@@ -203,6 +203,20 @@ class QuadraticSubproblem(Problem):
         self.ft = None
         self.ct = None
 
+    # -- second-order correction (`updateSocCon`/`startSecondOrderCorrection`)
+    def update_soc_con(self, step, ct):
+        """c_soc = c(xk + step) - Ak*step, so the linearized model about the
+        SOC origin reproduces the actual constraint values at the rejected
+        trial point."""
+        self.c_soc = jnp.asarray(ct) - (self.Ak @ step if self.ncon
+                                        else jnp.zeros(0))
+
+    def start_soc(self):
+        self.is_soc_step = True
+
+    def end_soc(self):
+        self.is_soc_step = False
+
     # -- Problem interface (in the step variable p) --------------------------
 
     def get_vars_and_bounds(self):
@@ -458,7 +472,7 @@ class TrustRegion:
             Aw_cols=cols, Aw_vals=vals, nwblock=sub.nwblock,
             Aw_blocked=blocked)
 
-    def _qp_params(self, obj_scale=1.0) -> "QPParams":
+    def _qp_params(self, obj_scale=1.0, ck_override=None) -> "QPParams":
         sub = self.subproblem
         dt = self.ip.dtype
         qn = self.qn_holder.get("state")
@@ -469,9 +483,10 @@ class TrustRegion:
         nwcon = sub.nwcon
         cwk = (jnp.asarray(sub.cwk, dt) if nwcon > 0
                else jnp.zeros(0, dt))
+        ck = sub.ck if ck_override is None else ck_override
         return QPParams(
             fk=jnp.asarray(sub.fk, dt), gk=jnp.asarray(sub.gk, dt),
-            ck=jnp.asarray(sub.ck, dt), Ak=jnp.asarray(sub.Ak, dt),
+            ck=jnp.asarray(ck, dt), Ak=jnp.asarray(sub.Ak, dt),
             cwk=cwk,
             Aw_cols=sub.Awk.cols if nwcon > 0 else None,
             Aw_vals=(jnp.asarray(sub.Awk.vals, dt) if nwcon > 0 else None),
@@ -517,7 +532,7 @@ class TrustRegion:
         g_inf = float(jnp.max(jnp.abs(s.gk)))
         return l1 / max(g_l1, zmax), linf / max(g_inf, zmax)
 
-    def _solve_subproblem(self):
+    def _solve_subproblem(self, ck_override=None):
         if self._custom_sub:
             self.ip.reset_design_and_bounds()
             self.ip.set_penalty_gamma(jnp.asarray(self.penalty_gamma))
@@ -532,7 +547,7 @@ class TrustRegion:
         gamma_s = jnp.where(idx < self.problem.ninequality, 0.0, gam)
         data = self._fused_data(gamma_s, gam,
                                 self.options["penalty_gamma"])
-        params = self._qp_params()
+        params = self._qp_params(ck_override=ck_override)
         compact = (params.b0, params.Z, params.M)
         p0 = 0.5 * (self.subproblem.lk + self.subproblem.uk)
         st = self._fused_qp.solve(p0.astype(self.ip.dtype), data, params,
@@ -748,6 +763,50 @@ class TrustRegion:
                        if not (f <= fe and h <= he)]
         self.filter.append((f, h))
 
+    def _is_accepted_by_soc(self, step, ft, ct):
+        """Second-order-correction loop (`isAcceptedBySoc`,
+        `ParOptTrustRegion.cpp:2228-2355`): re-solve the QP with the
+        constraint linearization shifted to reproduce the rejected trial
+        values; accept when filter-acceptable.  Returns
+        (success, step, ft, ct, niters)."""
+        o = self.options
+        max_soc = o["tr_max_soc_iterations"]
+        infeas_tol = o["tr_infeas_tol"]
+        nineq = self.problem.ninequality
+        gam = jnp.asarray(self.penalty_gamma)
+
+        def merit_and_infeas(f, c):
+            h = self._model_infeas(c)
+            m = float(f) + self._model_infeas(c, gam)
+            return m, h
+
+        best_step, best_ft, best_ct = step, ft, ct
+        merit_old, infeas_old = merit_and_infeas(ft, ct)
+        niters = 0
+        for _ in range(max_soc):
+            c_soc = jnp.asarray(ct) - (self.subproblem.Ak @ step
+                                       if self.problem.ncon else ct)
+            step, z, zw = self._solve_subproblem(ck_override=c_soc)
+            ft, ct = self.subproblem.eval_trial_step_and_update(
+                bool(o["tr_soc_update_qn"]), step, z, zw)
+            ft = float(ft)
+            niters += 1
+            merit_new, infeas_new = merit_and_infeas(ft, ct)
+            r = infeas_new / max(infeas_old, 1e-300)
+            infeas_old = infeas_new
+            if merit_new < merit_old:
+                best_step, best_ft, best_ct = step, ft, ct
+                merit_old = merit_new
+            zabs = np.abs(np.asarray(z)) if self.problem.ncon else np.zeros(0)
+            infeas_qp = bool(
+                (zabs + infeas_tol >= np.asarray(self.penalty_gamma)).any())
+            if self._acceptable_by_filter(ft, infeas_new):
+                self._add_to_filter(ft, infeas_new)
+                return True, step, ft, ct, niters
+            if infeas_qp or r > 0.25 or infeas_new < infeas_tol:
+                return False, best_step, best_ft, best_ct, niters
+        return False, best_step, best_ft, best_ct, niters
+
     def _filter_optimize(self) -> Dict[str, Any]:
         o = self.options
         max_iters = o["tr_max_iterations"]
@@ -832,6 +891,21 @@ class TrustRegion:
                     accepted = True
                     if smax >= 0.99 * self.tr_size:
                         increase_tr = True
+                elif o["tr_use_soc"]:
+                    ok, step, ft, ct, _soc_iters = self._is_accepted_by_soc(
+                        step, ft, ct)
+                    infeas_trial = self._model_infeas(ct)
+                    smax = float(jnp.max(jnp.abs(step))) if ok else 0.0
+                    if ok:
+                        self.subproblem.accept_trial_step(step)
+                        accepted = True
+                        if smax >= 0.99 * self.tr_size:
+                            increase_tr = True
+                        info_rej = "SocSucc"
+                    else:
+                        self.subproblem.reject_trial_step()
+                        decrease_tr = True
+                        info_rej = "SocFail"
                 else:
                     self.subproblem.reject_trial_step()
                     smax = 0.0

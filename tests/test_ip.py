@@ -168,3 +168,12 @@ def test_scaled_bfgs_linear_objective():
     res2 = ip2.optimize()
     assert np.allclose(np.asarray(res["x"]), np.asarray(res2["x"]),
                        atol=1e-5)
+
+
+def test_complex_step_gradient_check():
+    """Complex-step derivative verification (the reference's complex-build
+    'sanitizer' equivalent): exact to machine precision."""
+    prob = Rosenbrock()
+    errs = prob.check_gradients(1e-30, mode="complex", verbose=False)
+    assert errs["obj_gradient"] < 1e-14
+    assert errs["con_gradient"] < 1e-14

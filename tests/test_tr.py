@@ -85,3 +85,16 @@ def test_tr_log_contract(tmp_path):
     hist = unpack_tr_output(path)
     assert len(hist["iter"]) == res["niter"]
     assert hist["fobj"][-1] == pytest.approx(res["fobj"], rel=1e-3, abs=1e-6)
+
+
+def test_tr_filter_with_soc():
+    """Filter method with second-order correction enabled."""
+    prob = Rosenbrock()
+    tr = TrustRegion(prob, _tr_opts({
+        "tr_accept_step_strategy": "filter_method",
+        "tr_use_soc": True,
+        "tr_max_soc_iterations": 5,
+    }))
+    res = tr.optimize()
+    assert res["converged"], res
+    assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-3)
