@@ -318,13 +318,44 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
     d = _refresh_data(d, state.g, state.A, state.c, state.cw)
     tol = opts.abs_res_tol
 
-    # -- barrier update (monotone / complementarity fraction) ---------------
-    r0 = kkt.kkt_residual(v, d, state.mu, opts.rel_bound_barrier)
-    res0 = _norms(r0, opts.norm_type)
+    # -- factorization (μ-independent) --------------------------------------
     comp = kkt.average_complementarity(v, d)
+    cq = _get_compact(opts, model, state, model_params, compact)
+    f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=opts.qn_sigma)
+
+    # -- barrier strategy ----------------------------------------------------
+    ls_base = state.line_search_test
+    p_aff_s = None
     if opts.barrier_strategy == "complementarity_fraction":
         mu = jnp.maximum(opts.monotone_barrier_fraction * comp, 0.1 * tol)
-    else:
+    elif opts.barrier_strategy in ("mehrotra",
+                                   "mehrotra_predictor_corrector"):
+        # affine predictor toward μ = 0 from the same factorization
+        # (ParOptInteriorPoint.cpp:4999-5051)
+        r_aff = kkt.kkt_residual(v, d, jnp.zeros((), dtype),
+                                 opts.rel_bound_barrier)
+        p_aff = kkt.solve_kkt(v, d, f, r_aff, qn_compact=cq)
+        ax_a, az_a = kkt.max_step_lengths(v, d, p_aff,
+                                          jnp.asarray(1.0, dtype))
+        ax_a = jnp.minimum(ax_a, 1.0)
+        az_a = jnp.minimum(az_a, 1.0)
+        comp_aff = kkt.average_complementarity(v.axpy(ax_a, az_a, p_aff), d)
+        sigma = jnp.maximum((comp_aff / jnp.maximum(comp, 1e-300)) ** 3,
+                            0.01)
+        # keep the barrier non-increasing: letting μ chase a growing
+        # complementarity can drive the solve into the elastic regime
+        mu = jnp.clip(jnp.maximum(sigma * comp, 0.09999 * tol),
+                      0.09999 * tol, state.mu)
+        if opts.barrier_strategy == "mehrotra_predictor_corrector":
+            p_aff_s = IPVars(
+                x=ax_a * p_aff.x, zl=az_a * p_aff.zl, zu=az_a * p_aff.zu,
+                s=ax_a * p_aff.s, t=ax_a * p_aff.t, z=az_a * p_aff.z,
+                zs=az_a * p_aff.zs, zt=az_a * p_aff.zt, sw=ax_a * p_aff.sw,
+                tw=ax_a * p_aff.tw, zw=az_a * p_aff.zw,
+                zsw=az_a * p_aff.zsw, ztw=az_a * p_aff.ztw)
+    else:  # monotone
+        r0 = kkt.kkt_residual(v, d, state.mu, opts.rel_bound_barrier)
+        res0 = _norms(r0, opts.norm_type)
         barrier_conv = (state.k > 0) & ((res0 < 10.0 * state.mu)
                                         | (state.line_search_test >= 2))
         mu_frac = opts.monotone_barrier_fraction * state.mu
@@ -332,23 +363,29 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
         new_mu = jnp.minimum(mu_frac, mu_pow)
         new_mu = jnp.maximum(new_mu, 0.09999 * tol)
         mu = jnp.where(barrier_conv, new_mu, state.mu)
-    # reset the no-improvement counter when a new barrier problem starts
-    # (ParOptInteriorPoint.cpp:4697-4700)
-    if opts.barrier_strategy == "monotone":
+        # reset the no-improvement counter when a new barrier problem
+        # starts (ParOptInteriorPoint.cpp:4697-4700)
         ls_base = jnp.where(barrier_conv & (state.mu > 0.1 * tol),
                             jnp.zeros((), jnp.int32), state.line_search_test)
-    else:
-        ls_base = state.line_search_test
 
     r = kkt.kkt_residual(v, d, mu, opts.rel_bound_barrier)
-    res_norm = _norms(r, opts.norm_type)
+    if p_aff_s is not None:
+        # corrector: second-order Δ·Δ complementarity terms
+        r = dataclasses.replace(
+            r,
+            zs=r.zs + p_aff_s.s * p_aff_s.zs,
+            zt=r.zt + p_aff_s.t * p_aff_s.zt,
+            zsw=r.zsw + p_aff_s.sw * p_aff_s.zsw,
+            ztw=r.ztw + p_aff_s.tw * p_aff_s.ztw,
+            zl=jnp.where(d.lb_mask > 0, r.zl + p_aff_s.x * p_aff_s.zl, 0.0),
+            zu=jnp.where(d.ub_mask > 0, r.zu - p_aff_s.x * p_aff_s.zu, 0.0))
+    res_norm = _norms(kkt.kkt_residual(v, d, mu, opts.rel_bound_barrier)
+                      if p_aff_s is not None else r, opts.norm_type)
 
     converged = (state.k > 0) & (mu <= 0.1 * tol) & (
         (res_norm < tol) | (state.line_search_test >= 2))
 
     # -- KKT step -----------------------------------------------------------
-    cq = _get_compact(opts, model, state, model_params, compact)
-    f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=opts.qn_sigma)
     p = kkt.solve_kkt(v, d, f, r, refine_steps=opts.iterative_refinement_steps,
                       qn_compact=cq)
 

@@ -160,8 +160,6 @@ class MMA(Problem):
     def _build_fused(self):
         o = self.options
         barrier = o["barrier_strategy"]
-        if barrier not in ("monotone", "complementarity_fraction"):
-            barrier = "monotone"
         fopts = FusedIPOptions(
             abs_res_tol=o["abs_res_tol"],
             init_barrier_param=o["init_barrier_param"],

@@ -394,8 +394,6 @@ class TrustRegion:
     def _fused_opts(self, barrier: str, start: str,
                     slm: bool) -> FusedIPOptions:
         o = self.options
-        if barrier not in ("monotone", "complementarity_fraction"):
-            barrier = "monotone"  # fused path supports these two
         if start == "default":
             start = "affine_step"
         return FusedIPOptions(

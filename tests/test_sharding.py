@@ -126,3 +126,30 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     a = fused.step(st, data_s, (), None)
     b = fused.step(st2, data_s, (), None)
     assert _tree_maxdiff(a, b) == 0.0
+
+
+def test_fused_mehrotra_strategies():
+    """Fused solver with Mehrotra and predictor-corrector barriers reaches
+    the same solution as monotone."""
+    n = 512
+    x_ref = None
+    for strat in ("monotone", "mehrotra", "mehrotra_predictor_corrector"):
+        prob = SyntheticTopology(n=n, block=8)
+        model = ip_fused.model_from_problem(prob)
+        opts = ip_fused.FusedIPOptions(use_quasi_newton_update=True,
+                                       abs_res_tol=1e-5,
+                                       barrier_strategy=strat,
+                                       max_major_iters=400)
+        fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                                 prob.nwblock, opts)
+        data, x0 = ip_fused.data_template_from_problem(prob)
+        qn0 = qnmod.qn_init(10, prob.nvars)
+        out = fused.solve(x0, data, (), qn0, None)
+        assert bool(out.converged), (strat, float(out.res_norm), int(out.k))
+        assert float(out.c[0]) > -1e-6, strat  # volume feasible
+        # at tol 1e-5 the iterates may differ in flat directions; the
+        # optimal objective must agree tightly
+        if x_ref is None:
+            x_ref = float(out.fobj)
+        else:
+            assert abs(float(out.fobj) - x_ref) < 1e-4, (strat, out.fobj)
