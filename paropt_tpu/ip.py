@@ -938,7 +938,15 @@ class InteriorPoint:
         hessian_reset_freq = o["hessian_reset_freq"]
         write_freq = o["write_output_frequency"]
         output_file = o["output_file"]
-        self._logger = IPLogger(output_file)
+        summary = ""
+        if output_file:
+            # full option summary at the log header (printOptionSummary,
+            # ParOptInteriorPoint.cpp:869-881)
+            lines = ["options:"]
+            for name in o:
+                lines.append(f"  {name} = {o[name]!r}")
+            summary = "\n".join(lines) + "\n"
+        self._logger = IPLogger(output_file, options_summary=summary)
         use_qn_default = (self.qn is not None and not seq_linear)
 
         # initial evaluation (failure aborts, ParOptInteriorPoint.cpp:4549)
