@@ -323,6 +323,19 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
     cq = _get_compact(opts, model, state, model_params, compact)
     f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=opts.qn_sigma)
 
+    # the KKT residual is affine in μ (only the complementarity rows carry
+    # −μ), so compute it ONCE at μ = 0 and shift
+    r00 = kkt.kkt_residual(v, d, jnp.zeros((), dtype),
+                           opts.rel_bound_barrier)
+    rbb = opts.rel_bound_barrier
+
+    def _residual_at(m):
+        return dataclasses.replace(
+            r00,
+            zs=r00.zs - m, zt=r00.zt - m, zsw=r00.zsw - m, ztw=r00.ztw - m,
+            zl=jnp.where(d.lb_mask > 0, r00.zl - rbb * m, 0.0),
+            zu=jnp.where(d.ub_mask > 0, r00.zu - rbb * m, 0.0))
+
     # -- barrier strategy ----------------------------------------------------
     ls_base = state.line_search_test
     p_aff_s = None
@@ -332,9 +345,7 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
                                    "mehrotra_predictor_corrector"):
         # affine predictor toward μ = 0 from the same factorization
         # (ParOptInteriorPoint.cpp:4999-5051)
-        r_aff = kkt.kkt_residual(v, d, jnp.zeros((), dtype),
-                                 opts.rel_bound_barrier)
-        p_aff = kkt.solve_kkt(v, d, f, r_aff, qn_compact=cq)
+        p_aff = kkt.solve_kkt(v, d, f, r00, qn_compact=cq)
         ax_a, az_a = kkt.max_step_lengths(v, d, p_aff,
                                           jnp.asarray(1.0, dtype))
         ax_a = jnp.minimum(ax_a, 1.0)
@@ -354,8 +365,7 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
                 tw=ax_a * p_aff.tw, zw=az_a * p_aff.zw,
                 zsw=az_a * p_aff.zsw, ztw=az_a * p_aff.ztw)
     else:  # monotone
-        r0 = kkt.kkt_residual(v, d, state.mu, opts.rel_bound_barrier)
-        res0 = _norms(r0, opts.norm_type)
+        res0 = _norms(_residual_at(state.mu), opts.norm_type)
         barrier_conv = (state.k > 0) & ((res0 < 10.0 * state.mu)
                                         | (state.line_search_test >= 2))
         mu_frac = opts.monotone_barrier_fraction * state.mu
@@ -368,7 +378,8 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
         ls_base = jnp.where(barrier_conv & (state.mu > 0.1 * tol),
                             jnp.zeros((), jnp.int32), state.line_search_test)
 
-    r = kkt.kkt_residual(v, d, mu, opts.rel_bound_barrier)
+    r = _residual_at(mu)
+    res_norm = _norms(r, opts.norm_type)
     if p_aff_s is not None:
         # corrector: second-order Δ·Δ complementarity terms
         r = dataclasses.replace(
@@ -379,8 +390,6 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
             ztw=r.ztw + p_aff_s.tw * p_aff_s.ztw,
             zl=jnp.where(d.lb_mask > 0, r.zl + p_aff_s.x * p_aff_s.zl, 0.0),
             zu=jnp.where(d.ub_mask > 0, r.zu - p_aff_s.x * p_aff_s.zu, 0.0))
-    res_norm = _norms(kkt.kkt_residual(v, d, mu, opts.rel_bound_barrier)
-                      if p_aff_s is not None else r, opts.norm_type)
 
     converged = (state.k > 0) & (mu <= 0.1 * tol) & (
         (res_norm < tol) | (state.line_search_test >= 2))
