@@ -131,3 +131,70 @@ class ParOpt(_PyOptOptimizer):
         opt_time = (datetime.datetime.now() - self.startTime).total_seconds()
         sol = self._createSolution(opt_time, sol_inform, fobj, xstar)
         return sol
+
+
+class _SparseAdapter(Problem):
+    """CSR sparse-constraint adapter (`ParOptSparseProblem` in
+    `paropt_pyoptsparse.py:17-90`): every pyOptSparse constraint becomes a
+    sparse weighting constraint with the CSR pattern extracted from the
+    problem's Jacobian structure."""
+
+    def __init__(self, ptr, nvars, rowp, cols, nwinequality, xs, blx, bux):
+        nwcon = len(rowp) - 1
+        super().__init__(nvars=nvars, ncon=0, nwcon=nwcon,
+                         nwinequality=nwinequality)
+        import numpy as _np
+        self.ptr = ptr
+        self.use_csr_path = True
+        self.csr_rowp = _np.asarray(rowp, _np.int32)
+        self.csr_cols = _np.asarray(cols, _np.int32)
+        counts = _np.diff(self.csr_rowp)
+        self._kmax = int(counts.max()) if nwcon else 0
+        pad = _np.zeros((nwcon, self._kmax), dtype=_np.int32)
+        for i in range(nwcon):
+            pad[i, :counts[i]] = self.csr_cols[
+                self.csr_rowp[i]:self.csr_rowp[i + 1]]
+        import jax.numpy as _jnp
+        self._pad_cols = _jnp.asarray(pad)
+        self._data = _np.zeros(self.csr_rowp[-1])
+        self.xs, self.blx, self.bux = xs, blx, bux
+
+    def get_vars_and_bounds(self):
+        import jax.numpy as jnp
+        return (jnp.asarray(_clip_start(self.xs, self.blx, self.bux)),
+                jnp.asarray(self.blx), jnp.asarray(self.bux))
+
+    def eval_obj_con(self, x):
+        import jax.numpy as jnp
+        fobj, fcon, fail = self.ptr._masterFunc(np.asarray(x),
+                                                ["fobj", "fcon"])
+        self._cw = -np.atleast_1d(fcon)
+        return jnp.asarray(float(fobj)), jnp.zeros(0)
+
+    def eval_sparse_con(self, x):
+        import jax.numpy as jnp
+        _, fcon, _ = self.ptr._masterFunc(np.asarray(x), ["fobj", "fcon"])
+        return jnp.asarray(-np.atleast_1d(fcon))
+
+    def eval_obj_con_gradient(self, x):
+        import jax.numpy as jnp
+        gobj, gcon, fail = self.ptr._masterFunc(np.asarray(x),
+                                                ["gobj", "gcon"])
+        self._data = -np.asarray(gcon).reshape(-1)
+        return (jnp.asarray(np.asarray(gobj).reshape(self.nvars)),
+                jnp.zeros((0, self.nvars)))
+
+    def sparse_jacobian(self, x):
+        import jax.numpy as jnp
+        from ..problem import SparseJacobian
+        counts = np.diff(self.csr_rowp)
+        vals = np.zeros((self.nwcon, self._kmax))
+        for i in range(self.nwcon):
+            vals[i, :counts[i]] = self._data[
+                self.csr_rowp[i]:self.csr_rowp[i + 1]]
+        return SparseJacobian(self.nvars, self._pad_cols, jnp.asarray(vals),
+                              nwblock=1)
+
+    def create_quasi_def_mat(self):
+        from ..ops.sparse_native import CSRQuasiDefMat
+        return CSRQuasiDefMat(self.nvars, self.csr_rowp, self.csr_cols)
