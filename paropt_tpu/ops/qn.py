@@ -46,6 +46,8 @@ class QNState:
     newest last; inactive rows are zero."""
     S: jnp.ndarray          # [m, n]
     Y: jnp.ndarray          # [m, n]
+    SS: jnp.ndarray         # [m, m] Gram S·Sᵀ, maintained incrementally
+    SY: jnp.ndarray         # [m, m] SY[i, j] = s_i · y_j, incremental
     count: jnp.ndarray      # int32 scalar, number of active pairs (<= m)
     b0: jnp.ndarray         # scalar initial diagonal
     z0: jnp.ndarray         # objective-multiplier scale (scaled_bfgs only)
@@ -74,6 +76,8 @@ def qn_init(msub: int, nvars: int, dtype=jnp.float64, qn_type: str = "bfgs",
     return QNState(
         S=jnp.zeros((msub, nvars), dtype=dtype),
         Y=jnp.zeros((msub, nvars), dtype=dtype),
+        SS=jnp.zeros((msub, msub), dtype=dtype),
+        SY=jnp.zeros((msub, msub), dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
         b0=jnp.asarray(b0, dtype=dtype),
         z0=jnp.ones((), dtype=dtype),
@@ -84,6 +88,7 @@ def qn_init(msub: int, nvars: int, dtype=jnp.float64, qn_type: str = "bfgs",
 def qn_reset(state: QNState) -> QNState:
     return dataclasses.replace(
         state, S=jnp.zeros_like(state.S), Y=jnp.zeros_like(state.Y),
+        SS=jnp.zeros_like(state.SS), SY=jnp.zeros_like(state.SY),
         count=jnp.zeros_like(state.count), b0=jnp.ones_like(state.b0))
 
 
@@ -99,11 +104,10 @@ def _assemble_M(state: QNState, b0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     S, Y = state.S, state.Y
     m = state.msub
     mask = _active_mask(state)
-    # inactive rows of S/Y are exactly zero, so no operand masking is needed;
-    # one fused [m, 2m] matmul gives both Gram blocks (the mdot pattern)
-    G2 = S @ jnp.concatenate([S, Y], axis=0).T  # [m, 2m]
-    SS = G2[:, :m]
-    SY = G2[:, m:]                          # SY[i,j] = s_i . y_j
+    # Gram matrices are maintained incrementally in the state (one small
+    # stacked matvec per update) — no [m, n] matmuls here
+    SS = state.SS
+    SY = state.SY                           # SY[i,j] = s_i . y_j
     D = jnp.diag(jnp.diag(SY))
     Lmat = jnp.tril(SY, k=-1)               # strictly lower: s_i.y_j, i > j
     if state.qn_type in ("bfgs", "scaled_bfgs"):
@@ -220,10 +224,25 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
     Y_new = jnp.concatenate([state.Y[1:], y_use[None, :]], axis=0)
     cnt_new = jnp.minimum(state.count + 1, state.msub)
 
+    # incremental Gram update: shift up-left, fill the new last row/col
+    # with ONE stacked matvec (the mdot pattern)
+    dots = jnp.concatenate([S_new, Y_new], axis=0) @ jnp.stack(
+        [s, y_use]).T                        # [2m, 2]
+    m = state.msub
+    Ss = dots[:m, 0]      # S_new · s
+    Sy = dots[:m, 1]      # S_new · y_use  (new SY column)
+    Ys = dots[m:, 0]      # Y_new · s      (new SY row)
+    SS_new = jnp.roll(state.SS, shift=(-1, -1), axis=(0, 1))
+    SS_new = SS_new.at[-1, :].set(Ss).at[:, -1].set(Ss)
+    SY_new = jnp.roll(state.SY, shift=(-1, -1), axis=(0, 1))
+    SY_new = SY_new.at[:, -1].set(Sy).at[-1, :].set(Ys)
+
     new_state = dataclasses.replace(
         state,
         S=jnp.where(skip, state.S, S_new),
         Y=jnp.where(skip, state.Y, Y_new),
+        SS=jnp.where(skip, state.SS, SS_new),
+        SY=jnp.where(skip, state.SY, SY_new),
         count=jnp.where(skip, state.count, cnt_new),
         b0=jnp.where(skip, state.b0, b0_new))
     return new_state, skip.astype(jnp.int32), damped.astype(jnp.int32)

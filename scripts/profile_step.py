@@ -104,5 +104,65 @@ def main():
     timeit("qn_update", k_qn_update, st0.qn, 0.01 * p.x, 0.02 * p.x)
 
 
+def submicro():
+    """Micro-benchmarks of the [K, n] SMW chain pieces."""
+    n = 1 << 20 if jax.default_backend() != "cpu" else 1 << 17
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+    prob = SyntheticTopology(n=n, block=8, dtype=dtype)
+    model = ip_fused.model_from_problem(prob)
+    data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
+    qn0 = qnmod.qn_init(10, prob.nvars, dtype=dtype)
+    opts = ip_fused.FusedIPOptions(use_quasi_newton_update=True)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts, dtype=dtype)
+    st = fused.init(x0, data, (), qn0, None)
+    v = st.vars
+    d = ip_fused._refresh_data(data, st.g, st.A, st.c, st.cw)
+    cq = qnmod.qn_compact(st.qn)
+    Z = cq[1]
+    K = Z.shape[0]
+    print(f"--- submicro K={K} n={n}", flush=True)
+
+    @jax.jit
+    def k_elem(Z):
+        return 1.3 * Z + 0.7
+
+    @jax.jit
+    def k_aw_mat(Z):
+        return kkt.ProblemData.Aw_matvec(d, Z)
+
+    @jax.jit
+    def k_aw_rmat(W):
+        return kkt.ProblemData.Aw_rmatvec(d, W)
+
+    @jax.jit
+    def k_zx(Z, x):
+        return Z @ x
+
+    @jax.jit
+    def k_qdsolve(f, Z):
+        zw = jnp.zeros((K, d.nwcon), Z.dtype)
+        return kkt.quasi_def_solve(f, d, Z, zw)
+
+    @jax.jit
+    def k_compact(qn):
+        return qnmod.qn_compact(qn)
+
+    @jax.jit
+    def k_factor_noqn(v, d):
+        return kkt.setup_kkt_factor(v, d, qn_compact=(cq[0], None, None))
+
+    f0 = k_factor_noqn(v, d)
+    W = k_aw_mat(Z)
+    timeit("elementwise [K,n]", k_elem, Z)
+    timeit("Aw_matvec [K,n]", k_aw_mat, Z)
+    timeit("Aw_rmatvec [K,nw]", k_aw_rmat, W)
+    timeit("Z @ x (one reduction)", k_zx, Z, v.x)
+    timeit("quasi_def_solve [K,n]", k_qdsolve, f0, Z)
+    timeit("qn_compact", k_compact, st.qn)
+    timeit("factor (no QN)", k_factor_noqn, v, d)
+
+
 if __name__ == "__main__":
     main()
+    submicro()
