@@ -465,11 +465,11 @@ class InteriorPoint:
             Aw = prob.sparse_jacobian(self.vars.x)
             Aw_cols, Aw_vals = Aw.cols, jnp.asarray(Aw.vals, self.dtype)
             nwblock = prob.nwblock
-            blocked = kkt.is_blocked_pattern(Aw_cols, prob.nvars)
+            layout = kkt.detect_aw_layout(Aw_cols, prob.nvars)
         else:
             Aw_cols = Aw_vals = None
             nwblock = 1
-            blocked = False
+            layout = "gather"
         if self._csr_mat is not None and prob.nwcon > 0:
             self._csr_mat.set_values(prob._data)
         return ProblemData(
@@ -478,7 +478,7 @@ class InteriorPoint:
             gamma_s=self.gamma_s, gamma_t=self.gamma_t,
             gamma_sw=self.gamma_sw, gamma_tw=self.gamma_tw,
             Aw_cols=Aw_cols, Aw_vals=Aw_vals, nwblock=nwblock,
-            Aw_blocked=blocked)
+            Aw_layout=layout)
 
     # -- multiplier initialization ------------------------------------------
 

@@ -649,10 +649,10 @@ def data_template_from_problem(problem, penalty_gamma: float = 1000.0,
     if nwcon > 0:
         Aw = problem.sparse_jacobian(x0)
         cols, vals = Aw.cols, jnp.asarray(Aw.vals, dtype)
-        blocked = kkt.is_blocked_pattern(cols, n)
+        layout = kkt.detect_aw_layout(cols, n)
     else:
         cols = vals = None
-        blocked = False
+        layout = "gather"
     d = ProblemData(
         g=jnp.zeros(n, dtype), A=jnp.zeros((ncon, n), dtype),
         c=jnp.zeros(ncon, dtype), cw=jnp.zeros(nwcon, dtype),
@@ -666,5 +666,5 @@ def data_template_from_problem(problem, penalty_gamma: float = 1000.0,
             np.where(idxw < problem.nwinequality, 0.0, penalty_gamma), dtype),
         gamma_tw=jnp.full((nwcon,), penalty_gamma, dtype),
         Aw_cols=cols, Aw_vals=vals, nwblock=problem.nwblock,
-        Aw_blocked=blocked)
+        Aw_layout=layout)
     return d, x0

@@ -29,7 +29,7 @@ from typing import NamedTuple
 
 from .ip import InteriorPoint
 from .ip_fused import FusedIP, FusedIPOptions, ModelFns
-from .ops.kkt import ProblemData, is_blocked_pattern
+from .ops.kkt import ProblemData, detect_aw_layout
 from .problem import Problem
 from .utils.logging import MMALogger
 from .utils.options import OptionRegistry, make_options
@@ -191,11 +191,11 @@ class MMA(Problem):
             Aw = self.prob.sparse_jacobian(self.x)
             cols, vals = Aw.cols, jnp.asarray(Aw.vals, dt)
             cwk = jnp.asarray(self.cw, dt)
-            blocked = is_blocked_pattern(cols, self.nvars)
+            layout = detect_aw_layout(cols, self.nvars)
         else:
             cols = vals = None
             cwk = jnp.zeros(0, dt)
-            blocked = False
+            layout = "gather"
         params = MMAParams(
             L=jnp.asarray(self.L, dt), U=jnp.asarray(self.U, dt),
             p0=jnp.asarray(self.p0, dt), q0=jnp.asarray(self.q0, dt),
@@ -219,7 +219,7 @@ class MMA(Problem):
                 np.where(idxw < self.nwinequality, 0.0, gamma), dt),
             gamma_tw=jnp.full((nwcon,), gamma, dt),
             Aw_cols=cols, Aw_vals=vals, nwblock=self.nwblock,
-            Aw_blocked=blocked)
+            Aw_layout=layout)
         st = self._fused.solve(jnp.asarray(self.x, dt), data, params)
         self.subproblem_iter += int(st.k)
         return st.vars.x, st.vars.z, st.vars.zw, st.vars.zl, st.vars.zu

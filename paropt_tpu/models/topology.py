@@ -51,7 +51,11 @@ class SyntheticTopology(Problem):
         self.kernel = k / jnp.sum(k)
         self.eps = 0.01
         if use_sparse:
-            cols = np.arange(n, dtype=np.int32).reshape(nwcon, block)
+            # transposed partition (variable i in block i mod nwcon): the
+            # TPU-optimal layout — every Jacobian product keeps the large
+            # axis minor (see kkt.detect_aw_layout)
+            cols = (np.arange(nwcon, dtype=np.int32)[:, None]
+                    + np.arange(block, dtype=np.int32)[None, :] * nwcon)
             vals = -np.full((nwcon, block), 1.0 / block)
             self._jac = SparseJacobian(nvars=n, cols=jnp.asarray(cols),
                                        vals=jnp.asarray(vals, dt), nwblock=1)
@@ -77,7 +81,7 @@ class SyntheticTopology(Problem):
         return jnp.array([self.volume_fraction - jnp.mean(x)])
 
     def sparse_constraints(self, x):
-        bm = jnp.mean(x.reshape(self.nwcon, self.block), axis=1)
+        bm = jnp.mean(x.reshape(self.block, self.nwcon), axis=0)
         return self.block_cap - bm
 
     def sparse_jacobian(self, x):

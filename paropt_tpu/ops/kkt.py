@@ -58,6 +58,32 @@ def is_blocked_pattern(cols, n) -> bool:
     return c.size == n and bool(_np.array_equal(c.reshape(-1), _np.arange(n)))
 
 
+def detect_aw_layout(cols, n) -> str:
+    """Classify the sparse-Jacobian pattern:
+
+    - 'blocked'   : cols == arange(n).reshape(nwcon, k) — contiguous blocks;
+      products are reshapes to [..., nwcon, k] (minor dim k: fine on CPU,
+      lane-padded on TPU).
+    - 'blocked_t' : cols[i, j] == i + j*nwcon — strided/transposed blocks;
+      products are reshapes to [..., k, nwcon] with the LARGE axis minor —
+      the TPU-optimal layout (no lane padding).
+    - 'gather'    : anything else (general gather/scatter).
+    """
+    import numpy as _np
+    if cols is None:
+        return "gather"
+    c = _np.asarray(cols)
+    if c.size != n:
+        return "gather"
+    nwcon, k = c.shape
+    if _np.array_equal(c.reshape(-1), _np.arange(n)):
+        return "blocked"
+    want = _np.arange(nwcon)[:, None] + _np.arange(k)[None, :] * nwcon
+    if _np.array_equal(c, want):
+        return "blocked_t"
+    return "gather"
+
+
 __all__ = ["IPVars", "ProblemData", "KKTFactor", "kkt_residual",
            "setup_kkt_factor", "solve_kkt", "apply_kkt_matrix",
            "recover_full_step", "max_step_lengths", "average_complementarity"]
@@ -129,12 +155,16 @@ class ProblemData:
     Aw_cols: Optional[jnp.ndarray] = None   # [nwcon, k] sparse Jacobian indices
     Aw_vals: Optional[jnp.ndarray] = None   # [nwcon, k]
     nwblock: int = dataclasses.field(metadata=dict(static=True), default=1)
-    # True when Aw_cols == arange(n).reshape(nwcon, k): the common
-    # partition-structured weighting-constraint pattern (each variable in
-    # exactly one constraint).  Products then become pure reshapes — no
-    # gather/scatter, which are pathologically slow on TPU.
-    Aw_blocked: bool = dataclasses.field(metadata=dict(static=True),
-                                         default=False)
+    # Pattern classification from detect_aw_layout(): 'gather' | 'blocked'
+    # | 'blocked_t'.  Partition patterns lower to pure reshapes (no
+    # gather/scatter, which are pathologically slow on TPU); 'blocked_t'
+    # keeps the large axis minor — the TPU-optimal layout.
+    Aw_layout: str = dataclasses.field(metadata=dict(static=True),
+                                       default="gather")
+
+    @property
+    def Aw_blocked(self):
+        return self.Aw_layout in ("blocked", "blocked_t")
 
     @property
     def n(self):
@@ -150,18 +180,31 @@ class ProblemData:
 
     # -- sparse Jacobian products (static-shape gather/scatter; support a
     #    leading batch axis for the multi-RHS KKT solves) -------------------
+    @property
+    def _vals_t(self):
+        """[k, nwcon] view of the values for the blocked_t layout."""
+        return self.Aw_vals.T
+
     def Aw_matvec(self, px):
         """Aw @ px for px [..., n] -> [..., nwcon]."""
-        if self.Aw_blocked:
-            shaped = px.reshape(px.shape[:-1] + self.Aw_cols.shape)
+        nwcon, k = self.Aw_cols.shape
+        if self.Aw_layout == "blocked_t":
+            shaped = px.reshape(px.shape[:-1] + (k, nwcon))
+            return jnp.sum(self._vals_t * shaped, axis=-2)
+        if self.Aw_layout == "blocked":
+            shaped = px.reshape(px.shape[:-1] + (nwcon, k))
             return jnp.sum(self.Aw_vals * shaped, axis=-1)
         gathered = jnp.take(px, self.Aw_cols, axis=-1)  # [..., nwcon, k]
         return jnp.sum(self.Aw_vals * gathered, axis=-1)
 
     def Aw_rmatvec(self, pzw):
         """Aw' @ pzw for pzw [..., nwcon] -> [..., n]."""
+        nwcon, k = self.Aw_cols.shape
+        if self.Aw_layout == "blocked_t":
+            contrib = self._vals_t * pzw[..., None, :]  # [..., k, nwcon]
+            return contrib.reshape(contrib.shape[:-2] + (self.n,))
         contrib = self.Aw_vals * pzw[..., :, None]      # [..., nwcon, k]
-        if self.Aw_blocked:
+        if self.Aw_layout == "blocked":
             return contrib.reshape(contrib.shape[:-2] + (self.n,))
         flat = contrib.reshape(contrib.shape[:-2] + (-1,))
         idx = self.Aw_cols.reshape(-1)
@@ -171,7 +214,13 @@ class ProblemData:
     def Aw_inner_blocks(self, d):
         """Blocks of Aw @ diag(d) @ Aw' -> [nblocks, nwblock, nwblock]."""
         nb = self.nwblock
-        if self.Aw_blocked:
+        nwcon, k = self.Aw_cols.shape
+        if self.Aw_layout == "blocked_t" and nb == 1:
+            dv = d.reshape(k, nwcon)
+            return jnp.sum(self._vals_t ** 2 * dv, axis=0).reshape(-1, 1, 1)
+        if self.Aw_layout == "blocked_t":
+            dw = d.reshape(k, nwcon).T            # [nwcon, k]
+        elif self.Aw_layout == "blocked":
             dw = d.reshape(self.Aw_cols.shape)    # [nwcon, k]
         else:
             dw = d[self.Aw_cols]                  # [nwcon, k]

@@ -66,24 +66,27 @@ class SparseJacobian:
         assert self.nwcon % max(self.nwblock, 1) == 0
         self.cols = cols
         self.vals = jnp.asarray(vals)
-        # partition-structured pattern => products are pure reshapes
-        import numpy as _np
-        c = _np.asarray(cols)
-        self.blocked = (c.size == self.nvars
-                        and bool(_np.array_equal(c.reshape(-1),
-                                                 _np.arange(self.nvars))))
+        # partition-structured patterns => products are pure reshapes
+        from .ops.kkt import detect_aw_layout
+        self.layout = detect_aw_layout(cols, self.nvars)
+        self.blocked = self.layout in ("blocked", "blocked_t")
 
     # -- products -----------------------------------------------------------
     def matvec(self, px: jnp.ndarray) -> jnp.ndarray:
         """Aw @ px -> [nwcon]."""
-        if self.blocked:
+        if self.layout == "blocked_t":
+            return jnp.sum(self.vals.T * px.reshape(self.k, self.nwcon),
+                           axis=0)
+        if self.layout == "blocked":
             return jnp.sum(self.vals * px.reshape(self.cols.shape), axis=1)
         return jnp.sum(self.vals * px[self.cols], axis=1)
 
     def rmatvec(self, zw: jnp.ndarray) -> jnp.ndarray:
         """Aw^T @ zw -> [nvars]."""
+        if self.layout == "blocked_t":
+            return (self.vals.T * zw[None, :]).reshape(self.nvars)
         contrib = self.vals * zw[:, None]
-        if self.blocked:
+        if self.layout == "blocked":
             return contrib.reshape(self.nvars)
         return jnp.zeros(self.nvars, dtype=contrib.dtype).at[
             self.cols.reshape(-1)
@@ -97,8 +100,12 @@ class SparseJacobian:
         `ParOptSparseMat.cpp:41-224`).
         """
         nb = self.nwblock
-        cw = (c.reshape(self.cols.shape) if self.blocked
-              else c[self.cols])  # [nwcon, k]
+        if self.layout == "blocked_t":
+            cw = c.reshape(self.k, self.nwcon).T
+        elif self.layout == "blocked":
+            cw = c.reshape(self.cols.shape)
+        else:
+            cw = c[self.cols]  # [nwcon, k]
         if nb == 1:
             diag = jnp.sum(self.vals * self.vals * cw, axis=1)
             return diag.reshape(-1, 1, 1)

@@ -35,7 +35,7 @@ import jax
 from .ip import InteriorPoint
 from .ip_fused import FusedIP, FusedIPOptions, ModelFns
 from .ops import qn as qnmod
-from .ops.kkt import ProblemData, is_blocked_pattern
+from .ops.kkt import ProblemData, detect_aw_layout
 from .problem import Problem, SparseJacobian
 from .utils.logging import TRLogger
 from .utils.options import OptionRegistry, make_options
@@ -452,10 +452,10 @@ class TrustRegion:
         ones = jnp.ones(n, dt)
         if nwcon > 0:
             cols, vals = sub.Awk.cols, jnp.asarray(sub.Awk.vals, dt)
-            blocked = is_blocked_pattern(cols, n)
+            layout = detect_aw_layout(cols, n)
         else:
             cols = vals = None
-            blocked = False
+            layout = "gather"
         idxw = np.arange(nwcon)
         gsw = jnp.where(idxw < self.problem.nwinequality, 0.0,
                         gamma_scalar_sparse) * jnp.ones(nwcon, dt)
@@ -468,7 +468,7 @@ class TrustRegion:
             gamma_s=jnp.asarray(gamma_s, dt), gamma_t=jnp.asarray(gamma_t, dt),
             gamma_sw=gsw, gamma_tw=gtw,
             Aw_cols=cols, Aw_vals=vals, nwblock=sub.nwblock,
-            Aw_blocked=blocked)
+            Aw_layout=layout)
 
     def _qp_params(self, obj_scale=1.0, ck_override=None) -> "QPParams":
         sub = self.subproblem
