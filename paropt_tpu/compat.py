@@ -39,7 +39,11 @@ from .utils.logging import (unpack_mma_output, unpack_output,
                             unpack_tr_output)
 
 __all__ = ["Problem", "Optimizer", "InteriorPoint", "TrustRegion", "MMA",
-           "unpack_output", "unpack_tr_output", "unpack_mma_output"]
+           "unpack_output", "unpack_tr_output", "unpack_mma_output", "dtype"]
+
+# the reference exposes ParOpt.dtype (double, or complex in the complex
+# build); derivatives here are exact via autodiff so the real dtype suffices
+dtype = np.float64
 
 
 class Problem(_problem.Problem):
@@ -228,6 +232,31 @@ class InteriorPoint(_InteriorPoint):
 
     def checkGradients(self, dh):
         return self.problem.check_gradients(dh)
+
+    # camelCase aliases for the reference surface (ParOpt.pyx:1229-1365)
+    def setPenaltyGamma(self, gamma):
+        return self.set_penalty_gamma(gamma)
+
+    def getBarrierParameter(self):
+        return self.get_barrier_parameter()
+
+    def setBarrierParameter(self, mu):
+        return self.set_barrier_parameter(mu)
+
+    def getComplementarity(self):
+        return self.get_complementarity()
+
+    def writeSolutionFile(self, path):
+        return self.write_solution_file(path)
+
+    def readSolutionFile(self, path):
+        return self.read_solution_file(path)
+
+    def getIterationCounters(self):
+        return self.get_iteration_counters()
+
+    def resetDesignAndBounds(self):
+        return self.reset_design_and_bounds()
 
 
 TrustRegion = _TrustRegion
