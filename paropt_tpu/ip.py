@@ -340,9 +340,24 @@ class InteriorPoint:
         self._csr_mat = None
         if getattr(problem, "use_csr_path", False):
             self._csr_mat = problem.create_quasi_def_mat()
+        # block-callback sparse operators (the reference's
+        # addSparseJacobian-style user callbacks): no structured Jacobian is
+        # available, so ALL kernels run eagerly with callback products
+        self._callback_sparse = False
+        if problem.nwcon > 0 and self._csr_mat is None:
+            try:
+                problem.sparse_jacobian(self.x0)
+            except (NotImplementedError, Exception):
+                self._callback_sparse = True
+        self._eager = self._csr_mat is not None or self._callback_sparse
 
         self._logger = None
         self._converged_reason = ""
+
+    def _fn(self, jitted):
+        """Return the jitted callable, or its eager python version when the
+        problem requires host callbacks inside the kernels."""
+        return jitted.__wrapped__ if self._eager else jitted
 
     # -- setup ---------------------------------------------------------------
 
@@ -461,6 +476,36 @@ class InteriorPoint:
 
     def _make_data(self) -> ProblemData:
         prob = self.problem
+        if prob.nwcon > 0 and self._callback_sparse:
+            x_cur = self.vars.x
+
+            def cb_mat(px):
+                if px.ndim == 1:
+                    return jnp.asarray(prob.sparse_jacobian_vec(x_cur, px),
+                                       self.dtype)
+                return jnp.stack([jnp.asarray(
+                    prob.sparse_jacobian_vec(x_cur, row), self.dtype)
+                    for row in px])
+
+            def cb_rmat(pzw):
+                if pzw.ndim == 1:
+                    return jnp.asarray(prob.sparse_jacobian_tvec(x_cur, pzw),
+                                       self.dtype)
+                return jnp.stack([jnp.asarray(
+                    prob.sparse_jacobian_tvec(x_cur, row), self.dtype)
+                    for row in pzw])
+
+            def cb_inner(dv):
+                return jnp.asarray(prob.sparse_inner_product(x_cur, dv),
+                                   self.dtype)
+
+            return ProblemData(
+                g=self.g, A=self.A, c=self.c, cw=self.cw, lb=self.lb,
+                ub=self.ub, lb_mask=self.lb_mask, ub_mask=self.ub_mask,
+                gamma_s=self.gamma_s, gamma_t=self.gamma_t,
+                gamma_sw=self.gamma_sw, gamma_tw=self.gamma_tw,
+                Aw_cols=None, Aw_vals=None, nwblock=prob.nwblock,
+                Aw_callbacks=(cb_mat, cb_rmat, cb_inner))
         if prob.nwcon > 0:
             Aw = prob.sparse_jacobian(self.vars.x)
             Aw_cols, Aw_vals = Aw.cols, jnp.asarray(Aw.vals, self.dtype)
@@ -551,7 +596,7 @@ class InteriorPoint:
         use_qn = (self.qn is not None and bool(o["use_qn_gmres_precon"])
                   and not o["sequential_linear_method"]
                   and not o["use_diag_hessian"])
-        if self._csr_mat is not None:
+        if self._eager:
             p = _compute_step_eager(v, d, compact,
                                     jnp.asarray(0.0, self.dtype),
                                     o["rel_bound_barrier"], o["qn_sigma"],
@@ -642,13 +687,13 @@ class InteriorPoint:
         where trial = (x, s, t, sw, tw, fobj, c, cw), or (None, None) if the
         user evaluation failed."""
         o = self.options
-        xt, st, tt, swt, twt = _trial_point(
+        xt, st, tt, swt, twt = self._fn(_trial_point)(
             self.vars, d, p, jnp.asarray(alpha, self.dtype),
             o["design_precision"])
         fobj, c, cw = self._eval_obj_con(xt)
         if fobj is None:
             return None, None
-        m = _merit_eval(xt, st, tt, swt, twt, fobj, c, cw, d,
+        m = self._fn(_merit_eval)(xt, st, tt, swt, twt, fobj, c, cw, d,
                         jnp.asarray(self.mu, self.dtype),
                         o["rel_bound_barrier"],
                         jnp.asarray(self.rho_penalty, self.dtype))
@@ -728,7 +773,7 @@ class InteriorPoint:
         y = ∇ₓL(x₊, z₊) − ∇ₓL(x₀, z₊), s = α·px."""
         o = self.options
         v = self.vars
-        new_vars = _apply_step(v, d, p, jnp.asarray(alpha, self.dtype),
+        new_vars = self._fn(_apply_step)(v, d, p, jnp.asarray(alpha, self.dtype),
                                o["design_precision"])
         if trial is not None:
             # reuse function values from the line search
@@ -1011,7 +1056,7 @@ class InteriorPoint:
 
             # barrier strategy (ParOptInteriorPoint.cpp:4656-4764)
             mu_j = jnp.asarray(self.mu, self.dtype)
-            r, prime, dual, infeas_n, res_norm, comp = _residual_and_norms(
+            r, prime, dual, infeas_n, res_norm, comp = self._fn(_residual_and_norms)(
                 self.vars, d, mu_j, rbb, norm_type)
             prime, dual, infeas_n = float(prime), float(dual), float(infeas_n)
             res_norm = float(res_norm)
@@ -1034,7 +1079,7 @@ class InteriorPoint:
                     self.mu = new_mu
                     mu_j = jnp.asarray(self.mu, self.dtype)
                     r, prime, dual, infeas_n, res_norm, comp = (
-                        _residual_and_norms(self.vars, d, mu_j, rbb,
+                        self._fn(_residual_and_norms)(self.vars, d, mu_j, rbb,
                                             norm_type))
                     prime, dual = float(prime), float(dual)
                     infeas_n, res_norm = float(infeas_n), float(res_norm)
@@ -1045,7 +1090,7 @@ class InteriorPoint:
                               0.1 * abs_res_tol)
                 mu_j = jnp.asarray(self.mu, self.dtype)
                 r, prime, dual, infeas_n, res_norm, comp = (
-                    _residual_and_norms(self.vars, d, mu_j, rbb, norm_type))
+                    self._fn(_residual_and_norms)(self.vars, d, mu_j, rbb, norm_type))
                 prime, dual = float(prime), float(dual)
                 infeas_n, res_norm = float(infeas_n), float(res_norm)
                 comp = float(comp)
@@ -1109,7 +1154,7 @@ class InteriorPoint:
                 use_qn = use_qn_default
             if inexact_step is not None:
                 p = inexact_step
-            elif self._csr_mat is not None:
+            elif self._eager:
                 p = _compute_step_eager(self.vars, d, compact, mu_j, rbb,
                                         o["qn_sigma"], refine_steps, use_qn,
                                         self._csr_mat)
@@ -1121,7 +1166,7 @@ class InteriorPoint:
             if inexact_step is None and barrier_strategy in (
                     "mehrotra", "mehrotra_predictor_corrector"):
                 # affine probe: step toward μ = 0 from the same factorization
-                if self._csr_mat is not None:
+                if self._eager:
                     p_aff = _compute_step_eager(
                         self.vars, d, compact, jnp.asarray(0.0, self.dtype),
                         rbb, o["qn_sigma"], 0, use_qn, self._csr_mat)
@@ -1139,7 +1184,7 @@ class InteriorPoint:
                 self.mu = max(sigma * comp, 0.09999 * abs_res_tol)
                 mu_j = jnp.asarray(self.mu, self.dtype)
                 if (barrier_strategy == "mehrotra_predictor_corrector"
-                        and self._csr_mat is None):
+                        and not self._eager):
                     ax_aff = min(float(ax_a), 1.0)
                     az_aff = min(float(az_a), 1.0)
                     p_aff_s = IPVars(
@@ -1170,14 +1215,14 @@ class InteriorPoint:
             if (sv_freq > 0 and k % sv_freq == 0 and inexact_step is None
                     and barrier_strategy not in
                     ("mehrotra", "mehrotra_predictor_corrector")):
-                err = float(_check_kkt_step(self.vars, d, p, compact, mu_j,
+                err = float(self._fn(_check_kkt_step)(self.vars, d, p, compact, mu_j,
                                             rbb, o["qn_sigma"],
                                             use_qn=use_qn))
                 self._logger.write(
                     f"KKT step check: max |K*p + r| = {err:.6e}\n")
 
             # fraction-to-boundary scaling (equal steps for Newton steps)
-            p_s, ax, az, ceq = _scale_step(
+            p_s, ax, az, ceq = self._fn(_scale_step)(
                 self.vars, d, p, mu_j, jnp.asarray(comp, self.dtype),
                 jnp.asarray(inexact_step is not None))
             ax, az = float(ax), float(az)
@@ -1189,7 +1234,7 @@ class InteriorPoint:
             no_merit_improvement = False
 
             if use_line_search:
-                mp = _merit_parts(self.vars, d, p_s, self.fobj, mu_j, rbb,
+                mp = self._fn(_merit_parts)(self.vars, d, p_s, self.fobj, mu_j, rbb,
                                   compact, use_qn=use_qn)
                 m0, dm0 = self._rho_update(*(float(x) for x in mp), ax)
                 dm0_prev = dm0
@@ -1210,7 +1255,7 @@ class InteriorPoint:
                             self._reset_qn()
                             qn_hessian_reset = True
                         compact = self._qn_compact()
-                        if self._csr_mat is not None:
+                        if self._eager:
                             p = _compute_step_eager(
                                 self.vars, d, compact, mu_j, rbb,
                                 o["qn_sigma"], refine_steps, False,
@@ -1220,11 +1265,11 @@ class InteriorPoint:
                                               rbb, o["qn_sigma"],
                                               refine_steps=refine_steps,
                                               use_qn=False)
-                        p_s, ax, az, ceq = _scale_step(
+                        p_s, ax, az, ceq = self._fn(_scale_step)(
                             self.vars, d, p, mu_j,
                             jnp.asarray(comp, self.dtype), jnp.asarray(False))
                         ax, az = float(ax), float(az)
-                        mp = _merit_parts(self.vars, d, p_s, self.fobj, mu_j,
+                        mp = self._fn(_merit_parts)(self.vars, d, p_s, self.fobj, mu_j,
                                           rbb, compact, use_qn=False)
                         m0, dm0 = self._rho_update(
                             *(float(x) for x in mp), ax)
@@ -1252,7 +1297,7 @@ class InteriorPoint:
                         if line_fail & LS_MAX_ITERS:
                             info += "LMxItr "
             else:
-                mp = _merit_parts(self.vars, d, p_s, self.fobj, mu_j, rbb,
+                mp = self._fn(_merit_parts)(self.vars, d, p_s, self.fobj, mu_j, rbb,
                                   compact, use_qn=use_qn)
                 m0, dm0 = self._rho_update(*(float(x) for x in mp), ax)
                 dm0_prev = dm0
@@ -1260,7 +1305,7 @@ class InteriorPoint:
                 if not ok:
                     raise RuntimeError("function evaluation failed")
                 line_fail = LS_SUCCESS
-                m1, _ = (float(_merit_eval(
+                m1, _ = (float(self._fn(_merit_eval)(
                     self.vars.x, self.vars.s, self.vars.t, self.vars.sw,
                     self.vars.tw, self.fobj, self.c, self.cw, d, mu_j, rbb,
                     jnp.asarray(self.rho_penalty, self.dtype))), None)

@@ -161,6 +161,11 @@ class ProblemData:
     # keeps the large axis minor — the TPU-optimal layout.
     Aw_layout: str = dataclasses.field(metadata=dict(static=True),
                                        default="gather")
+    # host-callback escape hatch (the reference's addSparseJacobian-style
+    # user operators, `ParOptProblem.h:225-266`): a (matvec, rmatvec,
+    # inner_blocks) triple of python functions.  Eager mode only.
+    Aw_callbacks: Any = dataclasses.field(metadata=dict(static=True),
+                                          default=None)
 
     @property
     def Aw_blocked(self):
@@ -187,6 +192,8 @@ class ProblemData:
 
     def Aw_matvec(self, px):
         """Aw @ px for px [..., n] -> [..., nwcon]."""
+        if self.Aw_callbacks is not None:
+            return self.Aw_callbacks[0](px)
         nwcon, k = self.Aw_cols.shape
         if self.Aw_layout == "blocked_t":
             shaped = px.reshape(px.shape[:-1] + (k, nwcon))
@@ -199,6 +206,8 @@ class ProblemData:
 
     def Aw_rmatvec(self, pzw):
         """Aw' @ pzw for pzw [..., nwcon] -> [..., n]."""
+        if self.Aw_callbacks is not None:
+            return self.Aw_callbacks[1](pzw)
         nwcon, k = self.Aw_cols.shape
         if self.Aw_layout == "blocked_t":
             contrib = self._vals_t * pzw[..., None, :]  # [..., k, nwcon]
@@ -214,6 +223,8 @@ class ProblemData:
     def Aw_inner_blocks(self, d):
         """Blocks of Aw @ diag(d) @ Aw' -> [nblocks, nwblock, nwblock]."""
         nb = self.nwblock
+        if self.Aw_callbacks is not None:
+            return self.Aw_callbacks[2](d)
         nwcon, k = self.Aw_cols.shape
         if self.Aw_layout == "blocked_t" and nb == 1:
             dv = d.reshape(k, nwcon)

@@ -138,3 +138,48 @@ def test_compat_csr_sparse():
     n = 6
     radii = x[:n] ** 2 + x[n:2 * n] ** 2 + x[2 * n:] ** 2
     assert np.allclose(radii, 1.0, atol=1e-5)
+
+
+class SparseRosenbrockCompat(ParOpt.Problem):
+    """Block-callback sparse surface (`examples/sparse/sparse_rosenbrock.py`
+    ported verbatim apart from the import)."""
+
+    def __init__(self):
+        super().__init__(None, nvars=2, ncon=0, nwcon=1, nwblock=1)
+
+    def getVarsAndBounds(self, x, lb, ub):
+        x[:] = np.array([-1.5, -1.0])
+        lb[:] = -2.0
+        ub[:] = 2.0
+
+    def evalObjCon(self, x):
+        fobj = 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+        return 0, fobj, np.zeros(0)
+
+    def evalObjConGradient(self, x, g, A):
+        g[0] = -400.0 * (x[1] - x[0] ** 2) * x[0] - 2.0 * (1.0 - x[0])
+        g[1] = 200.0 * (x[1] - x[0] ** 2)
+        return 0
+
+    def evalSparseCon(self, x, con):
+        con[0] = x[0] + x[1] + 5.0
+
+    def addSparseJacobian(self, alpha, x, px, con):
+        con[0] += alpha * (px[0] + px[1])
+
+    def addSparseJacobianTranspose(self, alpha, x, pz, out):
+        out[0] += alpha * pz[0]
+        out[1] += alpha * pz[0]
+
+    def addSparseInnerProduct(self, alpha, x, c, A):
+        A[0] += alpha * (c[0] + c[1])
+
+
+def test_compat_block_callback_sparse():
+    prob = SparseRosenbrockCompat()
+    ip = ParOpt.InteriorPoint(prob, {"output_file": None,
+                                     "abs_res_tol": 1e-7,
+                                     "max_major_iters": 200})
+    res = ip.optimize()
+    assert res["converged"], res
+    assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-4)
