@@ -333,6 +333,23 @@ def _chol_solve_blocks(chol, b):
     return out[..., 0].reshape(b.shape)
 
 
+def _pallas_qd_enabled() -> bool:
+    """Use the fused Pallas quasi-def kernel: single accelerator chip only
+    (sharded inputs would need a shard_map wrapping; the CPU path keeps the
+    jnp implementation)."""
+    import os
+    if os.environ.get("PAROPT_TPU_NO_PALLAS"):
+        return False
+    try:
+        return (jax.default_backend() != "cpu"
+                and len(jax.devices()) == 1)
+    except Exception:  # pragma: no cover
+        return False
+
+
+_PALLAS_QD = None
+
+
 def quasi_def_solve(f: "KKTFactor", d: ProblemData, bx, bw):
     """Solve [[D, -Aw'], [Aw, C0]] [yx; yw] = [bx; bw] via the block-diagonal
     Schur complement Cw = C0 + Aw·D⁻¹·Aw' (`ParOptSparseMat.cpp:41-224`).
@@ -340,8 +357,22 @@ def quasi_def_solve(f: "KKTFactor", d: ProblemData, bx, bw):
 
     With a `csr_solver` installed (general-CSR path), Cw is a general sparse
     matrix factored by the native host Cholesky — eager mode only."""
+    global _PALLAS_QD
     if d.nwcon == 0:
         return f.Dinv * bx, bw
+    if (d.Aw_layout == "blocked_t" and d.nwblock == 1
+            and f.csr_solver is None):
+        if _PALLAS_QD is None:
+            _PALLAS_QD = _pallas_qd_enabled()
+        if _PALLAS_QD:
+            from .pallas_kernels import quasi_def_apply_blocked_t
+            nwcon, k = d.Aw_cols.shape
+            bx3 = bx.reshape((-1, k, nwcon))
+            bw2 = bw.reshape((-1, nwcon))
+            cwinv = 1.0 / (f.Cw_chol[:, 0, 0] ** 2)
+            yx3, yw2 = quasi_def_apply_blocked_t(
+                f.Dinv.reshape(k, nwcon), cwinv, d.Aw_vals.T, bx3, bw2)
+            return yx3.reshape(bx.shape), yw2.reshape(bw.shape)
     rw = bw - d.Aw_matvec(f.Dinv * bx)
     if f.csr_solver is not None:
         import numpy as _np

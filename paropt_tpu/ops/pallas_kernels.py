@@ -1,0 +1,114 @@
+"""Pallas TPU kernels for the hot KKT chains.
+
+With the transposed-partition sparse layout ('blocked_t': design vectors
+viewed as [k, nwcon] with the LARGE axis minor), the quasi-definite apply
+
+    t  = D⁻¹ ⊙ bx
+    aw = Σ_j vals_t[j] ⊙ t[j]                (Aw @ t)
+    yw = Cw⁻¹ ⊙ (bw − aw)
+    yx = D⁻¹ ⊙ (bx + vals_t ⊙ yw)            (bx + Awᵀ yw, rescaled)
+
+is a single pass over nwcon-tiles.  XLA executes this as several separately
+materialized [K, n] arrays; the Pallas kernel fuses the whole chain into one
+read-compute-write sweep (multi-RHS batch K folded into the block).
+
+Only the (nwblock == 1, blocked_t) case is implemented — the configuration
+the large-scale topology workload uses.  Everything else falls back to the
+jnp path in ops/kkt.py.  Correctness is tested against the jnp path in
+tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["quasi_def_apply_blocked_t", "pallas_available"]
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def pallas_available() -> bool:
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+        return True
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _qd_kernel(dinv_ref, cwinv_ref, vals_ref, bx_ref, bw_ref,
+               yx_ref, yw_ref):
+    """One nwcon-tile of the fused quasi-definite apply.
+
+    Shapes in the block:
+      dinv, vals : [k, Tw]
+      cwinv, bw  : [K, Tw]  (cwinv broadcast row-wise: [1, Tw])
+      bx         : [K, k, Tw]
+      yx         : [K, k, Tw],  yw: [K, Tw]
+    """
+    dinv = dinv_ref[...]          # [k, Tw]
+    vals = vals_ref[...]          # [k, Tw]
+    cwinv = cwinv_ref[...]        # [1, Tw]
+    bx = bx_ref[...]              # [K, k, Tw]
+    bw = bw_ref[...]              # [K, Tw]
+    t = dinv[None, :, :] * bx
+    aw = jnp.sum(vals[None, :, :] * t, axis=1)      # [K, Tw]
+    yw = cwinv * (bw - aw)
+    yx = dinv[None, :, :] * (bx + vals[None, :, :] * yw[:, None, :])
+    yx_ref[...] = yx
+    yw_ref[...] = yw
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def quasi_def_apply_blocked_t(dinv_2d: jnp.ndarray, cwinv: jnp.ndarray,
+                              vals_t: jnp.ndarray, bx3: jnp.ndarray,
+                              bw: jnp.ndarray,
+                              interpret: bool = False
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused solve of [[D, -Aw'], [Aw, C0]] [yx; yw] = [bx; bw] for the
+    (nwblock=1, blocked_t) configuration.
+
+    Parameters (all in the [k, nwcon] view):
+      dinv_2d : [k, nwcon]   diagonal D^{-1}
+      cwinv   : [nwcon]      (C0 + Aw D^{-1} Aw')^{-1} diagonal
+      vals_t  : [k, nwcon]   Jacobian values
+      bx3     : [K, k, nwcon] stacked right-hand sides
+      bw      : [K, nwcon]
+    Returns (yx3 [K, k, nwcon], yw [K, nwcon]).
+    """
+    from jax.experimental import pallas as pl
+
+    K, k, nwcon = bx3.shape
+    tile = 512
+    while nwcon % tile != 0:
+        tile //= 2
+    grid = (nwcon // tile,)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((K, k, nwcon), bx3.dtype),
+        jax.ShapeDtypeStruct((K, nwcon), bw.dtype),
+    )
+    yx3, yw = pl.pallas_call(
+        _qd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda i: (0, i)),
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+            pl.BlockSpec((k, tile), lambda i: (0, i)),
+            pl.BlockSpec((K, k, tile), lambda i: (0, 0, i)),
+            pl.BlockSpec((K, tile), lambda i: (0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((K, k, tile), lambda i: (0, 0, i)),
+            pl.BlockSpec((K, tile), lambda i: (0, i)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(dinv_2d, cwinv.reshape(1, nwcon), vals_t, bx3, bw)
+    return yx3, yw
