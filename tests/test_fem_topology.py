@@ -1,0 +1,62 @@
+"""2-D plane-stress SIMP topology model tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from paropt_tpu import InteriorPoint
+from paropt_tpu.mma import MMA
+from paropt_tpu.models.fem_topology import FEMTopology
+
+
+def test_fem_gradients_adjoint_exact():
+    prob = FEMTopology(nex=8, ney=4, cg_iters=400)
+    errs = prob.check_gradients(1e-6, verbose=False)
+    assert errs["obj_gradient"] < 1e-4, errs
+    assert errs["con_gradient"] < 1e-6, errs
+
+
+def test_fem_solver_against_dense():
+    """CG displacement solution matches a dense assembled solve."""
+    prob = FEMTopology(nex=6, ney=3, cg_iters=600)
+    x0, _, _ = prob.get_vars_and_bounds()
+    xf = prob._filter(x0)
+    E = prob.emin + xf ** prob.penal * (prob.e0 - prob.emin)
+    u = prob._solve(E)
+    # dense assembly
+    nd = prob.ndof
+    K = np.zeros((nd, nd))
+    KE = np.asarray(prob.KE)
+    ed = np.asarray(prob.edofs)
+    for e in range(prob.nvars):
+        K[np.ix_(ed[e], ed[e])] += float(E[e]) * KE
+    fixed = np.asarray(prob.fixed_mask) > 0
+    K[fixed, :] = 0.0
+    K[:, fixed] = 0.0
+    K[fixed, fixed] = 1.0
+    b = np.where(fixed, 0.0, np.asarray(prob.f))
+    u_ref = np.linalg.solve(K, b)
+    assert np.allclose(np.asarray(u), u_ref, atol=1e-7), \
+        np.abs(np.asarray(u) - u_ref).max()
+
+
+def test_fem_topology_ip():
+    prob = FEMTopology(nex=12, ney=6, cg_iters=250)
+    x0, _, _ = prob.get_vars_and_bounds()
+    f0 = float(prob.objective(x0))
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-4,
+                              "max_major_iters": 60})
+    res = ip.optimize()
+    # compliance must improve substantially and stay volume-feasible
+    assert res["fobj"] < 0.8 * f0, (res["fobj"], f0)
+    assert float(prob.constraints(res["x"])[0]) > -1e-4
+
+
+def test_fem_topology_regions_mma():
+    prob = FEMTopology(nex=8, ney=4, region=4, region_cap=0.7, cg_iters=250)
+    x0, _, _ = prob.get_vars_and_bounds()
+    f0 = float(prob.objective(x0))
+    mma = MMA(prob, {"mma_output_file": None, "output_file": None,
+                     "mma_max_iterations": 25})
+    res = mma.optimize()
+    assert res["fobj"] < f0
+    assert float(jnp.min(prob.sparse_constraints(res["x"]))) > -1e-4
