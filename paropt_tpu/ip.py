@@ -28,7 +28,6 @@ ladder — but structured TPU-first:
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 

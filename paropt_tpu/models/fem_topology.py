@@ -21,8 +21,6 @@ TPU-first implementation choices:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -124,12 +122,6 @@ class FEMTopology(Problem):
             acc = acc + jnp.roll(xg, (dx, dy), axis=(0, 1))
             cnt = cnt + 1.0
         return (acc / cnt).reshape(-1)
-
-    def _filter_transpose(self, g):
-        # the 5-point average filter is symmetric under roll (periodic);
-        # use vjp for exactness with the boundary handling above
-        _, vjp = jax.vjp(self._filter, jnp.zeros(self.nvars, self._dtype))
-        return vjp(g)[0]
 
     # -- FEM ------------------------------------------------------------
     def _kmul(self, E, u):

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["QNState", "qn_init", "qn_reset", "qn_update", "qn_mult",
-           "qn_compact", "NoQN"]
+           "qn_compact"]
 
 
 @jax.tree_util.register_dataclass
@@ -246,7 +246,3 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
         count=jnp.where(skip, state.count, cnt_new),
         b0=jnp.where(skip, state.b0, b0_new))
     return new_state, skip.astype(jnp.int32), damped.astype(jnp.int32)
-
-
-class NoQN:
-    """Placeholder for qn_type='none' / sequential_linear_method: B = sigma*I."""

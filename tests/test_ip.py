@@ -177,3 +177,78 @@ def test_complex_step_gradient_check():
     errs = prob.check_gradients(1e-30, mode="complex", verbose=False)
     assert errs["obj_gradient"] < 1e-14
     assert errs["con_gradient"] < 1e-14
+
+
+def test_block_coupled_sparse_constraints_nwblock2():
+    """End-to-end with nwblock=2: pairs of weighting constraints share
+    variable support, so Cw has coupled 2x2 blocks (the reference's
+    nwblock > 1 packed-block path, ParOptSparseMat.cpp:41-224)."""
+    from paropt_tpu.problem import Problem, SparseJacobian
+
+    n, nblocks = 24, 4
+    nwcon = 2 * nblocks
+    per = n // nblocks  # variables per block
+
+    class BlockProb(Problem):
+        def __init__(self):
+            super().__init__(nvars=n, ncon=0, nwcon=nwcon, nwblock=2)
+            cols = np.zeros((nwcon, per), dtype=np.int32)
+            vals = np.zeros((nwcon, per))
+            for b in range(nblocks):
+                sup = np.arange(b * per, (b + 1) * per)
+                cols[2 * b] = sup
+                cols[2 * b + 1] = sup
+                vals[2 * b] = -1.0 / per          # mean bound
+                w = np.linspace(0.5, 1.5, per)
+                vals[2 * b + 1] = -w / w.sum()    # weighted-mean bound
+            self._jac = SparseJacobian(n, jnp.asarray(cols),
+                                       jnp.asarray(vals), nwblock=2)
+            self._cols, self._vals = cols, vals
+
+        def objective(self, x):
+            return jnp.sum((x - 1.2) ** 2)
+
+        def sparse_constraints(self, x):
+            out = []
+            for i in range(nwcon):
+                out.append(0.8 + jnp.sum(
+                    jnp.asarray(self._vals[i]) * x[self._cols[i]]))
+            return jnp.stack(out)
+
+        def sparse_jacobian(self, x):
+            return self._jac
+
+        def get_vars_and_bounds(self):
+            return (jnp.full(n, 0.5), jnp.zeros(n), jnp.full(n, 2.0))
+
+    prob = BlockProb()
+    errs = prob.check_gradients(1e-6, verbose=False)
+    assert errs["sparse_inner_product"] < 1e-10
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-7,
+                              "max_major_iters": 200})
+    res = ip.optimize()
+    assert res["converged"], res
+    cw = np.asarray(prob.sparse_constraints(res["x"]))
+    assert (cw > -1e-6).all()
+    assert cw.min() < 1e-4  # at least one block cap active
+
+
+def test_sparse_equality_constraints_block_path():
+    """Sparse equalities (nwinequality < nwcon) through the block path."""
+    from paropt_tpu.models.analytic import SparseRosenbrock
+
+    class EqSparse(SparseRosenbrock):
+        def __init__(self):
+            super().__init__()
+            self.nwinequality = 0  # the constraint is an equality
+
+        def sparse_constraints(self, x):
+            return jnp.array([x[0] + x[1] - 1.0])
+
+    prob = EqSparse()
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-8,
+                              "max_major_iters": 300})
+    res = ip.optimize()
+    assert res["converged"], res
+    x = np.asarray(res["x"])
+    assert abs(x[0] + x[1] - 1.0) < 1e-6

@@ -1,0 +1,54 @@
+"""Typed option registry behavior (the ParOptOptions contract)."""
+
+import pytest
+
+from paropt_tpu import make_options
+from paropt_tpu.utils.options import OptionRegistry, add_ip_options
+
+
+def test_defaults_match_reference():
+    o = make_options()
+    # spot-check names/defaults against the reference registrations
+    assert o["algorithm"] == "tr"
+    assert o["abs_res_tol"] == 1e-6
+    assert o["penalty_gamma"] == 1000.0
+    assert o["qn_subspace_size"] == 10
+    assert o["barrier_strategy"] == "monotone"
+    assert o["starting_point_strategy"] == "affine_step"
+    assert o["tr_eta"] == 0.25
+    assert o["mma_asymptote_contract"] == 0.7
+    assert o["max_major_iters"] == 5000
+
+
+def test_type_and_range_validation():
+    o = make_options()
+    with pytest.raises(KeyError):
+        o["no_such_option"] = 1
+    with pytest.raises(ValueError):
+        o["monotone_barrier_fraction"] = 1.5  # outside [0, 1]
+    with pytest.raises(ValueError):
+        o["barrier_strategy"] = "bogus"
+    with pytest.raises(TypeError):
+        o["max_major_iters"] = "many"
+    o["abs_res_tol"] = 1e-8
+    assert o.is_set("abs_res_tol")
+    assert not o.is_set("rel_func_tol")
+
+
+def test_introspection_for_autodoc():
+    o = OptionRegistry()
+    add_ip_options(o)
+    descs = list(o.descriptors())
+    assert all(d.doc for d in descs if d.name != "problem_name")
+    names = [d.name for d in descs]
+    assert "qn_type" in names and "norm_type" in names
+    # summary marks set options
+    o["abs_res_tol"] = 1e-9
+    assert "* abs_res_tol" in o.summary()
+
+
+def test_copy_independent():
+    a = make_options()
+    b = a.copy()
+    b["abs_res_tol"] = 1e-12
+    assert a["abs_res_tol"] == 1e-6
