@@ -970,6 +970,7 @@ class InteriorPoint:
         o = self.options
         norm_type = o["norm_type"]
         abs_res_tol = o["abs_res_tol"]
+        abs_step_tol = o["abs_step_tol"]
         rel_func_tol = o["rel_func_tol"]
         barrier_strategy = o["barrier_strategy"]
         max_iters = o["max_major_iters"]
@@ -1010,6 +1011,7 @@ class InteriorPoint:
         fobj_prev = float(self.fobj)
         res_norm = float("inf")
         res_norm_prev = None
+        step_norm_prev = None
         alpha_prev = alpha_xprev = alpha_zprev = 1.0
         dm0_prev = 0.0
         line_search_test = 0
@@ -1102,14 +1104,19 @@ class InteriorPoint:
                              info, o["output_level"])
             info = ""
 
-            # convergence (ParOptInteriorPoint.cpp:4811-4840)
+            # convergence (ParOptInteriorPoint.cpp:4811-4840); the step-norm
+            # test only participates when abs_step_tol is set (default 0)
+            step_test = (abs_step_tol > 0.0 and step_norm_prev is not None
+                         and step_norm_prev < abs_step_tol)
             if k > 0 and self.mu <= 0.1 * abs_res_tol and (
                     res_norm < abs_res_tol or rel_function_test
-                    or line_search_test >= 2):
+                    or line_search_test >= 2 or step_test):
                 if rel_function_test:
                     self._converged_reason = "rel_function"
                 elif line_search_test >= 2:
                     self._converged_reason = "no_improvement"
+                elif step_test:
+                    self._converged_reason = "step_tol"
                 else:
                     self._converged_reason = "tolerance"
                 converged = True
@@ -1209,6 +1216,9 @@ class InteriorPoint:
                                       use_qn=use_qn)
 
             res_norm_prev = max(res_norm, 1e-30)
+            if abs_step_tol > 0.0:
+                from .ops.veclib import norm as _vnorm
+                step_norm_prev = float(_vnorm(p.x, norm_type))
 
             sv_freq = o["step_verification_frequency"]
             if (sv_freq > 0 and k % sv_freq == 0 and inexact_step is None

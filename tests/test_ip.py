@@ -252,3 +252,13 @@ def test_sparse_equality_constraints_block_path():
     assert res["converged"], res
     x = np.asarray(res["x"])
     assert abs(x[0] + x[1] - 1.0) < 1e-6
+
+
+def test_abs_step_tol_stopping():
+    prob = RandomConvexQP(n=10, ncon=1, seed=9)
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-12,
+                              "abs_step_tol": 1e-8,
+                              "max_major_iters": 500})
+    res = ip.optimize()
+    assert res["converged"], res
+    assert res["reason"] in ("step_tol", "tolerance", "no_improvement")
