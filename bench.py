@@ -80,6 +80,21 @@ def main():
         f"({its_per_s:.2f} it/s); fobj={float(state.fobj):.6e} "
         f"res={float(state.res_norm):.3e} mu={float(state.mu):.3e}\n")
 
+    # secondary info: whole-solve wall clock to the f32 KKT tolerance via
+    # the zero-round-trip lax.while_loop path (compile excluded)
+    t0 = time.time()
+    out = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    jax.block_until_ready(out)
+    compile_plus = time.time() - t0
+    t0 = time.time()
+    out = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    jax.block_until_ready(out)
+    solve_wall = time.time() - t0
+    sys.stderr.write(
+        f"[bench] full solve: converged={bool(out.converged)} "
+        f"iters={int(out.k)} res={float(out.res_norm):.2e} "
+        f"wall={solve_wall:.2f}s (first incl. compile {compile_plus:.1f}s)\n")
+
     print(json.dumps({
         "metric": f"ip_iterations_per_s_n{n}",
         "value": round(its_per_s, 3),

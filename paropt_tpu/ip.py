@@ -136,10 +136,11 @@ def _check_kkt_step(v: IPVars, d: ProblemData, p: IPVars, compact, mu,
 
 
 @jax.jit
-def _scale_step(v: IPVars, d: ProblemData, p: IPVars, mu, comp, inexact):
+def _scale_step(v: IPVars, d: ProblemData, p: IPVars, mu, comp, inexact,
+                tau_min=0.95):
     """Fraction-to-boundary scaling with the equal-step safeguard
     (`scaleKKTStep`, `ParOptInteriorPoint.cpp:3196-3278`)."""
-    tau = jnp.maximum(0.95, 1.0 - mu)
+    tau = jnp.maximum(tau_min, 1.0 - mu)
     ax, az = kkt.max_step_lengths(v, d, p, tau)
     # bound the ratio between the two step lengths by 100 (clamp the larger)
     mb = 100.0
@@ -1233,7 +1234,8 @@ class InteriorPoint:
             # fraction-to-boundary scaling (equal steps for Newton steps)
             p_s, ax, az, ceq = self._fn(_scale_step)(
                 self.vars, d, p, mu_j, jnp.asarray(comp, self.dtype),
-                jnp.asarray(inexact_step is not None))
+                jnp.asarray(inexact_step is not None),
+                o["min_fraction_to_boundary"])
             ax, az = float(ax), float(az)
             if bool(ceq):
                 info += "cmpEq "
@@ -1276,7 +1278,8 @@ class InteriorPoint:
                                               use_qn=False)
                         p_s, ax, az, ceq = self._fn(_scale_step)(
                             self.vars, d, p, mu_j,
-                            jnp.asarray(comp, self.dtype), jnp.asarray(False))
+                            jnp.asarray(comp, self.dtype), jnp.asarray(False),
+                            o["min_fraction_to_boundary"])
                         ax, az = float(ax), float(az)
                         mp = self._fn(_merit_parts)(self.vars, d, p_s, self.fobj, mu_j,
                                           rbb, compact, use_qn=False)
