@@ -153,3 +153,20 @@ def test_fused_mehrotra_strategies():
             x_ref = float(out.fobj)
         else:
             assert abs(float(out.fobj) - x_ref) < 1e-4, (strat, out.fobj)
+
+
+def test_f32_smoke():
+    """The f32 configuration (explicit dtype, as used on TPU where f64 is
+    emulated) converges to the f32-appropriate tolerance."""
+    prob = SyntheticTopology(n=1024, block=8, dtype=jnp.float32)
+    model = ip_fused.model_from_problem(prob)
+    opts = ip_fused.FusedIPOptions(use_quasi_newton_update=True,
+                                   abs_res_tol=1e-4, max_major_iters=300)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts, dtype=jnp.float32)
+    data, x0 = ip_fused.data_template_from_problem(prob, dtype=jnp.float32)
+    qn0 = qnmod.qn_init(10, prob.nvars, dtype=jnp.float32)
+    out = fused.solve(x0, data, (), qn0, None)
+    assert out.vars.x.dtype == jnp.float32
+    assert bool(out.converged), (float(out.res_norm), int(out.k))
+    assert float(out.c[0]) > -1e-4
