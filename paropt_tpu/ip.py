@@ -1206,7 +1206,7 @@ class InteriorPoint:
                                           o["qn_sigma"], p_aff_s,
                                           refine_steps=refine_steps,
                                           use_qn=use_qn)
-                elif self._csr_mat is not None:
+                elif self._eager:
                     p = _compute_step_eager(self.vars, d, compact, mu_j, rbb,
                                             o["qn_sigma"], refine_steps,
                                             use_qn, self._csr_mat)
