@@ -715,6 +715,13 @@ class InteriorPoint:
         best_merit = 0.0
         best_trial = None
         merit = None
+        verbose = o["output_level"] > 0 and self._logger is not None
+        if verbose:
+            self._logger.write(
+                "%5s %7s %25s %12s %12s\n"
+                % ("iter", "alpha", "merit", "dmerit", "min(alpha)"))
+            self._logger.write("%5d %7s %25.16e %12.5e %12.5e\n"
+                               % (0, " ", m0, dm0, alpha_min))
         j = 0
         while j < max_iters:
             merit, trial = self._eval_merit_at(d, alpha, p)
@@ -722,6 +729,10 @@ class InteriorPoint:
                 alpha *= 0.1
                 j += 1
                 continue
+            if verbose:
+                self._logger.write(
+                    "%5d %7.1e %25.16e %12.5e\n"
+                    % (j + 1, alpha, merit, (merit - m0) / alpha))
             if best_alpha < 0.0 or merit < best_merit:
                 best_alpha, best_merit, best_trial = alpha, merit, trial
             # Armijo relaxed by the function precision
@@ -904,6 +915,8 @@ class InteriorPoint:
             g_vec[j] = cs[j] * g_vec[j]
             iters = j + 1
             res = abs(g_vec[j + 1])
+            if o["output_level"] > 1 and self._logger is not None:
+                self._logger.write(f"gmres[{j:3d}]: |res| = {res:.6e}\n")
             if res < rtol * bnorm or res < atol or wnorm == 0.0:
                 break
         # back-substitute y
