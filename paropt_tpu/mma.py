@@ -220,7 +220,9 @@ class MMA(Problem):
             gamma_tw=jnp.full((nwcon,), gamma, dt),
             Aw_cols=cols, Aw_vals=vals, nwblock=self.nwblock,
             Aw_layout=layout)
-        st = self._fused.solve(jnp.asarray(self.x, dt), data, params)
+        from .tr import _accel_jit_loop
+        st = self._fused.solve(jnp.asarray(self.x, dt), data, params,
+                               jit_loop=_accel_jit_loop())
         self.subproblem_iter += int(st.k)
         return st.vars.x, st.vars.z, st.vars.zw, st.vars.zl, st.vars.zu
 

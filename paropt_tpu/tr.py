@@ -43,6 +43,13 @@ from .utils.options import OptionRegistry, make_options
 __all__ = ["TrustRegion", "QuadraticSubproblem", "InfeasSubproblem"]
 
 
+def _accel_jit_loop() -> bool:
+    """On accelerators, run each inner IP solve as ONE lax.while_loop
+    computation (host dispatch per step costs ~ms through remote links);
+    on CPU host pacing allows early exit and is faster."""
+    return jax.default_backend() != "cpu"
+
+
 # ---------------------------------------------------------------------------
 # fused-IP model of the quadratic subproblem: the whole inner solve is a
 # sequence of jitted steps with zero user-code involvement
@@ -549,7 +556,8 @@ class TrustRegion:
         compact = (params.b0, params.Z, params.M)
         p0 = 0.5 * (self.subproblem.lk + self.subproblem.uk)
         st = self._fused_qp.solve(p0.astype(self.ip.dtype), data, params,
-                                  compact=compact)
+                                  compact=compact,
+                                  jit_loop=_accel_jit_loop())
         self.subproblem_iters = int(st.k)
         return st.vars.x, st.vars.z, st.vars.zw
 
@@ -589,7 +597,8 @@ class TrustRegion:
         compact = (params.b0, params.Z, params.M) if use_quad else None
         p0 = 0.5 * (self.subproblem.lk + self.subproblem.uk)
         st = self._fused_infeas.solve(p0.astype(self.ip.dtype), data, params,
-                                      compact=compact)
+                                      compact=compact,
+                                      jit_loop=_accel_jit_loop())
         step = st.vars.x
         _, c_best = self.subproblem.model_obj_con(step)
         best = jnp.where(idx < self.problem.ninequality,
