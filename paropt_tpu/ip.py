@@ -1111,6 +1111,12 @@ class InteriorPoint:
                 comp = float(comp)
             # mehrotra / mpc adapt μ after the affine probe below
 
+            if (self._csr_mat is not None
+                    and (o["output_level"] > 0 or k == 0)):
+                # factorization fill-in stats ('MatInfo:' rows,
+                # ParOptInteriorPoint.cpp:4768-4775)
+                self._logger.write(
+                    f"MatInfo: {self._csr_mat.get_factor_info()}\n")
             self._logger.log(k, self.neval, self.ngeval, self.nhvec,
                              alpha_prev, alpha_xprev, alpha_zprev,
                              float(self.fobj), prime, infeas_n, dual,

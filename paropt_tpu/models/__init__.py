@@ -1,0 +1,1 @@
+"""Benchmark problem families (the reference examples as models)."""

@@ -1,0 +1,1 @@
+"""Mesh/sharding helpers (the SPMD replacement for the MPI layer)."""

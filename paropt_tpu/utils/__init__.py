@@ -1,0 +1,1 @@
+"""Options registry, logging contract, checkpointing, plotting."""
