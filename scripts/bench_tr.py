@@ -29,7 +29,7 @@ def main():
         "tr_max_iterations": 60,
         "tr_infeas_tol": 1e-4 if not on_cpu else 1e-5,
         "tr_l1_tol": 0.0,  # disabled: converge on the l-infinity test
-        "tr_linfty_tol": 5e-3 if not on_cpu else 1e-4,
+        "tr_linfty_tol": 2e-4 if not on_cpu else 1e-4,
         "abs_res_tol": tol,
         "dtype": "float32" if not on_cpu else "float64",
         "tr_adaptive_gamma_update": True,
