@@ -2,7 +2,12 @@
 (the role of `examples/cholesky/cholesky.py`): factor a 2-D Laplacian with
 natural vs minimum-degree ordering and compare fill-in."""
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from paropt_tpu.ops import sparse_native as sn
 

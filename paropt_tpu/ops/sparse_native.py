@@ -68,6 +68,19 @@ def _load():
         lib.paropt_chol_solve.argtypes = [ctypes.c_void_p, dp, ctypes.c_int]
         lib.paropt_chol_destroy.restype = None
         lib.paropt_chol_destroy.argtypes = [ctypes.c_void_p]
+        lib.paropt_snchol_create.restype = ctypes.c_void_p
+        lib.paropt_snchol_create.argtypes = [ctypes.c_int, ip, ip,
+                                             ctypes.c_int]
+        lib.paropt_snchol_nnz.restype = ctypes.c_int
+        lib.paropt_snchol_nnz.argtypes = [ctypes.c_void_p]
+        lib.paropt_snchol_nsuper.restype = ctypes.c_int
+        lib.paropt_snchol_nsuper.argtypes = [ctypes.c_void_p]
+        lib.paropt_snchol_factor.restype = ctypes.c_int
+        lib.paropt_snchol_factor.argtypes = [ctypes.c_void_p, dp]
+        lib.paropt_snchol_solve.restype = ctypes.c_int
+        lib.paropt_snchol_solve.argtypes = [ctypes.c_void_p, dp, ctypes.c_int]
+        lib.paropt_snchol_destroy.restype = None
+        lib.paropt_snchol_destroy.argtypes = [ctypes.c_void_p]
         lib.paropt_adat_symbolic.restype = ctypes.c_int
         lib.paropt_adat_symbolic.argtypes = [ctypes.c_int, ctypes.c_int, ip,
                                              ip, ip, ip]
@@ -112,29 +125,59 @@ class SparseCholesky:
     """Sparse Cholesky L·Lᵀ = P·A·Pᵀ of a symmetric positive-definite CSR
     matrix (the role of `ParOptSparseCholesky`, `ParOptSparseCholesky.h:
     29-47`): `setValues`/`factor`/`solve` with NATURAL or minimum-degree
-    ordering."""
+    ordering.
+
+    Two factorization methods, matching the reference's design choice of a
+    supernodal factorization ("variables are aggregated into supernodes
+    [which] enables the use of level-3 BLAS", `ParOptSparseCholesky.h:
+    13-28`):
+
+    - ``"supernodal"`` (default): fundamental supernodes with dense column
+      panels; right-looking updates apply dense rank-ns outer products —
+      block operations rather than scalar nonzero chasing.
+    - ``"simplicial"``: column-by-column up-looking factorization; useful
+      for verification and very sparse patterns with no supernode structure.
+    """
 
     ORDER_NATURAL = 0
     ORDER_AMD = 1
 
-    def __init__(self, rowp, cols, ordering: str = "amd"):
+    def __init__(self, rowp, cols, ordering: str = "amd",
+                 method: str = "supernodal"):
         self._lib = _load()
         self.rowp = np.ascontiguousarray(rowp, dtype=np.int32)
         self.cols = np.ascontiguousarray(cols, dtype=np.int32)
         self.n = self.rowp.shape[0] - 1
+        self.method = method
         order = self.ORDER_AMD if ordering == "amd" else self.ORDER_NATURAL
-        self._h = self._lib.paropt_chol_create(
-            self.n, _iptr(self.rowp), _iptr(self.cols), order)
+        if method == "supernodal":
+            self._h = self._lib.paropt_snchol_create(
+                self.n, _iptr(self.rowp), _iptr(self.cols), order)
+        else:
+            self._h = self._lib.paropt_chol_create(
+                self.n, _iptr(self.rowp), _iptr(self.cols), order)
         if not self._h:
             raise RuntimeError("sparse cholesky symbolic analysis failed")
 
+    def _sym(self, name):
+        pre = "paropt_snchol_" if self.method == "supernodal" \
+            else "paropt_chol_"
+        return getattr(self._lib, pre + name)
+
     @property
     def nnz(self) -> int:
-        return int(self._lib.paropt_chol_nnz(self._h))
+        return int(self._sym("nnz")(self._h))
+
+    @property
+    def nsupernodes(self) -> int:
+        """Number of supernodes (== n for the simplicial method)."""
+        if self.method == "supernodal":
+            return int(self._lib.paropt_snchol_nsuper(self._h))
+        return self.n
 
     def factor(self, values) -> None:
         values = np.ascontiguousarray(values, dtype=np.float64)
-        rc = self._lib.paropt_chol_factor(self._h, _dptr(values))
+        rc = self._sym("factor")(self._h, _dptr(values))
         if rc != 0:
             raise RuntimeError(
                 f"sparse Cholesky failed: not positive definite at "
@@ -143,7 +186,7 @@ class SparseCholesky:
     def solve(self, b) -> np.ndarray:
         b = np.array(b, dtype=np.float64, order="F", copy=True)
         nrhs = 1 if b.ndim == 1 else b.shape[1]
-        rc = self._lib.paropt_chol_solve(self._h, _dptr(b), nrhs)
+        rc = self._sym("solve")(self._h, _dptr(b), nrhs)
         if rc != 0:
             raise RuntimeError("sparse solve failed")
         return b
@@ -151,7 +194,7 @@ class SparseCholesky:
     def __del__(self):
         try:
             if getattr(self, "_h", None):
-                self._lib.paropt_chol_destroy(self._h)
+                self._sym("destroy")(self._h)
                 self._h = None
         except Exception:
             pass
@@ -194,12 +237,14 @@ class CSRQuasiDefMat:
     Cholesky — the role of `ParOptQuasiDefSparseMat`
     (`ParOptSparseMat.cpp:231-451`), serial per-host like the reference."""
 
-    def __init__(self, nvars: int, rowp, cols, ordering: str = "amd"):
+    def __init__(self, nvars: int, rowp, cols, ordering: str = "amd",
+                 method: str = "supernodal"):
         self.nvars = int(nvars)
         self.rowp = np.ascontiguousarray(rowp, dtype=np.int32)
         self.cols = np.ascontiguousarray(cols, dtype=np.int32)
         self.nwcon = self.rowp.shape[0] - 1
         self._ordering = ordering
+        self._method = method
         self._vals = np.zeros(self.rowp[-1])
         self._chol: Optional[SparseCholesky] = None
         self._pattern: Optional[Tuple[np.ndarray, np.ndarray]] = None
@@ -216,7 +261,8 @@ class CSRQuasiDefMat:
                                np.asarray(C0, dtype=np.float64))
         if self._pattern is None or len(oc) != len(self._pattern[1]) \
                 or not np.array_equal(orp, self._pattern[0]):
-            self._chol = SparseCholesky(orp, oc, ordering=self._ordering)
+            self._chol = SparseCholesky(orp, oc, ordering=self._ordering,
+                                        method=self._method)
             self._pattern = (orp, oc)
         self._chol.factor(ov)
         self.nfactor += 1
@@ -232,4 +278,5 @@ class CSRQuasiDefMat:
         nnz_a = int(self._pattern[0][-1])
         nnz_l = self._chol.nnz
         return (f"CSR quasi-def: n={self.nwcon} nnz(Cw)={nnz_a} "
-                f"nnz(L)={nnz_l} fill={nnz_l / max(nnz_a, 1):.2f}")
+                f"nnz(L)={nnz_l} fill={nnz_l / max(nnz_a, 1):.2f} "
+                f"supernodes={self._chol.nsupernodes}")

@@ -147,26 +147,28 @@ class Problem:
     # (a) differentiable definition — override these for autodiff mode
     # ------------------------------------------------------------------
     def objective(self, x: jnp.ndarray) -> jnp.ndarray:
-        raise NotImplementedError
+        raise NotImplementedError(
+            "override objective(x) (or eval_obj_con for callback problems)")
 
     def constraints(self, x: jnp.ndarray) -> jnp.ndarray:
         """Dense constraints c(x) >= 0, shape [ncon]."""
-        raise NotImplementedError
+        raise NotImplementedError(
+            "override constraints(x) (or eval_obj_con for callback problems)")
 
     def sparse_constraints(self, x: jnp.ndarray) -> jnp.ndarray:
         """Sparse separable constraints cw(x) >= 0, shape [nwcon]."""
-        raise NotImplementedError
+        raise NotImplementedError("override sparse_constraints(x)")
 
     def sparse_jacobian(self, x: jnp.ndarray) -> SparseJacobian:
         """Structured Jacobian of ``sparse_constraints`` at x."""
-        raise NotImplementedError
+        raise NotImplementedError("override sparse_jacobian(x)")
 
     # ------------------------------------------------------------------
     # (b) reference-style evaluation surface (defaults derive from (a))
     # ------------------------------------------------------------------
     def get_vars_and_bounds(self):
         """-> (x0, lb, ub), each [nvars] (`ParOptProblem.h:143`)."""
-        raise NotImplementedError
+        raise NotImplementedError("override get_vars_and_bounds()")
 
     def eval_obj_con(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """-> (fobj, con[ncon]) (`ParOptProblem.h:157`)."""
@@ -199,7 +201,7 @@ class Problem:
     def eval_hessian_diag(self, x, z, zw) -> jnp.ndarray:
         """Diagonal of the Lagrangian Hessian (`ParOptProblem.h:196`, used by
         MMA/`use_diag_hessian`). No generic cheap form; override if needed."""
-        raise NotImplementedError
+        raise NotImplementedError("override eval_hessian_diag(x, z, zw)")
 
     # -- sparse-constraint operator surface (`ParOptProblem.h:225-266`) ------
     def eval_sparse_con(self, x) -> jnp.ndarray:
@@ -398,7 +400,8 @@ class CSRSparseProblem(Problem):
     def eval_sparse_jacobian_data(self, x) -> jnp.ndarray:
         """Return the CSR ``data`` array of Aw(x) aligned with the pattern
         given at construction (`evalSparseObjConGradient` data-fill role)."""
-        raise NotImplementedError
+        raise NotImplementedError(
+            "override eval_sparse_jacobian_data(x) for CSRSparseProblem")
 
     def set_sparse_jacobian_data(self, data) -> None:
         self._data = np.asarray(data, dtype=np.float64)

@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
 #include <vector>
 
 namespace {
@@ -117,76 +118,214 @@ void build_permuted_lower(CholHandle* h, int n, const int* rowp,
 }
 
 // ---------------------------------------------------------------------------
-// minimum-degree ordering (quotient-graph style with element absorption,
-// approximate external degrees — the role of ParOptAMD)
+// Approximate minimum degree ordering (the role of ParOptAMD): quotient
+// graph with element absorption, w-counter approximate external degrees,
+// and indistinguishable-supervariable detection/merging.  Supervariables
+// are expanded CONSECUTIVELY in the output ordering, which both reduces
+// fill and creates the etree chains the supernodal factorization needs.
 // ---------------------------------------------------------------------------
 void min_degree_order(int n, const int* rowp, const int* cols, int* perm) {
-  // adjacency (strictly off-diagonal, symmetrized)
-  std::vector<std::vector<int>> adj(n);
+  // nv: >=1 principal supervariable (value = # original columns); 0 =
+  // absorbed into another supervariable; -1 = element; -2 = dead element
+  std::vector<int> nv(n, 1);
+  std::vector<std::vector<int>> A(n);  // variable: adjacent vars; element: L_e
+  std::vector<std::vector<int>> E(n);  // adjacent elements (may hold stale)
+  std::vector<int> deg(n, 0), esize(n, 0);
+  std::vector<int> members_head(n, -1), members_next(n, -1),
+      members_tail(n, -1);  // absorbed-column chains for output expansion
+
   for (int i = 0; i < n; i++) {
     for (int p = rowp[i]; p < rowp[i + 1]; p++) {
       int j = cols[p];
-      if (j != i) {
-        adj[i].push_back(j);
-      }
+      if (j != i) A[i].push_back(j);
     }
+    std::sort(A[i].begin(), A[i].end());
+    A[i].erase(std::unique(A[i].begin(), A[i].end()), A[i].end());
+    deg[i] = (int)A[i].size();
   }
-  for (int i = 0; i < n; i++) {
-    std::sort(adj[i].begin(), adj[i].end());
-    adj[i].erase(std::unique(adj[i].begin(), adj[i].end()), adj[i].end());
-  }
-  std::vector<char> eliminated(n, 0);
-  std::vector<int> degree(n);
-  for (int i = 0; i < n; i++) degree[i] = (int)adj[i].size();
 
-  std::vector<char> mark(n, 0);
-  for (int k = 0; k < n; k++) {
-    // pick min-degree uneliminated node
-    int best = -1, bestdeg = n + 1;
-    for (int i = 0; i < n; i++) {
-      if (!eliminated[i] && degree[i] < bestdeg) {
-        best = i;
-        bestdeg = degree[i];
-      }
+  // degree buckets (doubly linked lists)
+  std::vector<int> bhead(n + 1, -1), bnext(n, -1), bprev(n, -1);
+  auto bucket_insert = [&](int i) {
+    int d = deg[i];
+    bnext[i] = bhead[d];
+    bprev[i] = -1;
+    if (bhead[d] != -1) bprev[bhead[d]] = i;
+    bhead[d] = i;
+  };
+  auto bucket_remove = [&](int i) {
+    int d = deg[i];
+    if (bprev[i] != -1) {
+      bnext[bprev[i]] = bnext[i];
+    } else if (bhead[d] == i) {
+      bhead[d] = bnext[i];
     }
-    int v = best;
-    perm[v] = k;
-    eliminated[v] = 1;
-    // form clique among uneliminated neighbors
-    std::vector<int> nbrs;
-    for (int u : adj[v]) {
-      if (!eliminated[u]) nbrs.push_back(u);
-    }
-    for (int u : nbrs) {
-      // merge: adj[u] = (adj[u] ∪ nbrs) \ {u, eliminated}
-      for (int w : adj[u]) {
-        if (!eliminated[w] && w != u) mark[w] = 1;
-      }
-      for (int w : nbrs) {
-        if (w != u) mark[w] = 1;
-      }
-      std::vector<int> merged;
-      for (int w : adj[u]) {
-        if (mark[w]) {
-          merged.push_back(w);
-          mark[w] = 0;
+    if (bnext[i] != -1) bprev[bnext[i]] = bprev[i];
+    bnext[i] = bprev[i] = -1;
+  };
+  for (int i = 0; i < n; i++) bucket_insert(i);
+
+  std::vector<int> markv(n, 0), w(n, -1);
+  int markgen = 0;
+  std::vector<int> Le, wlist, order;
+  order.reserve(n);
+  int mindeg = 0;
+
+  int eliminated = 0;
+  while (eliminated < n) {
+    // pick a principal variable of minimum degree
+    while (mindeg <= n && bhead[mindeg] == -1) mindeg++;
+    int p = bhead[mindeg];
+    bucket_remove(p);
+    int nvp = nv[p];
+
+    // ---- Le = (A_p ∪ ∪_{e∈E_p} L_e) \ {p, non-principal} ----
+    markgen++;
+    markv[p] = markgen;
+    Le.clear();
+    for (int e : E[p]) {
+      if (nv[e] != -1) continue;  // dead element
+      for (int i : A[e]) {
+        if (nv[i] > 0 && markv[i] != markgen) {
+          markv[i] = markgen;
+          Le.push_back(i);
         }
       }
-      for (int w : nbrs) {
-        if (mark[w]) {
-          merged.push_back(w);
-          mark[w] = 0;
+      nv[e] = -2;  // absorbed
+      A[e].clear();
+      A[e].shrink_to_fit();
+    }
+    for (int i : A[p]) {
+      if (nv[i] > 0 && markv[i] != markgen) {
+        markv[i] = markgen;
+        Le.push_back(i);
+      }
+    }
+
+    // p becomes an element with member list Le
+    E[p].clear();
+    A[p].assign(Le.begin(), Le.end());
+    int le_size = 0;
+    for (int i : Le) le_size += nv[i];
+    esize[p] = le_size;
+    nv[p] = -1;
+
+    // ---- w counters: w[e] = |L_e \ Le| in Σnv units ----
+    wlist.clear();
+    for (int i : Le) {
+      for (int e : E[i]) {
+        if (nv[e] != -1 || e == p) continue;
+        if (w[e] < 0) {
+          w[e] = esize[e];
+          wlist.push_back(e);
+        }
+        w[e] -= nv[i];
+      }
+    }
+    // aggressive absorption: an old element whose members are all inside
+    // Le is subsumed by the new element p — kill it so E lists converge
+    // (which is what lets indistinguishable supervariables be detected)
+    for (int e : wlist) {
+      if (w[e] == 0) nv[e] = -2;
+    }
+
+    // ---- update each i in Le: prune lists, recompute degree ----
+    for (int i : Le) {
+      // A_i := A_i \ (Le ∪ dead); those entries are covered by element p
+      int dA = 0;
+      size_t t = 0;
+      for (int a : A[i]) {
+        if (nv[a] > 0 && markv[a] != markgen) {
+          A[i][t++] = a;
+          dA += nv[a];
         }
       }
-      // clear any leftover marks
-      for (int w : merged) mark[w] = 0;
-      adj[u].swap(merged);
-      std::sort(adj[u].begin(), adj[u].end());
-      adj[u].erase(std::unique(adj[u].begin(), adj[u].end()), adj[u].end());
-      degree[u] = (int)adj[u].size();
+      A[i].resize(t);
+      // E_i := live elements + p; degree contribution |L_e \ Le| per element
+      int dE = 0;
+      t = 0;
+      for (int e : E[i]) {
+        if (nv[e] == -1 && e != p) {
+          E[i][t++] = e;
+          dE += (w[e] >= 0 ? w[e] : esize[e]);
+        }
+      }
+      E[i].resize(t);
+      E[i].push_back(p);
+      int d = dA + dE + (le_size - nv[i]);
+      if (d < 0) d = 0;
+      if (d > n) d = n;
+      bucket_remove(i);
+      deg[i] = d;
+      bucket_insert(i);
+      if (d < mindeg) mindeg = d;
     }
-    adj[v].clear();
-    adj[v].shrink_to_fit();
+    for (int e : wlist) w[e] = -1;
+
+    // ---- indistinguishable supervariables: hash + exact compare in Le ----
+    auto live_hash = [&](int i) {
+      // hash over LIVE entries only (stale absorbed/dead ids would make
+      // genuinely identical supervariables hash apart)
+      long h = 0;
+      for (int a : A[i]) {
+        if (nv[a] > 0) h += a;
+      }
+      for (int e : E[i]) {
+        if (nv[e] == -1) h += e;
+      }
+      return h;
+    };
+    for (size_t qi = 0; qi < Le.size(); qi++) {
+      int i = Le[qi];
+      if (nv[i] <= 0) continue;
+      long hi = live_hash(i);
+      for (size_t qj = qi + 1; qj < Le.size(); qj++) {
+        int j = Le[qj];
+        if (nv[j] <= 0) continue;
+        if (live_hash(j) != hi) continue;
+        std::vector<int> ai, aj;
+        for (int a : A[i]) if (a != j && nv[a] > 0) ai.push_back(a);
+        for (int a : A[j]) if (a != i && nv[a] > 0) aj.push_back(a);
+        std::sort(ai.begin(), ai.end());
+        std::sort(aj.begin(), aj.end());
+        if (ai != aj) continue;
+        std::vector<int> ei, ej;
+        for (int e : E[i]) if (nv[e] == -1) ei.push_back(e);
+        for (int e : E[j]) if (nv[e] == -1) ej.push_back(e);
+        std::sort(ei.begin(), ei.end());
+        std::sort(ej.begin(), ej.end());
+        if (ei != ej) continue;
+        // merge j into i: order j's columns right after i's.  The spliced
+        // segment is [j, j's own member chain]: link j to its chain head
+        // first so absorbed-of-absorbed columns aren't lost.
+        bucket_remove(j);
+        nv[i] += nv[j];
+        members_next[j] = members_head[j];
+        int seg_tail = (members_tail[j] == -1) ? j : members_tail[j];
+        if (members_head[i] == -1) {
+          members_head[i] = j;
+        } else {
+          members_next[members_tail[i]] = j;
+        }
+        members_tail[i] = seg_tail;
+        nv[j] = 0;
+        E[j].clear();
+        A[j].clear();
+      }
+    }
+
+    order.push_back(p);
+    eliminated += nvp;
+  }
+
+  // expand supervariables: elimination order, each principal followed by
+  // its absorbed member chain
+  int pos = 0;
+  for (int p : order) {
+    perm[p] = pos++;
+    for (int m = members_head[p]; m != -1; m = members_next[m]) {
+      perm[m] = pos++;
+    }
   }
 }
 
@@ -428,5 +567,450 @@ int paropt_adat_numeric(int m, int n, const int* rowp, const int* cols,
   }
   return 0;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Supernodal Cholesky (right-looking with dense panels) — the BLAS3-style
+// factorization the reference uses (`ParOptSparseCholesky.h:13-28`:
+// supernode aggregation of identical column patterns enables level-3 ops).
+// Fundamental supernodes only (no relaxed amalgamation).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SNHandle {
+  int n = 0;
+  std::vector<int> perm, iperm;
+  std::vector<int> arowp, acols, aval_src;  // permuted lower pattern (rows)
+  std::vector<int> parent;                  // etree
+  // supernode partition
+  int nsuper = 0;
+  std::vector<int> sn_start;   // [nsuper+1] first column of each supernode
+  std::vector<int> sn_of_col;  // [n]
+  // per-supernode below-diagonal row structure (concatenated)
+  std::vector<int> strp;       // [nsuper+1]
+  std::vector<int> srows;      // row indices (global, ascending)
+  // dense storage: per supernode a ((ns+r) x ns) column-major panel;
+  // rows 0..ns-1 = diagonal block, ns..ns+r-1 = below-diagonal rows
+  std::vector<long> panelp;    // [nsuper+1] offsets into values
+  std::vector<double> vals;
+  // scratch: global row -> local panel row within a target supernode
+  std::vector<int> relind;
+  std::vector<double> wscratch;  // row-major L21 copy for the update GEMM
+};
+
+// etree + per-column row patterns of L via ereach sweeps.  Memory O(nnz(L)).
+void sn_colrows(SNHandle* h, std::vector<std::vector<int>>& colrows) {
+  int n = h->n;
+  h->parent.resize(n);
+  std::vector<int> ancestor;
+  build_etree(n, h->arowp.data(), h->acols.data(), h->parent.data(),
+              ancestor);
+  colrows.assign(n, {});
+  std::vector<int> s(n), w(n, -1);
+  for (int k = 0; k < n; k++) {
+    int top = ereach(n, h->arowp.data(), h->acols.data(), k,
+                     h->parent.data(), s.data(), w.data());
+    for (int p = top; p < n; p++) {
+      colrows[s[p]].push_back(k);  // L(k, s[p]) nonzero, k > s[p]
+    }
+  }
+}
+
+// Supernode partition with relaxed amalgamation.
+//
+// 1. Fundamental supernodes: maximal chains parent(j-1) == j with
+//    |struct(j-1)| == |struct(j)| + 1 (identical patterns, zero padding).
+// 2. Relaxed amalgamation on the SUPERNODAL elimination tree: a supernode
+//    is merged into its parent supernode when the explicit-zero padding of
+//    the merged dense panel stays under a width-dependent tolerance
+//    (always merge narrow blocks, tolerate less padding as blocks widen).
+//    Merged classes are connected subtrees, so every member column's rows
+//    are covered by the class root's structure (etree containment).
+// 3. The columns are then RELABELED so each merged class is contiguous —
+//    emitting classes by root index and members in ascending order is a
+//    topological reordering of the etree, which leaves fill invariant.
+//
+// This is the aggregation that turns the sparse factorization into dense
+// block (level-3) operations — the same design the reference motivates in
+// ParOptSparseCholesky.h:13-28.
+void sn_symbolic(SNHandle* h, int norig, const int* rowp, const int* cols) {
+  int n = h->n;
+  std::vector<std::vector<int>> colrows;
+  sn_colrows(h, colrows);
+
+  // ---- 1. fundamental supernodes ----
+  std::vector<int> fstart;
+  fstart.push_back(0);
+  for (int j = 1; j < n; j++) {
+    bool merge = (h->parent[j - 1] == j) &&
+                 (colrows[j - 1].size() == colrows[j].size() + 1);
+    if (!merge) fstart.push_back(j);
+  }
+  fstart.push_back(n);
+  int nf = (int)fstart.size() - 1;
+  std::vector<int> fs_of_col(n);
+  for (int s = 0; s < nf; s++) {
+    for (int j = fstart[s]; j < fstart[s + 1]; j++) fs_of_col[j] = s;
+  }
+  // supernodal etree
+  std::vector<int> sparent(nf, -1);
+  for (int s = 0; s < nf; s++) {
+    int pcol = h->parent[fstart[s + 1] - 1];
+    if (pcol != -1) sparent[s] = fs_of_col[pcol];
+  }
+
+  // ---- 2. union-find amalgamation (children processed before parents) ----
+  std::vector<int> uf(nf), w_cls(nf), root_cls(nf);
+  std::vector<long> nz_cls(nf);
+  std::function<int(int)> find = [&](int a) {
+    while (uf[a] != a) {
+      uf[a] = uf[uf[a]];
+      a = uf[a];
+    }
+    return a;
+  };
+  for (int s = 0; s < nf; s++) {
+    uf[s] = s;
+    w_cls[s] = fstart[s + 1] - fstart[s];
+    root_cls[s] = s;
+    long nz = 0;
+    for (int j = fstart[s]; j < fstart[s + 1]; j++) {
+      nz += (long)colrows[j].size() + 1;
+    }
+    nz_cls[s] = nz;
+  }
+  const int max_width = 64;
+  for (int s = 0; s < nf; s++) {
+    if (sparent[s] == -1) continue;
+    int a = find(s), b = find(sparent[s]);
+    if (a == b) continue;
+    int w = w_cls[a] + w_cls[b];
+    if (w > max_width) continue;
+    int rt = root_cls[b];  // class root (ancestor-most fundamental snode)
+    long r = (long)colrows[fstart[rt + 1] - 1].size();
+    long dense = (long)w * (w + 1) / 2 + (long)w * r;
+    long nz = nz_cls[a] + nz_cls[b];
+    double zfrac = (double)(dense - nz) / (double)dense;
+    bool ok = (w <= 8) || (w <= 16 && zfrac <= 0.5) ||
+              (w <= 48 && zfrac <= 0.25) || zfrac <= 0.10;
+    if (!ok) continue;
+    uf[a] = b;
+    w_cls[b] = w;
+    nz_cls[b] = nz;  // root_cls[b] unchanged (b is the ancestor side)
+  }
+
+  // ---- 3. relabel columns so each class is contiguous ----
+  // class members collected in ascending fundamental order; classes are
+  // emitted at their root's position
+  {
+    std::vector<std::vector<int>> members(nf);
+    for (int s = 0; s < nf; s++) {
+      members[find(s)].push_back(s);
+    }
+    std::vector<int> colmap(n);
+    std::vector<int> new_start;
+    new_start.push_back(0);
+    int pos = 0;
+    for (int s = 0; s < nf; s++) {
+      if (find(s) != s) continue;  // emit whole class at its representative
+      // NOTE: the representative after path compression is the ancestor
+      // side (uf[a] = b), so emission happens at the class root
+      for (int m : members[s]) {
+        for (int j = fstart[m]; j < fstart[m + 1]; j++) colmap[j] = pos++;
+      }
+      new_start.push_back(pos);
+    }
+    // compose into the overall permutation and rebuild the pattern
+    for (int i = 0; i < norig; i++) h->perm[i] = colmap[h->perm[i]];
+    CholHandle tmp;
+    tmp.perm = h->perm;
+    build_permuted_lower(&tmp, norig, rowp, cols);
+    h->arowp.swap(tmp.arowp);
+    h->acols.swap(tmp.acols);
+    h->aval_src.swap(tmp.aval_src);
+    sn_colrows(h, colrows);  // fill is invariant; labels changed
+    h->sn_start = new_start;
+  }
+  h->nsuper = (int)h->sn_start.size() - 1;
+  h->sn_of_col.resize(n);
+  for (int sI = 0; sI < h->nsuper; sI++) {
+    for (int j = h->sn_start[sI]; j < h->sn_start[sI + 1]; j++) {
+      h->sn_of_col[j] = sI;
+    }
+  }
+
+  // supernode structure = rows of its LAST column below the supernode
+  // (the class root's column, whose structure covers every member's rows)
+  h->strp.assign(h->nsuper + 1, 0);
+  for (int sI = 0; sI < h->nsuper; sI++) {
+    int jend = h->sn_start[sI + 1];
+    int cnt = 0;
+    for (int r : colrows[jend - 1]) {
+      if (r >= jend) cnt++;
+    }
+    h->strp[sI + 1] = h->strp[sI] + cnt;
+  }
+  h->srows.resize(h->strp[h->nsuper]);
+  h->panelp.assign(h->nsuper + 1, 0);
+  for (int sI = 0; sI < h->nsuper; sI++) {
+    int j0 = h->sn_start[sI];
+    int jend = h->sn_start[sI + 1];
+    int ns = jend - j0;
+    int q = h->strp[sI];
+    for (int r : colrows[jend - 1]) {
+      if (r >= jend) h->srows[q++] = r;
+    }
+    std::sort(h->srows.begin() + h->strp[sI],
+              h->srows.begin() + h->strp[sI + 1]);
+    long r = h->strp[sI + 1] - h->strp[sI];
+    h->panelp[sI + 1] = h->panelp[sI] + (long)(ns + r) * ns;
+  }
+  h->vals.assign(h->panelp[h->nsuper], 0.0);
+  h->relind.assign(n, -1);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* paropt_snchol_create(int n, const int* rowp, const int* cols,
+                           int order_type) {
+  SNHandle* h = new SNHandle();
+  h->n = n;
+  h->perm.resize(n);
+  h->iperm.resize(n);
+  if (order_type == 1) {
+    min_degree_order(n, rowp, cols, h->perm.data());
+  } else {
+    for (int i = 0; i < n; i++) h->perm[i] = i;
+  }
+  {
+    // reuse the simplicial helper for the permuted lower pattern
+    CholHandle tmp;
+    tmp.perm = h->perm;
+    build_permuted_lower(&tmp, n, rowp, cols);
+    h->arowp.swap(tmp.arowp);
+    h->acols.swap(tmp.acols);
+    h->aval_src.swap(tmp.aval_src);
+  }
+  // Postorder the elimination tree and compose it into the permutation:
+  // postordering is a fill-equivalent reordering that makes etree chains
+  // occupy CONSECUTIVE column indices, which is what lets supernodes form.
+  {
+    std::vector<int> parent(n);
+    std::vector<int> ancestor;
+    build_etree(n, h->arowp.data(), h->acols.data(), parent.data(), ancestor);
+    // children lists (in increasing order) + roots
+    std::vector<int> head(n + 1, -1), next(n, -1);
+    for (int j = n - 1; j >= 0; j--) {
+      int p = (parent[j] == -1) ? n : parent[j];
+      next[j] = head[p];
+      head[p] = j;
+    }
+    std::vector<int> post(n), stack;
+    int q = 0;
+    for (int r = head[n]; r != -1; r = next[r]) {
+      // iterative DFS emitting nodes in postorder
+      stack.push_back(r);
+      while (!stack.empty()) {
+        int v = stack.back();
+        int c = head[v];
+        if (c != -1) {
+          head[v] = next[c];  // pop the child; revisit v afterwards
+          stack.push_back(c);
+        } else {
+          stack.pop_back();
+          post[v] = q++;
+        }
+      }
+    }
+    for (int i = 0; i < n; i++) h->perm[i] = post[h->perm[i]];
+    CholHandle tmp;
+    tmp.perm = h->perm;
+    build_permuted_lower(&tmp, n, rowp, cols);
+    h->arowp.swap(tmp.arowp);
+    h->acols.swap(tmp.acols);
+    h->aval_src.swap(tmp.aval_src);
+  }
+  sn_symbolic(h, n, rowp, cols);
+  for (int i = 0; i < n; i++) h->iperm[h->perm[i]] = i;
+  return (void*)h;
+}
+
+int paropt_snchol_nnz(void* vh) {
+  SNHandle* h = (SNHandle*)vh;
+  long nnz = 0;
+  for (int sI = 0; sI < h->nsuper; sI++) {
+    long ns = h->sn_start[sI + 1] - h->sn_start[sI];
+    long r = h->strp[sI + 1] - h->strp[sI];
+    nnz += ns * (ns + 1) / 2 + r * ns;
+  }
+  return (int)nnz;
+}
+
+int paropt_snchol_nsuper(void* vh) { return ((SNHandle*)vh)->nsuper; }
+
+int paropt_snchol_factor(void* vh, const double* values) {
+  SNHandle* h = (SNHandle*)vh;
+  int n = h->n;
+  std::fill(h->vals.begin(), h->vals.end(), 0.0);
+
+  // scatter A's (permuted) lower entries into the panels
+  for (int i = 0; i < n; i++) {
+    for (int p = h->arowp[i]; p < h->arowp[i + 1]; p++) {
+      int j = h->acols[p];  // j <= i, entry A(i, j)
+      double aij = values[h->aval_src[p]];
+      int sI = h->sn_of_col[j];
+      int j0 = h->sn_start[sI];
+      int jend = h->sn_start[sI + 1];
+      int ns = jend - j0;
+      long base = h->panelp[sI];
+      int lc = j - j0;
+      int lr;
+      if (i < jend) {
+        lr = i - j0;  // inside the diagonal block
+      } else {
+        // find i in the supernode structure
+        const int* lo = h->srows.data() + h->strp[sI];
+        const int* hi = h->srows.data() + h->strp[sI + 1];
+        lr = ns + (int)(std::lower_bound(lo, hi, i) - lo);
+      }
+      h->vals[base + (long)lc * (ns + (h->strp[sI + 1] - h->strp[sI])) + lr]
+          += aij;
+    }
+  }
+
+  // right-looking supernodal factorization
+  for (int sI = 0; sI < h->nsuper; sI++) {
+    int j0 = h->sn_start[sI];
+    int ns = h->sn_start[sI + 1] - j0;
+    int r = h->strp[sI + 1] - h->strp[sI];
+    int ld = ns + r;
+    double* P = h->vals.data() + h->panelp[sI];
+
+    // dense Cholesky of the ns x ns diagonal block (lower)
+    for (int k = 0; k < ns; k++) {
+      double d = P[(long)k * ld + k];
+      for (int t = 0; t < k; t++) {
+        double v = P[(long)t * ld + k];
+        d -= v * v;
+      }
+      if (d <= 0.0 || !std::isfinite(d)) return j0 + k + 1;
+      d = std::sqrt(d);
+      P[(long)k * ld + k] = d;
+      for (int i = k + 1; i < ld; i++) {
+        double v = P[(long)k * ld + i];
+        for (int t = 0; t < k; t++) {
+          v -= P[(long)t * ld + i] * P[(long)t * ld + k];
+        }
+        P[(long)k * ld + i] = v / d;
+      }
+    }
+
+    if (r == 0) continue;
+
+    // copy L21 into a row-major scratch so the update dots are unit-stride
+    std::vector<double>& W = h->wscratch;
+    W.resize((size_t)r * ns);
+    for (int iq = 0; iq < r; iq++) {
+      for (int t = 0; t < ns; t++) {
+        W[(size_t)iq * ns + t] = P[(long)t * ld + ns + iq];
+      }
+    }
+
+    // scatter the Schur update U = L21 * L21^T into ancestor panels
+    const int* R = h->srows.data() + h->strp[sI];
+    // relative indices per target supernode are computed on the fly
+    for (int jq = 0; jq < r; jq++) {
+      int gj = R[jq];
+      int tI = h->sn_of_col[gj];
+      int tj0 = h->sn_start[tI];
+      int tjend = h->sn_start[tI + 1];
+      int tns = tjend - tj0;
+      int tr = h->strp[tI + 1] - h->strp[tI];
+      int tld = tns + tr;
+      long tbase = h->panelp[tI];
+      int tlc = gj - tj0;
+      const int* tlo = h->srows.data() + h->strp[tI];
+      const int* thi = h->srows.data() + h->strp[tI + 1];
+      double* Tcol = h->vals.data() + tbase + (long)tlc * tld;
+      const double* Lj = W.data() + (size_t)jq * ns;  // row jq of L21
+      for (int iq = jq; iq < r; iq++) {
+        int gi = R[iq];
+        double u = 0.0;
+        const double* Li = W.data() + (size_t)iq * ns;
+        for (int t = 0; t < ns; t++) {
+          u += Li[t] * Lj[t];
+        }
+        int tlr;
+        if (gi < tjend) {
+          tlr = gi - tj0;
+        } else {
+          tlr = tns + (int)(std::lower_bound(tlo, thi, gi) - tlo);
+        }
+        Tcol[tlr] -= u;
+      }
+    }
+  }
+  return 0;
+}
+
+int paropt_snchol_solve(void* vh, double* b, int nrhs) {
+  SNHandle* h = (SNHandle*)vh;
+  int n = h->n;
+  std::vector<double> y(n);
+  for (int q = 0; q < nrhs; q++) {
+    double* brhs = b + (size_t)q * n;
+    for (int i = 0; i < n; i++) y[h->perm[i]] = brhs[i];
+    // forward: L y = b, supernode by supernode
+    for (int sI = 0; sI < h->nsuper; sI++) {
+      int j0 = h->sn_start[sI];
+      int ns = h->sn_start[sI + 1] - j0;
+      int r = h->strp[sI + 1] - h->strp[sI];
+      int ld = ns + r;
+      const double* P = h->vals.data() + h->panelp[sI];
+      for (int k = 0; k < ns; k++) {
+        double v = y[j0 + k];
+        for (int t = 0; t < k; t++) {
+          v -= P[(long)t * ld + k] * y[j0 + t];
+        }
+        y[j0 + k] = v / P[(long)k * ld + k];
+      }
+      const int* R = h->srows.data() + h->strp[sI];
+      for (int iq = 0; iq < r; iq++) {
+        double acc = 0.0;
+        for (int t = 0; t < ns; t++) {
+          acc += P[(long)t * ld + ns + iq] * y[j0 + t];
+        }
+        y[R[iq]] -= acc;
+      }
+    }
+    // backward: L^T x = y
+    for (int sI = h->nsuper - 1; sI >= 0; sI--) {
+      int j0 = h->sn_start[sI];
+      int ns = h->sn_start[sI + 1] - j0;
+      int r = h->strp[sI + 1] - h->strp[sI];
+      int ld = ns + r;
+      const double* P = h->vals.data() + h->panelp[sI];
+      const int* R = h->srows.data() + h->strp[sI];
+      for (int k = ns - 1; k >= 0; k--) {
+        double v = y[j0 + k];
+        for (int iq = 0; iq < r; iq++) {
+          v -= P[(long)k * ld + ns + iq] * y[R[iq]];
+        }
+        for (int t = k + 1; t < ns; t++) {
+          v -= P[(long)k * ld + t] * y[j0 + t];
+        }
+        y[j0 + k] = v / P[(long)k * ld + k];
+      }
+    }
+    for (int i = 0; i < n; i++) brhs[i] = y[h->perm[i]];
+  }
+  return 0;
+}
+
+void paropt_snchol_destroy(void* vh) { delete (SNHandle*)vh; }
 
 }  // extern "C"

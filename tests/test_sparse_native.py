@@ -195,3 +195,89 @@ def test_csr_sparse_problem_ip_end_to_end():
     # at least one window constraint should be active (targets sum > 3)
     assert cw.min() < 1e-3
     assert ip._csr_mat.nfactor > 0
+
+
+@pytest.mark.parametrize("method", ["simplicial", "supernodal"])
+@pytest.mark.parametrize("ordering", ["natural", "amd"])
+def test_cholesky_methods_agree(method, ordering):
+    dense, rowp, cols, data = _random_spd_csr(120, density=0.1, seed=7)
+    chol = sn.SparseCholesky(rowp, cols, ordering=ordering, method=method)
+    chol.factor(data)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(120)
+    x = chol.solve(b)
+    assert np.allclose(dense @ x, b, atol=1e-8)
+
+
+def _laplacian_2d_csr(nx, ny):
+    """5-point Laplacian on an nx-by-ny grid, CSR."""
+    n = nx * ny
+    rowp = np.zeros(n + 1, dtype=np.int32)
+    cols, data = [], []
+    for j in range(ny):
+        for i in range(nx):
+            k = j * nx + i
+            entries = [(k, 4.0 + 0.1)]
+            if i > 0:
+                entries.append((k - 1, -1.0))
+            if i < nx - 1:
+                entries.append((k + 1, -1.0))
+            if j > 0:
+                entries.append((k - nx, -1.0))
+            if j < ny - 1:
+                entries.append((k + nx, -1.0))
+            entries.sort()
+            for c, v in entries:
+                cols.append(c)
+                data.append(v)
+            rowp[k + 1] = len(cols)
+    return rowp, np.asarray(cols, np.int32), np.asarray(data)
+
+
+def test_supernodal_laplacian():
+    """Supernodal factorization on a structured grid: fewer supernodes than
+    columns, identical solutions to the simplicial method."""
+    nx, ny = 24, 24
+    rowp, cols, data = _laplacian_2d_csr(nx, ny)
+    n = nx * ny
+    sup = sn.SparseCholesky(rowp, cols, ordering="amd", method="supernodal")
+    sim = sn.SparseCholesky(rowp, cols, ordering="amd", method="simplicial")
+    sup.factor(data)
+    sim.factor(data)
+    # the AMD-ordered Laplacian factor must aggregate columns substantially
+    assert sup.nsupernodes < n // 2
+    # relaxed amalgamation pads with explicit zeros, bounded by the tolerance
+    assert sim.nnz <= sup.nnz <= int(2.0 * sim.nnz)
+    rng = np.random.default_rng(5)
+    B = np.asfortranarray(rng.standard_normal((n, 4)))
+    Xs = sup.solve(B)
+    Xm = sim.solve(B)
+    assert np.allclose(Xs, Xm, atol=1e-9)
+
+
+def test_quasi_def_supernodal_method():
+    """CSRQuasiDefMat with the supernodal backend matches a dense solve."""
+    rng = np.random.default_rng(11)
+    nvars, nwcon = 40, 12
+    # random sparse Aw: each row touches ~5 variables
+    rowp = np.zeros(nwcon + 1, dtype=np.int32)
+    cols, vals = [], []
+    for i in range(nwcon):
+        idx = np.sort(rng.choice(nvars, size=5, replace=False))
+        cols.extend(idx.tolist())
+        vals.extend(rng.standard_normal(5).tolist())
+        rowp[i + 1] = len(cols)
+    cols = np.asarray(cols, np.int32)
+    vals = np.asarray(vals)
+    Dinv = rng.random(nvars) + 0.5
+    C0 = rng.random(nwcon) + 0.5
+    mat = sn.CSRQuasiDefMat(nvars, rowp, cols, method="supernodal")
+    mat.set_values(vals)
+    mat.factor(Dinv, C0)
+    Aw = np.zeros((nwcon, nvars))
+    for i in range(nwcon):
+        Aw[i, cols[rowp[i]:rowp[i + 1]]] = vals[rowp[i]:rowp[i + 1]]
+    Cw = np.diag(C0) + Aw @ np.diag(Dinv) @ Aw.T
+    b = rng.standard_normal(nwcon)
+    assert np.allclose(mat.solve(b), np.linalg.solve(Cw, b), atol=1e-9)
+    assert "supernodes=" in mat.get_factor_info()
