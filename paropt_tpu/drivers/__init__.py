@@ -6,6 +6,9 @@
   (`paropt/paropt_pyoptsparse.py` role); requires pyoptsparse
 - `openmdao_driver.ParOptDriver` — OpenMDAO Driver subclass
   (`paropt/paropt_driver.py` role); requires openmdao
+- `openmdao_sparse_driver.ParOptSparseDriver` — OpenMDAO driver with the
+  separable sparse-constraint path (`paropt/paropt_sparse_driver.py` role);
+  requires openmdao
 """
 
 from .callbacks import FunctionProblem  # noqa: F401

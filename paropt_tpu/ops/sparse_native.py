@@ -238,7 +238,8 @@ class CSRQuasiDefMat:
     (`ParOptSparseMat.cpp:231-451`), serial per-host like the reference."""
 
     def __init__(self, nvars: int, rowp, cols, ordering: str = "amd",
-                 method: str = "supernodal"):
+                 method: str = "supernodal",
+                 dense_col_fraction: float = 0.25):
         self.nvars = int(nvars)
         self.rowp = np.ascontiguousarray(rowp, dtype=np.int32)
         self.cols = np.ascontiguousarray(cols, dtype=np.int32)
@@ -250,25 +251,76 @@ class CSRQuasiDefMat:
         self._pattern: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self.nfactor = 0
 
+        # Dense-column detection (`ParOptSparseMat.cpp:249-255` role): a
+        # variable appearing in a large fraction of the sparse constraints
+        # would fill Cw = C0 + Aw·D⁻¹·Awᵀ almost completely.  Split those
+        # columns out of the sparse product and apply their (low-rank)
+        # contribution via Sherman–Morrison–Woodbury at solve time.
+        counts = np.zeros(self.nvars, dtype=np.int64)
+        np.add.at(counts, self.cols, 1)
+        thresh = max(16, int(dense_col_fraction * max(self.nwcon, 1)))
+        self.dense_cols = np.nonzero(counts >= thresh)[0].astype(np.int32)
+        self._col_is_dense = np.zeros(self.nvars, dtype=bool)
+        self._col_is_dense[self.dense_cols] = True
+        if self.dense_cols.size:
+            keep = ~self._col_is_dense[self.cols]
+            # sparse remainder pattern (same row structure, dense cols gone)
+            s_rowp = np.zeros(self.nwcon + 1, dtype=np.int32)
+            for i in range(self.nwcon):
+                s_rowp[i + 1] = s_rowp[i] + int(
+                    keep[self.rowp[i]:self.rowp[i + 1]].sum())
+            self._s_keep = keep
+            self._s_rowp = s_rowp
+            self._s_cols = self.cols[keep]
+            # map dense variable id -> column of the dense block
+            self._dense_pos = {int(v): k
+                               for k, v in enumerate(self.dense_cols)}
+        self._smw = None  # (U, V, S_lu) at the last factorization
+
     def set_values(self, vals) -> None:
         """Install the current CSR Jacobian values (`setSparseJacobianData`,
         `ParOptProblem.cpp:632-676`)."""
         self._vals = np.ascontiguousarray(vals, dtype=np.float64)
 
     def factor(self, Dinv, C0) -> None:
-        orp, oc, ov = csr_adat(self.rowp, self.cols, self._vals,
-                               np.asarray(Dinv, dtype=np.float64),
-                               np.asarray(C0, dtype=np.float64))
+        Dinv = np.asarray(Dinv, dtype=np.float64)
+        C0 = np.asarray(C0, dtype=np.float64)
+        if self.dense_cols.size:
+            rowp, cols = self._s_rowp, self._s_cols
+            vals = self._vals[self._s_keep]
+        else:
+            rowp, cols, vals = self.rowp, self.cols, self._vals
+        orp, oc, ov = csr_adat(rowp, cols, vals, Dinv, C0)
         if self._pattern is None or len(oc) != len(self._pattern[1]) \
                 or not np.array_equal(orp, self._pattern[0]):
             self._chol = SparseCholesky(orp, oc, ordering=self._ordering,
                                         method=self._method)
             self._pattern = (orp, oc)
         self._chol.factor(ov)
+        if self.dense_cols.size:
+            # U = Ad·diag(sqrt(Dinv_d)): Cw = Cw_sparse + U·Uᵀ.  Factor the
+            # k×k capacitance S = I + Uᵀ·Cw_sparse⁻¹·U for SMW solves.
+            k = self.dense_cols.size
+            U = np.zeros((self.nwcon, k))
+            for i in range(self.nwcon):
+                for p in range(self.rowp[i], self.rowp[i + 1]):
+                    c = int(self.cols[p])
+                    if self._col_is_dense[c]:
+                        U[i, self._dense_pos[c]] = (
+                            self._vals[p] * np.sqrt(Dinv[c]))
+            V = self._chol.solve(np.asfortranarray(U))
+            S = np.eye(k) + U.T @ V
+            self._smw = (U, V, S)  # k is small; solve directly per apply
+        else:
+            self._smw = None
         self.nfactor += 1
 
     def solve(self, b) -> np.ndarray:
-        return self._chol.solve(b)
+        y = self._chol.solve(b)
+        if self._smw is not None:
+            U, V, S = self._smw
+            y = y - V @ np.linalg.solve(S, U.T @ y)
+        return y
 
     def get_factor_info(self) -> str:
         """Fill-in statistics (`getFactorInfo`, `ParOptSparseMat.cpp:
@@ -279,4 +331,5 @@ class CSRQuasiDefMat:
         nnz_l = self._chol.nnz
         return (f"CSR quasi-def: n={self.nwcon} nnz(Cw)={nnz_a} "
                 f"nnz(L)={nnz_l} fill={nnz_l / max(nnz_a, 1):.2f} "
-                f"supernodes={self._chol.nsupernodes}")
+                f"supernodes={self._chol.nsupernodes} "
+                f"dense_cols={self.dense_cols.size}")

@@ -64,3 +64,10 @@ def test_pyoptsparse_driver_import():
                     reason="openmdao not installed")
 def test_openmdao_driver_import():
     from paropt_tpu.drivers.openmdao_driver import ParOptDriver  # noqa: F401
+
+
+@pytest.mark.skipif(importlib.util.find_spec("openmdao") is None,
+                    reason="openmdao not installed")
+def test_openmdao_sparse_driver_import():
+    from paropt_tpu.drivers.openmdao_sparse_driver import (  # noqa: F401
+        ParOptSparseDriver)

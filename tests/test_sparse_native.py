@@ -281,3 +281,50 @@ def test_quasi_def_supernodal_method():
     b = rng.standard_normal(nwcon)
     assert np.allclose(mat.solve(b), np.linalg.solve(Cw, b), atol=1e-9)
     assert "supernodes=" in mat.get_factor_info()
+
+
+def test_quasi_def_dense_column_smw():
+    """A variable appearing in (nearly) every sparse constraint is split out
+    of the Schur product and applied via SMW (`ParOptSparseMat.cpp:249-255`
+    dense-column detection role)."""
+    rng = np.random.default_rng(3)
+    nvars, nwcon = 50, 40
+    rowp, cols = [0], []
+    for i in range(nwcon):
+        idx = set(rng.choice(nvars, size=4, replace=False).tolist()) | {7}
+        cols.extend(sorted(idx))
+        rowp.append(len(cols))
+    rowp = np.asarray(rowp, np.int32)
+    cols = np.asarray(cols, np.int32)
+    vals = rng.standard_normal(len(cols))
+    Dinv = rng.random(nvars) + 0.5
+    C0 = rng.random(nwcon) + 0.5
+    Aw = np.zeros((nwcon, nvars))
+    for i in range(nwcon):
+        Aw[i, cols[rowp[i]:rowp[i + 1]]] = vals[rowp[i]:rowp[i + 1]]
+    Cw = np.diag(C0) + Aw @ np.diag(Dinv) @ Aw.T
+
+    m = sn.CSRQuasiDefMat(nvars, rowp, cols)
+    m.set_values(vals)
+    m.factor(Dinv, C0)
+    assert m.dense_cols.tolist() == [7]
+    assert "dense_cols=1" in m.get_factor_info()
+    b = rng.standard_normal(nwcon)
+    assert np.allclose(m.solve(b), np.linalg.solve(Cw, b), atol=1e-10)
+    B = np.asfortranarray(rng.standard_normal((nwcon, 3)))
+    assert np.allclose(m.solve(B), np.linalg.solve(Cw, B), atol=1e-10)
+    # the split keeps the factored pattern sparse
+    m2 = sn.CSRQuasiDefMat(nvars, rowp, cols, dense_col_fraction=2.0)
+    m2.set_values(vals)
+    m2.factor(Dinv, C0)
+    assert int(m.get_factor_info().split("nnz(Cw)=")[1].split()[0]) < \
+        int(m2.get_factor_info().split("nnz(Cw)=")[1].split()[0])
+    # refactor with new values keeps SMW consistent
+    vals2 = rng.standard_normal(len(cols))
+    m.set_values(vals2)
+    m.factor(Dinv, C0)
+    Aw2 = np.zeros((nwcon, nvars))
+    for i in range(nwcon):
+        Aw2[i, cols[rowp[i]:rowp[i + 1]]] = vals2[rowp[i]:rowp[i + 1]]
+    Cw2 = np.diag(C0) + Aw2 @ np.diag(Dinv) @ Aw2.T
+    assert np.allclose(m.solve(b), np.linalg.solve(Cw2, b), atol=1e-10)
