@@ -9,6 +9,11 @@ accepted TR step.
 import numpy as np
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from paropt_tpu.eig import (CompactEigenApprox, EigenQuasiNewton,
                             EigenSubproblem)
 from paropt_tpu.tr import TrustRegion

@@ -8,6 +8,11 @@ import argparse
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from paropt_tpu import Optimizer
 from paropt_tpu.models.analytic import Rosenbrock
 

@@ -3,6 +3,11 @@
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from paropt_tpu import InteriorPoint
 from paropt_tpu.models.analytic import SparseRosenbrock
 

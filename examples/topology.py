@@ -12,6 +12,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from paropt_tpu import ip_fused
 from paropt_tpu.models.topology import SyntheticTopology
 from paropt_tpu.ops import qn as qnmod

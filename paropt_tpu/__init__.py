@@ -6,16 +6,24 @@ distributed (mesh-sharded) design vector, a few dense global constraints, many
 separable sparse weighting constraints, and bound constraints.  See SURVEY.md
 for the structural analysis of the reference this build follows.
 
-Precision note: the optimizers default to float64 (the reference is double
-everywhere); importing this package enables jax x64 mode unless the
-environment variable PAROPT_TPU_NO_X64 is set (e.g. for f32 TPU benchmarks).
+Precision note: the optimizers default to float64 off-accelerator (the
+reference is double everywhere); importing this package enables jax x64 mode
+unless the environment variable PAROPT_TPU_NO_X64 is set, OR the JAX
+platform is a TPU (f64 linear algebra is unsupported/emulated there — f32
+is the native precision; see docs/design.md).  Set PAROPT_TPU_NO_X64=""
+(empty) to force-enable x64 regardless.
 """
 
 import os as _os
 
 import jax as _jax
 
-if not _os.environ.get("PAROPT_TPU_NO_X64"):
+_no_x64 = _os.environ.get("PAROPT_TPU_NO_X64")
+if _no_x64 is None:
+    # default by platform WITHOUT initializing a backend: trust the env hint
+    _plat = _os.environ.get("JAX_PLATFORMS", "").lower()
+    _no_x64 = "1" if ("tpu" in _plat or "axon" in _plat) else ""
+if not _no_x64:
     try:
         _jax.config.update("jax_enable_x64", True)
     except Exception:  # pragma: no cover - config locked after init
@@ -48,4 +56,7 @@ def __getattr__(name):
     if name == "Optimizer":
         from .optimizer import Optimizer
         return Optimizer
+    if name == "ReducedProblem":
+        from .reduced import ReducedProblem
+        return ReducedProblem
     raise AttributeError(name)

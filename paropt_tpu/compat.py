@@ -43,7 +43,9 @@ __all__ = ["Problem", "Optimizer", "InteriorPoint", "TrustRegion", "MMA",
 
 # the reference exposes ParOpt.dtype (double, or complex in the complex
 # build); derivatives here are exact via autodiff so the real dtype suffices
-dtype = np.float64
+# `ParOpt.dtype` analogue: double wherever x64 is on, f32 on TPU
+import jax as _jax
+dtype = np.float64 if _jax.config.jax_enable_x64 else np.float32
 
 
 class Problem(_problem.Problem):

@@ -35,7 +35,9 @@ class CompactEigenApprox:
     """Low-rank quadratic model of one constraint
     (`ParOptCompactEigenApprox`, `ParOptCompactEigenvalueApprox.h:7-32`)."""
 
-    def __init__(self, nvars: int, N: int, dtype=jnp.float64):
+    def __init__(self, nvars: int, N: int, dtype=None):
+        from .dtypes import resolve_dtype
+        dtype = resolve_dtype(dtype)
         self.nvars = nvars
         self.N = N
         self.c0 = jnp.zeros((), dtype)

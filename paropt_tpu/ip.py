@@ -291,7 +291,14 @@ class InteriorPoint:
         else:
             self.options = make_options(options, which="ip")
         o = self.options
-        self.dtype = jnp.float64 if o["dtype"] == "float64" else jnp.float32
+        from .dtypes import resolve_dtype
+        self.dtype = resolve_dtype(
+            jnp.float64 if o["dtype"] == "float64" else jnp.float32)
+        if (self.dtype == jnp.float32
+                and not self.options.is_set("abs_res_tol")):
+            # the f64 default (1e-6) sits at f32 resolution; pick a
+            # reachable default when the user has not chosen one
+            self.options["abs_res_tol"] = 1e-4
 
         # counters (`getIterationCounters`, ParOptInteriorPoint.h:203-217)
         self.niter = 0

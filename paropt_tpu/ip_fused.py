@@ -136,12 +136,13 @@ class FusedIP:
 
     def __init__(self, model: ModelFns, n: int, ncon: int, nwcon: int = 0,
                  nwblock: int = 1, opts: FusedIPOptions = FusedIPOptions(),
-                 dtype=jnp.float64):
+                 dtype=None):
+        from .dtypes import resolve_dtype
         self.model = model
         self.n, self.ncon, self.nwcon = n, ncon, nwcon
         self.nwblock = nwblock
         self.opts = opts
-        self.dtype = dtype
+        self.dtype = resolve_dtype(dtype)
         self._step_jit = jax.jit(partial(_fused_step, model, opts))
         self._init_jit = jax.jit(partial(_fused_init, model, opts))
         self._solve_jit = jax.jit(partial(_fused_solve_loop, model, opts))
@@ -636,9 +637,11 @@ def model_from_problem(problem) -> ModelFns:
 
 def data_template_from_problem(problem, penalty_gamma: float = 1000.0,
                                max_bound_value: float = 1e20,
-                               dtype=jnp.float64) -> Tuple[ProblemData, Any]:
+                               dtype=None) -> Tuple[ProblemData, Any]:
     """Build the static ProblemData template (bounds, masks, penalties,
     sparse-Jacobian pattern) + x0 for a jax-native Problem."""
+    from .dtypes import resolve_dtype
+    dtype = resolve_dtype(dtype)
     x0, lb, ub = problem.get_vars_and_bounds()
     x0 = jnp.asarray(x0, dtype)
     lb = jnp.asarray(lb, dtype)

@@ -25,7 +25,7 @@ import numpy as np
 from ..problem import Problem, SparseJacobian
 
 __all__ = ["Rosenbrock", "SparseRosenbrock", "ScalableRosenbrock",
-           "RandomConvexQP", "Sellar", "SimpleQuadratic"]
+           "RandomConvexQP", "Sellar", "SimpleQuadratic", "Toy"]
 
 
 class Rosenbrock(Problem):
@@ -174,3 +174,22 @@ class SimpleQuadratic(Problem):
 
     def solution(self):
         return jnp.clip(self.target, -1.0, 1.0)
+
+
+class Toy(Problem):
+    """Min-norm point inside two intersecting balls (the reference's
+    `examples/toy/toy.py` problem): min Σx² s.t. 9 - |x - c_i|² >= 0 for
+    two ball centers, x in [0, 5]³."""
+
+    def __init__(self):
+        super().__init__(nvars=3, ncon=2)
+        self.centers = jnp.array([[5.0, 2.0, 1.0], [3.0, 4.0, 3.0]])
+
+    def objective(self, x):
+        return jnp.sum(x ** 2)
+
+    def constraints(self, x):
+        return 9.0 - jnp.sum((x[None, :] - self.centers) ** 2, axis=1)
+
+    def get_vars_and_bounds(self):
+        return (jnp.array([4.0, 3.0, 2.0]), jnp.zeros(3), jnp.full(3, 5.0))

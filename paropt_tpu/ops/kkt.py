@@ -128,7 +128,9 @@ class IPVars:
             ztw=self.ztw + alpha_z * p.ztw)
 
 
-def zero_vars(n: int, ncon: int, nwcon: int, dtype=jnp.float64) -> IPVars:
+def zero_vars(n: int, ncon: int, nwcon: int, dtype=None) -> IPVars:
+    from ..dtypes import resolve_dtype
+    dtype = resolve_dtype(dtype)
     zn = jnp.zeros(n, dtype=dtype)
     zc = jnp.zeros(ncon, dtype=dtype)
     zw = jnp.zeros(nwcon, dtype=dtype)

@@ -69,9 +69,11 @@ class QNState:
         return self.S.shape[1]
 
 
-def qn_init(msub: int, nvars: int, dtype=jnp.float64, qn_type: str = "bfgs",
+def qn_init(msub: int, nvars: int, dtype=None, qn_type: str = "bfgs",
             update_type: str = "skip_negative_curvature",
             diag_type: str = "yty_over_yts", b0: float = 1.0) -> QNState:
+    from ..dtypes import resolve_dtype
+    dtype = resolve_dtype(dtype)
     scaled = qn_type == "scaled_bfgs"
     return QNState(
         S=jnp.zeros((msub, nvars), dtype=dtype),

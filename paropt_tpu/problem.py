@@ -235,7 +235,8 @@ class Problem:
         """Per-`write_output_frequency` user hook (`ParOptProblem.h:282`)."""
 
     # -- verification --------------------------------------------------------
-    def check_gradients(self, dh: float = 1e-6, x: Optional[jnp.ndarray] = None,
+    def check_gradients(self, dh: Optional[float] = None,
+                        x: Optional[jnp.ndarray] = None,
                         check_hvec_product: bool = False, verbose: bool = True,
                         mode: str = "central"):
         return check_gradients(self, dh, x=x,
@@ -243,7 +244,7 @@ class Problem:
                                verbose=verbose, mode=mode)
 
 
-def check_gradients(problem: Problem, dh: float = 1e-6, x=None,
+def check_gradients(problem: Problem, dh: Optional[float] = None, x=None,
                     check_hvec_product: bool = False, verbose: bool = True,
                     mode: str = "central"):
     """Finite-difference / complex-step derivative verification.
@@ -261,6 +262,11 @@ def check_gradients(problem: Problem, dh: float = 1e-6, x=None,
 
     Returns a dict of relative errors.
     """
+    if dh is None:
+        # step sized to the dtype: central differences lose
+        # ~eps^(2/3) accuracy, so f32 needs a much larger step
+        from .dtypes import default_float
+        dh = 1e-6 if default_float() == jnp.float64 else 5e-3
     if x is None:
         x, lb, ub = problem.get_vars_and_bounds()
     x = jnp.asarray(x)

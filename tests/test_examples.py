@@ -118,3 +118,22 @@ def test_limited_memory_lsr1():
                               "qn_type": "sr1", "max_major_iters": 400})
     res = ip.optimize()
     assert res["converged"], res
+
+
+def test_toy_all_algorithms():
+    """The two-ball toy problem (`examples/toy/toy.py` role) across ip/tr."""
+    import numpy as np
+    from paropt_tpu.models.analytic import Toy
+    from paropt_tpu.optimizer import Optimizer
+
+    sols = []
+    for alg in ("ip", "tr"):
+        opt = Optimizer(Toy(), {
+            "algorithm": alg, "output_file": None, "tr_output_file": None,
+            "abs_res_tol": 1e-8, "tr_max_iterations": 200})
+        res = opt.optimize()
+        x = np.asarray(res["x"])
+        con = np.asarray(Toy().constraints(res["x"]))
+        assert (con > -1e-5).all(), (alg, con)
+        sols.append(x)
+    assert np.allclose(sols[0], sols[1], atol=1e-3)
