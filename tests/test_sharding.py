@@ -170,3 +170,40 @@ def test_f32_smoke():
     assert out.vars.x.dtype == jnp.float32
     assert bool(out.converged), (float(out.res_norm), int(out.k))
     assert float(out.c[0]) > -1e-4
+
+
+def test_tr_fused_qp_sharded_matches_unsharded():
+    """The TR inner fused QP (make_qp_model + FusedIP) runs sharded over the
+    design axis: same solution as unsharded — the multi-chip path of the
+    SL1QP outer loop."""
+    from paropt_tpu.optimizer import Optimizer
+    from paropt_tpu.tr import TrustRegion
+
+    n = 1024
+    prob = SyntheticTopology(n=n, block=8)
+    tr = TrustRegion(prob, {"output_file": None, "tr_output_file": None,
+                            "tr_max_iterations": 1})
+    # initialize the subproblem at x0 and build the fused inner solver
+    x0, lb, ub = prob.get_vars_and_bounds()
+    tr.subproblem.init_model(tr.tr_size)
+    tr._build_fused()
+    idx = np.arange(prob.ncon)
+    gam = jnp.asarray(tr.penalty_gamma)
+    gamma_s = jnp.where(idx < prob.ninequality, 0.0, gam)
+    data = tr._fused_data(gamma_s, gam, tr.options["penalty_gamma"])
+    params = tr._qp_params()
+    compact = (params.b0, params.Z, params.M)
+    p0 = 0.5 * (tr.subproblem.lk + tr.subproblem.uk)
+
+    st_ref = tr._fused_qp.solve(p0, data, params, compact=compact)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    data_s = _shard_tree(data, mesh, n)
+    params_s = _shard_tree(params, mesh, n)
+    compact_s = (params_s.b0, params_s.Z, params_s.M)
+    p0_s = _shard_tree(p0, mesh, n)
+    st_sh = tr._fused_qp.solve(p0_s, data_s, params_s, compact=compact_s)
+
+    assert int(st_sh.k) == int(st_ref.k)
+    assert float(jnp.max(jnp.abs(st_sh.vars.x - st_ref.vars.x))) < 1e-10
+    assert float(jnp.max(jnp.abs(st_sh.vars.zw - st_ref.vars.zw))) < 1e-10
