@@ -52,6 +52,10 @@ class ModelFns(NamedTuple):
     hess_diag: Optional[Callable[[Any, jnp.ndarray, jnp.ndarray, jnp.ndarray],
                                  jnp.ndarray]] = None
     # (params, x, z, zw) -> h[n]
+    hvp: Optional[Callable[[Any, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                            jnp.ndarray], jnp.ndarray]] = None
+    # (params, x, z, zw, px) -> H(x,z,zw) @ px  (exact Lagrangian Hessian;
+    # enables the fused Newton-Krylov phase)
 
 
 class FusedIPOptions(NamedTuple):
@@ -81,6 +85,18 @@ class FusedIPOptions(NamedTuple):
     use_diag_hessian: bool = False          # B from model.hess_diag
     sequential_linear_method: bool = False  # B = qn_sigma (bounds regularize)
     norm_type: str = "infinity"
+    # fused Newton-Krylov (inexact GMRES) phase — a TPU-native extension of
+    # the reference's host-callback GMRES (`ParOptInteriorPoint.cpp:
+    # 5774-6195`): once the residuals drop below nk_switch_tol, solve the
+    # exact KKT linearization (autodiff Hessian-vector products) by
+    # right-preconditioned GMRES, unrolled inside the fused step
+    use_hvec_product: bool = False
+    gmres_subspace_size: int = 25
+    nk_switch_tol: float = 1e-3
+    eisenstat_walker_gamma: float = 1.0
+    eisenstat_walker_alpha: float = 1.5
+    max_gmres_rtol: float = 0.1
+    gmres_atol: float = 1e-30
 
 
 @jax.tree_util.register_dataclass
@@ -107,6 +123,18 @@ class FusedState:
     alpha: jnp.ndarray             # last accepted line-search step
     alpha_x: jnp.ndarray
     alpha_z: jnp.ndarray
+    gmres_iters: jnp.ndarray       # int32 NK iterations used (0 = QN step)
+
+
+def _norm_components(r: IPVars, norm_type: str):
+    """(prime, dual, infeas) residual norms — the three groups the
+    Newton-Krylov switch tests (`ParOptInteriorPoint.cpp:4853-4899`)."""
+    from .ops.veclib import multi_norm
+    prime = multi_norm([r.x, r.s, r.t], norm_type)
+    dual = multi_norm([r.zl, r.zu, r.zs, r.zt, r.sw, r.tw, r.zsw, r.ztw],
+                      norm_type)
+    infeas = multi_norm([r.z, r.zw], norm_type)
+    return prime, dual, infeas
 
 
 def _norms(r: IPVars, norm_type: str):
@@ -298,7 +326,7 @@ def _fused_init(model: ModelFns, opts: FusedIPOptions, x0, d: ProblemData,
             v, d),
         fobj_prev=fobj, line_search_test=jnp.zeros((), jnp.int32),
         neval=jnp.ones((), jnp.int32), alpha=zero + 1.0, alpha_x=zero + 1.0,
-        alpha_z=zero + 1.0)
+        alpha_z=zero + 1.0, gmres_iters=jnp.zeros((), jnp.int32))
 
 
 def _merit_fn(opts: FusedIPOptions, d: ProblemData, x, s, t, sw, tw, fobj,
@@ -308,6 +336,117 @@ def _merit_fn(opts: FusedIPOptions, d: ProblemData, x, s, t, sw, tw, fobj,
             + jnp.sum(d.gamma_sw * sw) + jnp.sum(d.gamma_tw * tw)
             - mu * _barrier_terms(x, s, t, sw, tw, d, opts.rel_bound_barrier)
             + rho * _infeas_l2(c, s, t, cw, sw, tw))
+
+
+def _fused_gmres(model: ModelFns, opts: FusedIPOptions, model_params,
+                 v: kkt.IPVars, d: ProblemData, f, cq, r: kkt.IPVars, rtol):
+    """Right-preconditioned GMRES on the exact KKT linearization, UNROLLED
+    to static length inside the fused step (the TPU-native form of
+    `computeKKTGMRESStep`, `ParOptInteriorPoint.cpp:5774-6195`).
+
+    - operator: `apply_kkt_matrix` with the exact Lagrangian Hessian-vector
+      product from `model.hvp` (autodiff — no hand-coded Hessians);
+    - preconditioner: the diagonal+SMW KKT factorization `f` (one
+      `solve_kkt` per Krylov vector);
+    - all subspace indices are STATIC (python-level unroll) — no dynamic
+      slicing in the hot loop; early convergence freezes the recurrence
+      with masks, so extra arms are algebraically inert;
+    - fallback: the first preconditioned vector satisfies
+      bnorm * Z[0] == solve_kkt(b), i.e. the ordinary quasi-Newton step —
+      returned when GMRES fails to reduce the residual.
+
+    Returns (step pytree, iterations used)."""
+    tmap = jax.tree_util.tree_map
+
+    def tdot(a, c):
+        return sum(jnp.vdot(x, y) for x, y in
+                   zip(jax.tree_util.tree_leaves(a),
+                       jax.tree_util.tree_leaves(c)))
+
+    def taxpy(alpha, a, c):
+        return tmap(lambda x, y: alpha * x + y, a, c)
+
+    def tscale(alpha, a):
+        return tmap(lambda x: alpha * x, a)
+
+    def precon(w):
+        return kkt.solve_kkt(v, d, f, w, qn_compact=cq)
+
+    def op(p):
+        hv = model.hvp(model_params, v.x, v.z, v.zw, p.x)
+        return kkt.apply_kkt_matrix(v, d, p, qn_sigma=opts.qn_sigma,
+                                    hvp=hv)
+
+    msub = opts.gmres_subspace_size
+    b = r  # solve_kkt solves K p = b with b = the residual form used here
+    bnorm = jnp.sqrt(tdot(b, b))
+    bsafe = jnp.maximum(bnorm, 1e-300)
+    atol = opts.gmres_atol
+
+    dt = v.x.dtype
+    V = [tscale(1.0 / bsafe, b)]
+    Z = []
+    H = [[jnp.zeros((), dt) for _ in range(msub)] for _ in range(msub + 1)]
+    cs = [jnp.zeros((), dt) for _ in range(msub)]
+    sn = [jnp.zeros((), dt) for _ in range(msub)]
+    g_vec = [jnp.zeros((), dt) for _ in range(msub + 1)]
+    g_vec[0] = bnorm
+    done = jnp.asarray(False)
+    last_res = bnorm
+    iters = jnp.zeros((), jnp.int32)
+
+    for j in range(msub):
+        was_done = done
+        zj = precon(V[j])
+        Z.append(zj)
+        w = op(zj)
+        for i in range(j + 1):
+            hij = tdot(w, V[i])
+            H[i][j] = jnp.where(was_done, 0.0, hij)
+            w = taxpy(-H[i][j], V[i], w)
+        wnorm = jnp.sqrt(jnp.maximum(tdot(w, w), 0.0))
+        wsafe = jnp.maximum(wnorm, 1e-300)
+        hsub = jnp.where(was_done, 0.0, wnorm)
+        if j + 1 < msub + 1:
+            V.append(tscale(1.0 / wsafe, w))
+        # Givens rotations maintaining the QR of H
+        hjj = H[j][j]
+        for i in range(j):
+            t = cs[i] * H[i][j] + sn[i] * H[i + 1][j]
+            H[i + 1][j] = -sn[i] * H[i][j] + cs[i] * H[i + 1][j]
+            H[i][j] = t
+        denom = jnp.sqrt(H[j][j] ** 2 + hsub ** 2)
+        dsafe = jnp.maximum(denom, 1e-300)
+        cs[j] = jnp.where(denom > 0.0, H[j][j] / dsafe, 1.0)
+        sn[j] = jnp.where(denom > 0.0, hsub / dsafe, 0.0)
+        # frozen arms keep H[j][j] = 1 so back-substitution yields y = 0
+        H[j][j] = jnp.where(was_done, 1.0, denom)
+        g_next = -sn[j] * g_vec[j]
+        g_vec[j] = jnp.where(was_done, g_vec[j], cs[j] * g_vec[j])
+        g_vec[j + 1] = jnp.where(was_done, 0.0, g_next)
+        res = jnp.abs(g_vec[j + 1])
+        last_res = jnp.where(was_done, last_res, res)
+        iters = iters + jnp.where(was_done, 0, 1)
+        done = done | (res < rtol * bnorm) | (res < atol) | (wnorm <= 0.0)
+
+    # back-substitute y over the full (masked) subspace
+    y = [jnp.zeros((), dt) for _ in range(msub)]
+    for i in range(msub - 1, -1, -1):
+        acc = g_vec[i]
+        for t in range(i + 1, msub):
+            acc = acc - H[i][t] * y[t]
+        y[i] = acc / jnp.where(H[i][i] != 0.0, H[i][i], 1.0)
+    p = tscale(y[0], Z[0])
+    for i in range(1, msub):
+        p = taxpy(y[i], Z[i], p)
+
+    final_res = last_res  # residual after the final ACTIVE arm
+    ok = (jnp.isfinite(final_res) & (final_res <= bnorm) & (iters > 0)
+          & jnp.isfinite(tdot(p, p)))
+    # fallback: bnorm * Z[0] IS solve_kkt(b) — the ordinary step
+    p_fallback = tscale(bsafe, Z[0])
+    p_out = tmap(lambda a, c: jnp.where(ok, a, c), p, p_fallback)
+    return p_out, iters
 
 
 def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
@@ -396,8 +535,35 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
         (res_norm < tol) | (state.line_search_test >= 2))
 
     # -- KKT step -----------------------------------------------------------
-    p = kkt.solve_kkt(v, d, f, r, refine_steps=opts.iterative_refinement_steps,
-                      qn_compact=cq)
+    nk_iters = jnp.zeros((), jnp.int32)
+    if (opts.use_hvec_product and opts.gmres_subspace_size > 0
+            and model.hvp is not None):
+        # Newton-Krylov switch (`ParOptInteriorPoint.cpp:4853-4899`):
+        # residual groups small + Eisenstat-Walker forcing term small
+        prime0, dual0, infeas0 = _norm_components(r, opts.norm_type)
+        ew_rtol = (opts.eisenstat_walker_gamma
+                   * (res_norm / jnp.maximum(state.res_norm, 1e-300))
+                   ** opts.eisenstat_walker_alpha)
+        nk_tol = opts.nk_switch_tol
+        use_nk = ((state.k > 0) & (prime0 < nk_tol) & (dual0 < nk_tol)
+                  & (infeas0 < nk_tol) & (ew_rtol < opts.max_gmres_rtol))
+        rtol = jnp.clip(ew_rtol, 1e-12, opts.max_gmres_rtol)
+
+        def _qn_step(_):
+            pq = kkt.solve_kkt(v, d, f, r,
+                               refine_steps=opts.iterative_refinement_steps,
+                               qn_compact=cq)
+            return pq, jnp.zeros((), jnp.int32)
+
+        def _nk_step(_):
+            return _fused_gmres(model, opts, model_params, v, d, f, cq, r,
+                                rtol)
+
+        p, nk_iters = jax.lax.cond(use_nk, _nk_step, _qn_step, None)
+    else:
+        p = kkt.solve_kkt(v, d, f, r,
+                          refine_steps=opts.iterative_refinement_steps,
+                          qn_compact=cq)
 
     # -- fraction-to-boundary scaling ---------------------------------------
     tau = jnp.maximum(opts.min_fraction_to_boundary, 1.0 - mu)
@@ -587,7 +753,7 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
         g=g_n, A=A_n, k=state.k + 1, converged=converged,
         res_norm=res_norm, comp=comp, fobj_prev=state.fobj,
         line_search_test=ls_count, neval=state.neval + neval_add + 1,
-        alpha=alpha, alpha_x=ax, alpha_z=az)
+        alpha=alpha, alpha_x=ax, alpha_z=az, gmres_iters=nk_iters)
 
     # freeze everything once converged (for the while_loop path)
     return jax.tree_util.tree_map(
@@ -632,7 +798,11 @@ def model_from_problem(problem) -> ModelFns:
         # NotImplementedError for problems without a Hessian diagonal
         return problem.eval_hessian_diag(x, z, zw)
 
-    return ModelFns(eval_obj_con=ev, eval_grad=gr, hess_diag=hd)
+    def hvp(params, x, z, zw, px):
+        # only traced when opts.use_hvec_product is set (fused NK phase)
+        return problem.eval_hvec_product(x, z, zw, px)
+
+    return ModelFns(eval_obj_con=ev, eval_grad=gr, hess_diag=hd, hvp=hvp)
 
 
 def data_template_from_problem(problem, penalty_gamma: float = 1000.0,

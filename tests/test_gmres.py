@@ -37,3 +37,63 @@ def test_gmres_phase_rosenbrock():
     assert res["converged"], res
     assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-4)
     assert ip.nhvec > 0
+
+
+def test_fused_newton_krylov_phase():
+    """The fused (jitted, unrolled) GMRES phase: same solution as the host
+    GMRES and the QN-only fused solve, with NK iterations engaged."""
+    from paropt_tpu import ip_fused
+    from paropt_tpu.ops import qn as qnmod
+
+    prob = RandomConvexQP(n=20, ncon=2, seed=41)
+    model = ip_fused.model_from_problem(prob)
+    data, x0 = ip_fused.data_template_from_problem(prob)
+    qn0 = qnmod.qn_init(10, prob.nvars)
+
+    opts_nk = ip_fused.FusedIPOptions(
+        abs_res_tol=1e-9, max_major_iters=200,
+        use_quasi_newton_update=True,
+        use_hvec_product=True, gmres_subspace_size=25, nk_switch_tol=1.0)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts_nk)
+    st = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    assert bool(st.converged), (float(st.res_norm), int(st.k))
+
+    opts_qn = opts_nk._replace(use_hvec_product=False)
+    fused_qn = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                                prob.nwblock, opts_qn)
+    st_qn = fused_qn.solve(x0, data, (), qn0, None, jit_loop=True)
+    assert np.allclose(np.asarray(st.vars.x), np.asarray(st_qn.vars.x),
+                       atol=1e-6)
+
+    # the python-loop mode exposes per-iteration NK counts
+    state = fused.init(x0, data, (), qn0, None)
+    engaged = False
+    for _ in range(200):
+        state = fused.step(state, data, (), None)
+        if int(state.gmres_iters) > 0:
+            engaged = True
+        if bool(state.converged):
+            break
+    assert bool(state.converged)
+    assert engaged, "fused NK phase never engaged"
+
+
+def test_fused_nk_matches_host_gmres():
+    """Fused NK and host GMRES agree on Rosenbrock."""
+    from paropt_tpu import ip_fused
+    from paropt_tpu.ops import qn as qnmod
+
+    prob = Rosenbrock()
+    model = ip_fused.model_from_problem(prob)
+    data, x0 = ip_fused.data_template_from_problem(prob)
+    qn0 = qnmod.qn_init(10, prob.nvars)
+    opts = ip_fused.FusedIPOptions(
+        abs_res_tol=1e-8, max_major_iters=200,
+        use_quasi_newton_update=True,
+        use_hvec_product=True, gmres_subspace_size=20, nk_switch_tol=10.0)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts)
+    st = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    assert bool(st.converged)
+    assert np.allclose(np.asarray(st.vars.x), [1.0, 1.0], atol=1e-4)
