@@ -23,7 +23,7 @@ def main():
     args = p.parse_args()
 
     prob = Rosenbrock()
-    prob.check_gradients(1e-6)
+    prob.check_gradients()
 
     opt = Optimizer(prob, {
         "algorithm": args.algorithm,

@@ -14,7 +14,7 @@ from paropt_tpu.models.analytic import SparseRosenbrock
 
 def main():
     prob = SparseRosenbrock()
-    prob.check_gradients(1e-6)
+    prob.check_gradients()
     ip = InteriorPoint(prob, {"abs_res_tol": 1e-7, "output_file": "-"})
     res = ip.optimize()
     print(f"\nconverged: {res['converged']}  f* = {res['fobj']:.8e}")

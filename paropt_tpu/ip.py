@@ -1352,6 +1352,14 @@ class InteriorPoint:
                 elif abs(dm0) <= fprec:
                     line_fail = LS_NO_IMPROVEMENT
 
+            # quasi-Newton update outcome flags (the reference's skipH /
+            # dampH vocabulary, `ParOptInteriorPoint.cpp:5272-5322`)
+            if skipped:
+                info += "skipH "
+            if damped:
+                info += "dampH "
+            if line_fail & LS_NO_IMPROVEMENT:
+                info += "LNoImprv "
             no_merit_improvement = bool(
                 line_fail & (LS_NO_IMPROVEMENT | LS_MIN_STEP | LS_SHORT_STEP
                              | LS_FAILURE))

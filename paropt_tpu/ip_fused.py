@@ -461,7 +461,11 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
     # -- factorization (μ-independent) --------------------------------------
     comp = kkt.average_complementarity(v, d)
     cq = _get_compact(opts, model, state, model_params, compact)
-    f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=opts.qn_sigma)
+    # named scopes label the phases in jax.profiler / XLA traces (the
+    # per-phase observability SURVEY.md §5.1 calls for)
+    with jax.named_scope("kkt_factor"):
+        f = kkt.setup_kkt_factor(v, d, qn_compact=cq,
+                                 qn_sigma=opts.qn_sigma)
 
     # the KKT residual is affine in μ (only the complementarity rows carry
     # −μ), so compute it ONCE at μ = 0 and shift
@@ -559,11 +563,13 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
             return _fused_gmres(model, opts, model_params, v, d, f, cq, r,
                                 rtol)
 
-        p, nk_iters = jax.lax.cond(use_nk, _nk_step, _qn_step, None)
+        with jax.named_scope("kkt_solve_nk"):
+            p, nk_iters = jax.lax.cond(use_nk, _nk_step, _qn_step, None)
     else:
-        p = kkt.solve_kkt(v, d, f, r,
-                          refine_steps=opts.iterative_refinement_steps,
-                          qn_compact=cq)
+        with jax.named_scope("kkt_solve"):
+            p = kkt.solve_kkt(v, d, f, r,
+                              refine_steps=opts.iterative_refinement_steps,
+                              qn_compact=cq)
 
     # -- fraction-to-boundary scaling ---------------------------------------
     tau = jnp.maximum(opts.min_fraction_to_boundary, 1.0 - mu)
