@@ -68,3 +68,41 @@ def test_optimizer_facade(algo):
     assert res["converged"], (algo, res)
     x, z, zw, zl, zu = opt.get_optimized_point()
     assert np.asarray(x).shape == (12,)
+
+
+def test_fused_mma_matches_host_loop():
+    """The fully-fused MMA outer loop (one XLA computation) reproduces the
+    host outer loop trajectory exactly (same asymptote rule, coefficients,
+    and inner solves)."""
+    import numpy as np
+    from paropt_tpu.models.topology import SyntheticTopology
+    from paropt_tpu.mma import MMA, fused_mma_solve
+
+    opts = {"mma_max_iterations": 25, "mma_output_file": None,
+            "abs_res_tol": 1e-7}
+    host = MMA(SyntheticTopology(n=256, block=8), dict(opts))
+    res_h = host.optimize()
+    res_f, st = fused_mma_solve(SyntheticTopology(n=256, block=8),
+                                dict(opts))
+    # host counts the pre-loop initialize as an iteration; trajectories
+    # are the equality that matters
+    assert abs(res_f["niter"] - res_h["niter"]) <= 1
+    dx = float(np.max(np.abs(np.asarray(res_h["x"])
+                             - np.asarray(res_f["x"]))))
+    assert dx < 1e-7, dx
+    assert abs(res_f["fobj"] - res_h["fobj"]) < 1e-7
+    assert int(st.subiters) > 0
+
+
+def test_fused_mma_python_loop_mode():
+    """jit_loop=False python stepping gives the same result."""
+    import numpy as np
+    from paropt_tpu.models.topology import SyntheticTopology
+    from paropt_tpu.mma import fused_mma_solve
+
+    opts = {"mma_max_iterations": 10, "mma_output_file": None}
+    r1, _ = fused_mma_solve(SyntheticTopology(n=128, block=8), dict(opts),
+                            jit_loop=True)
+    r2, _ = fused_mma_solve(SyntheticTopology(n=128, block=8), dict(opts),
+                            jit_loop=False)
+    assert np.allclose(np.asarray(r1["x"]), np.asarray(r2["x"]), atol=1e-10)
