@@ -39,6 +39,8 @@ from .utils.logging import (unpack_mma_output, unpack_output,
                             unpack_tr_output)
 
 __all__ = ["Problem", "Optimizer", "InteriorPoint", "TrustRegion", "MMA",
+           "LBFGS", "LSR1", "CompactQuasiNewton", "QuadraticSubproblem",
+           "ReducedProblem",
            "unpack_output", "unpack_tr_output", "unpack_mma_output", "dtype"]
 
 # the reference exposes ParOpt.dtype (double, or complex in the complex
@@ -261,5 +263,45 @@ class InteriorPoint(_InteriorPoint):
         return self.reset_design_and_bounds()
 
 
+class CompactQuasiNewton:
+    """Reference-style limited-memory Hessian object (`ParOpt.pyx:
+    1195-1227`): holds a QNState in a shared holder dict that
+    `InteriorPoint.setQuasiNewton` installs."""
+
+    _qn_type = "bfgs"
+
+    def __init__(self, problem, subspace: int = 10):
+        from .ops.qn import qn_init
+        self.holder = {"state": qn_init(subspace, problem.nvars,
+                                        qn_type=self._qn_type)}
+
+    def reset(self):
+        from .ops.qn import qn_reset
+        self.holder["state"] = qn_reset(self.holder["state"])
+
+
+class LBFGS(CompactQuasiNewton):
+    """`ParOpt.pyx:1210-1219` role."""
+    _qn_type = "bfgs"
+
+
+class LSR1(CompactQuasiNewton):
+    """`ParOpt.pyx:1221-1227` role."""
+    _qn_type = "sr1"
+
+
+def _ip_set_quasi_newton(self, qn):
+    if qn is None:
+        from .ops.qn import qn_init  # noqa: F401 (documented path)
+        self.set_quasi_newton_holder({"state": None})
+    else:
+        self.set_quasi_newton_holder(qn.holder)
+
+
+InteriorPoint.setQuasiNewton = _ip_set_quasi_newton
+
 TrustRegion = _TrustRegion
 MMA = _MMA
+
+from .tr import QuadraticSubproblem  # noqa: E402,F401  (ParOpt.pyx:1395)
+from .reduced import ReducedProblem  # noqa: E402,F401

@@ -183,3 +183,37 @@ def test_compat_block_callback_sparse():
     res = ip.optimize()
     assert res["converged"], res
     assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-4)
+
+
+def test_compat_lbfgs_lsr1_objects():
+    """Reference-style LBFGS/LSR1 objects installed via setQuasiNewton
+    (`ParOpt.pyx:1210-1227`, `:1347-1351`)."""
+    import numpy as np
+    from paropt_tpu import compat
+
+    class Rosen(compat.Problem):
+        def __init__(self):
+            super().__init__(nvars=2, ncon=1)
+        def getVarsAndBounds(self, x, lb, ub):
+            x[:] = -1.0
+            lb[:] = -2.0
+            ub[:] = 2.0
+        def evalObjCon(self, x):
+            f = 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+            return 0, f, [x[0] + x[1] + 5.0]
+        def evalObjConGradient(self, x, g, A):
+            g[0] = -400.0 * x[0] * (x[1] - x[0] ** 2) - 2.0 * (1.0 - x[0])
+            g[1] = 200.0 * (x[1] - x[0] ** 2)
+            A[0][:] = [1.0, 1.0]
+            return 0
+
+    for qn_cls in (compat.LBFGS, compat.LSR1):
+        prob = Rosen()
+        ip = compat.InteriorPoint(prob, {"output_file": None,
+                                         "abs_res_tol": 1e-7,
+                                         "max_major_iters": 300})
+        qn = qn_cls(prob, subspace=8)
+        ip.setQuasiNewton(qn)
+        res = ip.optimize()
+        x = np.asarray(res["x"])
+        assert np.allclose(x, [1.0, 1.0], atol=1e-3), (qn_cls.__name__, x)
