@@ -34,7 +34,8 @@ from .problem import Problem
 from .utils.logging import MMALogger
 from .utils.options import OptionRegistry, make_options
 
-__all__ = ["MMA", "fused_mma_solve", "FusedMMAOptions", "FusedMMAState"]
+__all__ = ["MMA", "FusedMMA", "fused_mma_solve", "FusedMMAOptions",
+           "FusedMMAState"]
 
 
 class MMAParams(NamedTuple):
@@ -584,119 +585,134 @@ def _fused_mma_step(user_model: ModelFns, mma_model: ModelFns,
         infeas=infeas, l1=l1, linf=linf)
 
 
-def fused_mma_solve(problem, options: Optional[Dict[str, Any]] = None,
-                    jit_loop: bool = True):
-    """Solve a jax-native Problem by MMA entirely on-device.
+class FusedMMA:
+    """Build-once fused MMA solver: construction traces nothing; the first
+    `solve` compiles the whole outer loop and subsequent solves reuse it.
 
     The problem's sparse Jacobian (if any) must be CONSTANT in x — its
     values are captured once at x0.  Options use the standard mma_*/IP
-    registry names.  Returns the host-loop-compatible result dict plus the
-    final `FusedMMAState`."""
-    from .utils.options import make_options
-    from .dtypes import default_float
+    registry names."""
 
-    o = options if hasattr(options, "descriptors") else \
-        make_options(options or {}, which="facade")
-    dt = default_float()
-    x0, lb, ub = problem.get_vars_and_bounds()
-    x0 = jnp.asarray(x0, dt)
-    lbv = jnp.asarray(lb, dt)
-    ubv = jnp.asarray(ub, dt)
-    n, ncon, nwcon = problem.nvars, problem.ncon, problem.nwcon
+    def __init__(self, problem, options: Optional[Dict[str, Any]] = None):
+        from .utils.options import make_options
+        from .dtypes import default_float
 
-    def ev(params, x):
-        f, c = problem.eval_obj_con(x)
-        cwv = (problem.eval_sparse_con(x) if nwcon > 0
-               else jnp.zeros(0, x.dtype))
-        return f, jnp.asarray(c).reshape(ncon), cwv
+        o = options if hasattr(options, "descriptors") else \
+            make_options(options or {}, which="facade")
+        dt = default_float()
+        x0, lb, ub = problem.get_vars_and_bounds()
+        x0 = jnp.asarray(x0, dt)
+        lbv = jnp.asarray(lb, dt)
+        ubv = jnp.asarray(ub, dt)
+        n, ncon, nwcon = problem.nvars, problem.ncon, problem.nwcon
 
-    def gr(params, x):
-        return problem.eval_obj_con_gradient(x)
+        def ev(params, x):
+            f, c = problem.eval_obj_con(x)
+            cwv = (problem.eval_sparse_con(x) if nwcon > 0
+                   else jnp.zeros(0, x.dtype))
+            return f, jnp.asarray(c).reshape(ncon), cwv
 
-    user_model = ModelFns(eval_obj_con=ev, eval_grad=gr)
+        def gr(params, x):
+            return problem.eval_obj_con_gradient(x)
 
-    use_true = bool(o["mma_use_constraint_linearization"]) is False
-    mma_model = make_mma_model(use_true, nwcon > 0)
-    gamma = o["penalty_gamma"]
-    if nwcon > 0:
-        Aw = problem.sparse_jacobian(x0)
-        cols, vals = Aw.cols, jnp.asarray(Aw.vals, dt)
-        layout = detect_aw_layout(cols, n)
-    else:
-        cols = vals = None
-        layout = "gather"
-    idx = np.arange(ncon)
-    idxw = np.arange(nwcon)
-    ones = jnp.ones(n, dt)
-    d_tmpl = ProblemData(
-        g=jnp.zeros(n, dt), A=jnp.zeros((ncon, n), dt),
-        c=jnp.zeros(ncon, dt), cw=jnp.zeros(nwcon, dt),
-        lb=lbv, ub=ubv, lb_mask=ones, ub_mask=ones,
-        gamma_s=jnp.asarray(
-            np.where(idx < problem.ninequality, 0.0, gamma), dt),
-        gamma_t=jnp.full((ncon,), gamma, dt),
-        gamma_sw=jnp.asarray(
-            np.where(idxw < problem.nwinequality, 0.0, gamma), dt),
-        gamma_tw=jnp.full((nwcon,), gamma, dt),
-        Aw_cols=cols, Aw_vals=vals, nwblock=problem.nwblock,
-        Aw_layout=layout)
-    ip_opts = FusedIPOptions(
-        abs_res_tol=o["abs_res_tol"],
-        init_barrier_param=o["init_barrier_param"],
-        barrier_strategy=o["barrier_strategy"],
-        starting_point_strategy=o["starting_point_strategy"],
-        max_major_iters=o["max_major_iters"],
-        iterative_refinement_steps=o["iterative_refinement_steps"],
-        use_line_search=False, use_diag_hessian=True,
-        norm_type=o["norm_type"])
-    mo = FusedMMAOptions(
-        max_iterations=o["mma_max_iterations"],
-        infeas_tol=o["mma_infeas_tol"], l1_tol=o["mma_l1_tol"],
-        linf_tol=o["mma_linfty_tol"], move_limit=o["mma_move_limit"],
-        init_asymptote_offset=o["mma_init_asymptote_offset"],
-        asymptote_contract=o["mma_asymptote_contract"],
-        asymptote_relax=o["mma_asymptote_relax"],
-        min_asymptote_offset=o["mma_min_asymptote_offset"],
-        max_asymptote_offset=o["mma_max_asymptote_offset"],
-        eps_regularization=o["mma_eps_regularization"],
-        delta_regularization=o["mma_delta_regularization"],
-        bound_relax=o["mma_bound_relax"], use_true_mma=use_true,
-        ninequality=problem.ninequality,
-        nwinequality=problem.nwinequality)
+        user_model = ModelFns(eval_obj_con=ev, eval_grad=gr)
 
-    zero = jnp.zeros((), dt)
-    state0 = FusedMMAState(
-        x=x0, x1=x0, x2=x0, L=jnp.zeros(n, dt), U=jnp.zeros(n, dt),
-        z=jnp.zeros(ncon, dt), zw=jnp.zeros(nwcon, dt),
-        zl=jnp.zeros(n, dt), zu=jnp.zeros(n, dt), fobj=zero,
-        k=jnp.zeros((), jnp.int32), subiters=jnp.zeros((), jnp.int32),
-        converged=jnp.asarray(False), infeas=zero, l1=zero, linf=zero)
+        use_true = bool(o["mma_use_constraint_linearization"]) is False
+        mma_model = make_mma_model(use_true, nwcon > 0)
+        gamma = o["penalty_gamma"]
+        if nwcon > 0:
+            Aw = problem.sparse_jacobian(x0)
+            cols, vals = Aw.cols, jnp.asarray(Aw.vals, dt)
+            layout = detect_aw_layout(cols, n)
+        else:
+            cols = vals = None
+            layout = "gather"
+        idx = np.arange(ncon)
+        idxw = np.arange(nwcon)
+        ones = jnp.ones(n, dt)
+        d_tmpl = ProblemData(
+            g=jnp.zeros(n, dt), A=jnp.zeros((ncon, n), dt),
+            c=jnp.zeros(ncon, dt), cw=jnp.zeros(nwcon, dt),
+            lb=lbv, ub=ubv, lb_mask=ones, ub_mask=ones,
+            gamma_s=jnp.asarray(
+                np.where(idx < problem.ninequality, 0.0, gamma), dt),
+            gamma_t=jnp.full((ncon,), gamma, dt),
+            gamma_sw=jnp.asarray(
+                np.where(idxw < problem.nwinequality, 0.0, gamma), dt),
+            gamma_tw=jnp.full((nwcon,), gamma, dt),
+            Aw_cols=cols, Aw_vals=vals, nwblock=problem.nwblock,
+            Aw_layout=layout)
+        ip_opts = FusedIPOptions(
+            abs_res_tol=o["abs_res_tol"],
+            init_barrier_param=o["init_barrier_param"],
+            barrier_strategy=o["barrier_strategy"],
+            starting_point_strategy=o["starting_point_strategy"],
+            max_major_iters=o["max_major_iters"],
+            iterative_refinement_steps=o["iterative_refinement_steps"],
+            use_line_search=False, use_diag_hessian=True,
+            norm_type=o["norm_type"])
+        mo = FusedMMAOptions(
+            max_iterations=o["mma_max_iterations"],
+            infeas_tol=o["mma_infeas_tol"], l1_tol=o["mma_l1_tol"],
+            linf_tol=o["mma_linfty_tol"], move_limit=o["mma_move_limit"],
+            init_asymptote_offset=o["mma_init_asymptote_offset"],
+            asymptote_contract=o["mma_asymptote_contract"],
+            asymptote_relax=o["mma_asymptote_relax"],
+            min_asymptote_offset=o["mma_min_asymptote_offset"],
+            max_asymptote_offset=o["mma_max_asymptote_offset"],
+            eps_regularization=o["mma_eps_regularization"],
+            delta_regularization=o["mma_delta_regularization"],
+            bound_relax=o["mma_bound_relax"], use_true_mma=use_true,
+            ninequality=problem.ninequality,
+            nwinequality=problem.nwinequality)
 
-    from functools import partial
-    step = partial(_fused_mma_step, user_model, mma_model, ip_opts, mo,
-                   lbv, ubv, d_tmpl, ())
+        zero = jnp.zeros((), dt)
+        state0 = FusedMMAState(
+            x=x0, x1=x0, x2=x0, L=jnp.zeros(n, dt), U=jnp.zeros(n, dt),
+            z=jnp.zeros(ncon, dt), zw=jnp.zeros(nwcon, dt),
+            zl=jnp.zeros(n, dt), zu=jnp.zeros(n, dt), fobj=zero,
+            k=jnp.zeros((), jnp.int32), subiters=jnp.zeros((), jnp.int32),
+            converged=jnp.asarray(False), infeas=zero, l1=zero, linf=zero)
 
-    if jit_loop:
+        from functools import partial
+        step = partial(_fused_mma_step, user_model, mma_model, ip_opts, mo,
+                       lbv, ubv, d_tmpl, ())
+        self._mo = mo
+        self._ev = ev
+        self._state0 = state0
+        self._step_jit = jax.jit(step)
+
         @jax.jit
         def run(s):
             def cond(st):
                 return (~st.converged) & (st.k < mo.max_iterations)
             return jax.lax.while_loop(cond, lambda st: step(st), s)
 
-        state = run(state0)
-    else:
-        sjit = jax.jit(step)
-        state = state0
-        for _ in range(mo.max_iterations):
-            state = sjit(state)
-            if bool(state.converged):
-                break
+        self._run_jit = run
 
-    # state.fobj is the value at the point the LAST step evaluated; when
-    # the loop exits at the iteration cap, x has advanced once more
-    fobj_final, _, _ = ev((), state.x)
-    result = {"x": state.x, "fobj": float(fobj_final),
-              "converged": bool(state.converged), "niter": int(state.k),
-              "infeas": float(state.infeas), "l1": float(state.l1),
-              "linfty": float(state.linf)}
-    return result, state
+    def solve(self, state0: Optional[FusedMMAState] = None,
+              jit_loop: bool = True):
+        """Run the fused outer loop.  Returns (result dict, final state).
+        Pass a previous final state to resume."""
+        state = state0 if state0 is not None else self._state0
+        if jit_loop:
+            state = self._run_jit(state)
+        else:
+            for _ in range(self._mo.max_iterations):
+                state = self._step_jit(state)
+                if bool(state.converged):
+                    break
+        # state.fobj is the value at the point the LAST step evaluated;
+        # when the loop exits at the iteration cap, x has advanced once
+        fobj_final, _, _ = self._ev((), state.x)
+        result = {"x": state.x, "fobj": float(fobj_final),
+                  "converged": bool(state.converged), "niter": int(state.k),
+                  "infeas": float(state.infeas), "l1": float(state.l1),
+                  "linfty": float(state.linf)}
+        return result, state
+
+
+def fused_mma_solve(problem, options: Optional[Dict[str, Any]] = None,
+                    jit_loop: bool = True):
+    """One-shot convenience wrapper over `FusedMMA` (build + solve)."""
+    return FusedMMA(problem, options).solve(jit_loop=jit_loop)
