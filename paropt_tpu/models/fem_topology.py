@@ -61,7 +61,8 @@ class FEMTopology(Problem):
             assert ne % region == 0
             nwcon = ne // region
         super().__init__(nvars=ne, ncon=1, nwcon=nwcon, nwblock=1)
-        dt = dtype or jnp.float64
+        from ..dtypes import resolve_dtype
+        dt = resolve_dtype(dtype)
         self._dtype = dt
         self.nex, self.ney = nex, ney
         self.volume_fraction = volume_fraction
@@ -128,7 +129,10 @@ class FEMTopology(Problem):
         """K(E) @ u, matrix-free: gather element dofs, batch 8x8 matmul,
         scatter-add; fixed dofs carry identity."""
         ue = u[self.edofs]                          # [ne, 8]
-        fe = (ue @ self.KE) * E[:, None]            # [ne, 8]
+        # full f32 accumulation: the TPU's default bf16 matmul inputs make
+        # CG diverge on the ill-conditioned SIMP system
+        fe = jnp.matmul(ue, self.KE,
+                        precision=jax.lax.Precision.HIGHEST) * E[:, None]
         out = jnp.zeros_like(u).at[self.edofs.reshape(-1)].add(
             fe.reshape(-1))
         return jnp.where(self.fixed_mask > 0, u, out)
@@ -179,7 +183,10 @@ class FEMTopology(Problem):
         def bwd(res, ct):
             xf, u = res
             ue = u[self.edofs]
-            energies = jnp.sum((ue @ self.KE) * ue, axis=1)   # u_e' k0 u_e
+            energies = jnp.sum(
+                jnp.matmul(ue, self.KE,
+                           precision=jax.lax.Precision.HIGHEST) * ue,
+                axis=1)                                   # u_e' k0 u_e
             dE = (self.penal * xf ** (self.penal - 1.0)
                   * (self.e0 - self.emin))
             return (-ct * dE * energies,)
