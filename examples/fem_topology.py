@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--ney", type=int, default=24)
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--algorithm", default="mma", choices=["ip", "tr", "mma"])
+    ap.add_argument("--fused", action="store_true",
+                    help="run the whole MMA outer loop as one XLA "
+                         "computation (fastest on TPU)")
     ap.add_argument("-o", "--output", default=None)
     args = ap.parse_args()
 
@@ -33,15 +36,24 @@ def main():
     f0 = float(prob.objective(x0))
 
     t0 = time.time()
-    opt = Optimizer(prob, {
-        "algorithm": args.algorithm,
-        "output_file": None, "tr_output_file": None, "mma_output_file": "-",
-        "mma_max_iterations": args.iters,
-        "tr_max_iterations": args.iters,
-        "max_major_iters": 300,
-        "abs_res_tol": 1e-5,
-    })
-    res = opt.optimize()
+    if args.fused:
+        from paropt_tpu.mma import FusedMMA
+        solver = FusedMMA(prob, {
+            "mma_max_iterations": args.iters, "mma_output_file": None,
+            "abs_res_tol": 1e-4, "mma_l1_tol": 1e-30,
+            "mma_linfty_tol": 1e-30, "max_major_iters": 50})
+        res, _ = solver.solve()
+    else:
+        opt = Optimizer(prob, {
+            "algorithm": args.algorithm,
+            "output_file": None, "tr_output_file": None,
+            "mma_output_file": "-",
+            "mma_max_iterations": args.iters,
+            "tr_max_iterations": args.iters,
+            "max_major_iters": 300,
+            "abs_res_tol": 1e-5,
+        })
+        res = opt.optimize()
     dt = time.time() - t0
     x = np.asarray(res["x"])
     print(f"\ncompliance: {f0:.4f} -> {res['fobj']:.4f} "
