@@ -1313,6 +1313,34 @@ class InteriorPoint:
                             *(float(x) for x in mp), ax)
                         dm0_prev = dm0
                         info += "DQN "
+                    if dm0 >= 0.0 and not o["sequential_linear_method"]:
+                        # last ladder stage (`ParOptInteriorPoint.cpp:
+                        # 5264-5269`): drop the Hessian entirely — a
+                        # sequential-linear step regularized only by the
+                        # bound terms
+                        compact = (jnp.asarray(0.0, self.dtype), None, None)
+                        if self._eager:
+                            p = _compute_step_eager(
+                                self.vars, d, compact, mu_j, rbb,
+                                o["qn_sigma"], refine_steps, False,
+                                self._csr_mat)
+                        else:
+                            p = _compute_step(self.vars, d, compact, mu_j,
+                                              rbb, o["qn_sigma"],
+                                              refine_steps=refine_steps,
+                                              use_qn=False)
+                        p_s, ax, az, ceq = self._fn(_scale_step)(
+                            self.vars, d, p, mu_j,
+                            jnp.asarray(comp, self.dtype), jnp.asarray(False),
+                            o["min_fraction_to_boundary"])
+                        ax, az = float(ax), float(az)
+                        mp = self._fn(_merit_parts)(
+                            self.vars, d, p_s, self.fobj, mu_j, rbb, compact,
+                            use_qn=False)
+                        m0, dm0 = self._rho_update(
+                            *(float(x) for x in mp), ax)
+                        dm0_prev = dm0
+                        info += "SLP "
                     if dm0 >= 0.0:
                         line_fail = LS_FAILURE
                         info += "LFail "
