@@ -37,7 +37,11 @@ def main():
     model = ip_fused.model_from_problem(prob)
     opts = ip_fused.FusedIPOptions(
         use_quasi_newton_update=True,
-        abs_res_tol=1e-4 if dtype == jnp.float32 else 1e-6)
+        abs_res_tol=1e-4 if dtype == jnp.float32 else 1e-6,
+        # at the f32 KKT tolerance the Schur/closed-form solve is already
+        # exact enough: same iteration count and final residual with
+        # refinement off, ~0.8ms/iter less HBM traffic (measured A/B)
+        iterative_refinement_steps=0 if dtype == jnp.float32 else 1)
     fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
                              prob.nwblock, opts, dtype=dtype)
     data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
