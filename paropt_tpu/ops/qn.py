@@ -122,12 +122,14 @@ def _assemble_M(state: QNState, b0) -> Tuple[jnp.ndarray, jnp.ndarray]:
         act = mask
     else:
         raise ValueError(f"unknown qn_type {state.qn_type!r}")
-    # pad inactive with identity; zero inactive rows of Z
+    # pad inactive with identity.  Z needs NO masking: inactive S/Y rows
+    # are zero by construction (qn_init/qn_reset zero the buffers and the
+    # ring roll shifts those zeros), so the concat rows are already zero —
+    # skipping the [2m, n] mask multiply saves a full read+write pass
     K = M.shape[0]
     eye = jnp.eye(K, dtype=M.dtype)
     outer = act[:, None] * act[None, :]
     M = jnp.where(outer > 0, M, eye)
-    Z = Z * act[:, None]
     return Z, M
 
 
