@@ -137,3 +137,31 @@ def test_toy_all_algorithms():
         assert (con > -1e-5).all(), (alg, con)
         sols.append(x)
     assert np.allclose(sols[0], sols[1], atol=1e-3)
+
+
+def test_small_problems_gallery():
+    """The 2-D demo gallery (`examples/python/examples.py` role) reaches
+    known optima from fixed starts."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "small_problems",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "small_problems.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from paropt_tpu.optimizer import Optimizer
+    # the convex quadratic has the analytic constrained optimum (0.25, 0.25)
+    prob = mod.Demo2D(mod.OBJECTIVES[0][1], jnp.array([1.5, -1.0]))
+    res = Optimizer(prob, {"algorithm": "ip", "output_file": None,
+                           "abs_res_tol": 1e-8}).optimize()
+    assert np.allclose(np.asarray(res["x"]), [0.25, 0.25], atol=1e-4)
+    # rosenbrock from a feasible start
+    prob = mod.Demo2D(mod.OBJECTIVES[4][1], jnp.array([-1.0, 2.0]))
+    res = Optimizer(prob, {"algorithm": "ip", "output_file": None,
+                           "abs_res_tol": 1e-8,
+                           "max_major_iters": 400}).optimize()
+    assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-3)
