@@ -262,3 +262,62 @@ def test_abs_step_tol_stopping():
     res = ip.optimize()
     assert res["converged"], res
     assert res["reason"] in ("step_tol", "tolerance", "no_improvement")
+
+
+def test_line_search_eval_failure_recovery():
+    """A user evaluation returning non-finite values during the line search
+    shrinks alpha and retries (`ParOptInteriorPoint.cpp:4019-4026` role);
+    the solve still converges."""
+    import numpy as np
+    from paropt_tpu import Problem
+
+    class FragileRosen(Problem):
+        """Rosenbrock that 'fails' (returns nan) outside |x| <= 1.8."""
+
+        def __init__(self):
+            super().__init__(nvars=2, ncon=1)
+            self.nfail = 0
+
+        def objective(self, x):
+            import jax.numpy as jnp
+            f = 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+            bad = jnp.max(jnp.abs(x)) > 1.8
+            return jnp.where(bad, jnp.nan, f)
+
+        def constraints(self, x):
+            import jax.numpy as jnp
+            return jnp.array([x[0] + x[1] + 5.0])
+
+        def get_vars_and_bounds(self):
+            import jax.numpy as jnp
+            return (jnp.array([-1.5, 1.5]), jnp.full(2, -2.0),
+                    jnp.full(2, 2.0))
+
+    ip = InteriorPoint(FragileRosen(), {"output_file": None,
+                                        "abs_res_tol": 1e-7,
+                                        "max_major_iters": 400})
+    res = ip.optimize()
+    assert res["converged"], res
+    assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-3)
+
+
+def test_initial_eval_failure_aborts():
+    """A failed INITIAL evaluation aborts with a clear error
+    (`ParOptInteriorPoint.cpp:4549-4561` role)."""
+    import jax.numpy as jnp
+    import pytest
+    from paropt_tpu import Problem
+
+    class AlwaysNan(Problem):
+        def __init__(self):
+            super().__init__(nvars=2, ncon=0)
+
+        def objective(self, x):
+            return jnp.nan * jnp.sum(x)
+
+        def get_vars_and_bounds(self):
+            return jnp.zeros(2), jnp.full(2, -1.0), jnp.ones(2)
+
+    ip = InteriorPoint(AlwaysNan(), {"output_file": None})
+    with pytest.raises(RuntimeError, match="initial objective"):
+        ip.optimize()
