@@ -71,3 +71,52 @@ def test_openmdao_driver_import():
 def test_openmdao_sparse_driver_import():
     from paropt_tpu.drivers.openmdao_sparse_driver import (  # noqa: F401
         ParOptSparseDriver)
+
+
+def test_plot_history_tr_and_mma_logs(tmp_path):
+    """plot_history renders TR and MMA logs too (the reference's
+    plot_history.py handles all three formats)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from paropt_tpu.models.analytic import Rosenbrock
+    from paropt_tpu.optimizer import Optimizer
+    from paropt_tpu.utils.plot_history import plot_history
+
+    tr_log = str(tmp_path / "paropt.tr")
+    Optimizer(Rosenbrock(), {"algorithm": "tr", "output_file": None,
+                             "tr_output_file": tr_log,
+                             "tr_max_iterations": 15}).optimize()
+    fig = plot_history(tr_log)
+    assert fig is not None
+
+    mma_log = str(tmp_path / "paropt.mma")
+    Optimizer(Rosenbrock(), {"algorithm": "mma", "output_file": None,
+                             "mma_output_file": mma_log,
+                             "mma_max_iterations": 10}).optimize()
+    fig = plot_history(mma_log)
+    assert fig is not None
+
+
+def test_ip_checkpoint_cadence(tmp_path):
+    """`optimize(checkpoint=path)` writes the solution file every
+    write_output_frequency iterations and the result resumes
+    (`ParOptInteriorPoint.cpp:4620-4629` role, facade option
+    ip_checkpoint_file)."""
+    import os
+    from paropt_tpu.models.analytic import Rosenbrock
+    from paropt_tpu.optimizer import Optimizer
+
+    ckpt = str(tmp_path / "state.npz")
+    opt = Optimizer(Rosenbrock(), {
+        "algorithm": "ip", "output_file": None,
+        "write_output_frequency": 5, "ip_checkpoint_file": ckpt,
+        "max_major_iters": 120, "abs_res_tol": 1e-8})
+    res = opt.optimize()
+    assert res["converged"]
+    assert os.path.exists(ckpt)
+    # resume from the checkpoint: immediately (re)converges
+    ip2 = InteriorPoint(Rosenbrock(), {"output_file": None,
+                                       "abs_res_tol": 1e-8})
+    ip2.read_solution_file(ckpt)
+    res2 = ip2.optimize()
+    assert res2["converged"]
