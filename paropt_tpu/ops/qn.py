@@ -180,6 +180,11 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
     dtype = state.S.dtype
     s = s.astype(dtype)
     y = y.astype(dtype)
+    # Bs = B @ s is needed only by the damped-BFGS update and the SR1 skip
+    # test; the default skip_negative_curvature BFGS ladder uses pure
+    # (s, y) scalars — skipping the product saves two [2m, n] passes
+    need_Bs = (state.qn_type == "sr1"
+               or state.update_type == "damped_update")
     if state.scaled:
         # scaled-BFGS decorator: the inner approximation models the
         # Lagrangian Hessian divided by the objective multiplier z0
@@ -190,12 +195,19 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
         y = y / z0_new
         # the curvature/damping tests below operate on the INNER
         # approximation B0 (the decorator delegates, ScaledQuasiNewton.h)
-        Bs = qn_mult(dataclasses.replace(state, scaled=False), s)
+        Bs = (qn_mult(dataclasses.replace(state, scaled=False), s)
+              if need_Bs else jnp.zeros_like(s))
     else:
-        Bs = qn_mult(state, s, compact=compact)
+        Bs = (qn_mult(state, s, compact=compact) if need_Bs
+              else jnp.zeros_like(s))
     # one fused reduction for all the scalars (mdot pattern)
-    G = jnp.stack([s, y, Bs]) @ jnp.stack([s, y]).T  # [3, 2]
-    sTs, yTs, yTy, sBs = G[0, 0], G[1, 0], G[1, 1], G[2, 0]
+    if need_Bs:
+        G = jnp.stack([s, y, Bs]) @ jnp.stack([s, y]).T  # [3, 2]
+        sTs, yTs, yTy, sBs = G[0, 0], G[1, 0], G[1, 1], G[2, 0]
+    else:
+        G = jnp.stack([s, y]) @ jnp.stack([s, y]).T      # [2, 2]
+        sTs, yTs, yTy = G[0, 0], G[1, 0], G[1, 1]
+        sBs = jnp.zeros((), dtype)
 
     if state.qn_type in ("bfgs", "scaled_bfgs"):
         nocedal_skip = jnp.abs(yTs) <= 1e-8 * yTy
