@@ -28,15 +28,24 @@ def test_gradients_through_scan():
 
 
 def test_swingup_small():
-    """Swing-up on a coarse grid: terminal equality constraints met."""
-    prob = CartPole(nsteps=16, tfinal=2.0)
-    ip = InteriorPoint(prob, {"output_file": None, "max_major_iters": 300,
-                              "abs_res_tol": 1e-6,
-                              "barrier_strategy": "mehrotra",
-                              "init_barrier_param": 10.0,
-                              "starting_point_strategy":
-                                  "least_squares_multipliers"})
-    res = ip.optimize()
-    assert res["converged"], res
-    qf = np.asarray(prob.trajectory(res["x"])[-1])
-    assert np.allclose(qf, [1.0, np.pi, 0.0, 0.0], atol=1e-3), qf
+    """Swing-up on a coarse grid via the FUSED solver (the whole solve is
+    one XLA computation; the host loop would pay hundreds of dispatch
+    round-trips through the trajectory scan): terminal equality
+    constraints met."""
+    from paropt_tpu import ip_fused
+    from paropt_tpu.ops import qn as qnmod
+
+    prob = CartPole(nsteps=12, tfinal=2.0, newton_iters=6)
+    model = ip_fused.model_from_problem(prob)
+    data, x0 = ip_fused.data_template_from_problem(prob)
+    opts = ip_fused.FusedIPOptions(
+        abs_res_tol=1e-6, max_major_iters=300,
+        use_quasi_newton_update=True, barrier_strategy="monotone",
+        init_barrier_param=10.0)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts)
+    st = fused.solve(x0, data, (), qnmod.qn_init(10, prob.nvars), None,
+                     jit_loop=True)
+    assert bool(st.converged), (float(st.res_norm), int(st.k))
+    qf = np.asarray(prob.trajectory(st.vars.x)[-1])
+    assert np.allclose(qf, [1.0, np.pi, 0.0, 0.0], atol=2e-3), qf

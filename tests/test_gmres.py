@@ -53,7 +53,7 @@ def test_fused_newton_krylov_phase():
     opts_nk = ip_fused.FusedIPOptions(
         abs_res_tol=1e-9, max_major_iters=200,
         use_quasi_newton_update=True,
-        use_hvec_product=True, gmres_subspace_size=25, nk_switch_tol=1.0)
+        use_hvec_product=True, gmres_subspace_size=12, nk_switch_tol=1.0)
     fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
                              prob.nwblock, opts_nk)
     st = fused.solve(x0, data, (), qn0, None, jit_loop=True)
@@ -91,7 +91,7 @@ def test_fused_nk_matches_host_gmres():
     opts = ip_fused.FusedIPOptions(
         abs_res_tol=1e-8, max_major_iters=200,
         use_quasi_newton_update=True,
-        use_hvec_product=True, gmres_subspace_size=20, nk_switch_tol=10.0)
+        use_hvec_product=True, gmres_subspace_size=10, nk_switch_tol=10.0)
     fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
                              prob.nwblock, opts)
     st = fused.solve(x0, data, (), qn0, None, jit_loop=True)

@@ -220,7 +220,7 @@ def test_fused_nk_sharded():
     model = ip_fused.model_from_problem(prob)
     opts = ip_fused.FusedIPOptions(
         use_quasi_newton_update=True, abs_res_tol=1e-9, max_major_iters=300,
-        use_hvec_product=True, gmres_subspace_size=20, nk_switch_tol=1.0)
+        use_hvec_product=True, gmres_subspace_size=10, nk_switch_tol=1.0)
     fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
                              prob.nwblock, opts)
     data, x0 = ip_fused.data_template_from_problem(prob)
