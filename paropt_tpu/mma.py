@@ -693,7 +693,13 @@ class FusedMMA:
     def solve(self, state0: Optional[FusedMMAState] = None,
               jit_loop: bool = True):
         """Run the fused outer loop.  Returns (result dict, final state).
-        Pass a previous final state to resume."""
+        Pass a previous final state to resume.
+
+        ``jit_loop=False`` steps one jitted outer iteration at a time from
+        python — use it for very large problems where a single device
+        execution spanning the whole optimization would run for minutes
+        (long uninterrupted executions can trip runtime watchdogs), or to
+        inspect/log per-iteration state."""
         state = state0 if state0 is not None else self._state0
         if jit_loop:
             state = self._run_jit(state)
