@@ -2,6 +2,10 @@
 per-bar weighting constraints."""
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# persistent compile cache: repeat runs skip the (slow) TPU compilation
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "paropt_tpu_jax"))
 import numpy as np  # noqa: E402
 from paropt_tpu.mma import MMA  # noqa: E402
 from paropt_tpu.models.truss import DMOTruss  # noqa: E402

@@ -12,6 +12,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# persistent compile cache: repeat runs skip the (slow) TPU compilation
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "paropt_tpu_jax"))
 
 import jax.numpy as jnp
 import numpy as np

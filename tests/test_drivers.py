@@ -120,3 +120,68 @@ def test_ip_checkpoint_cadence(tmp_path):
     ip2.read_solution_file(ckpt)
     res2 = ip2.optimize()
     assert res2["converged"]
+
+
+def _install_fake_openmdao(monkeypatch):
+    import sys
+    import types
+    from tests import _fake_openmdao as fake
+
+    om_api = types.ModuleType("openmdao.api")
+    om_api.Driver = fake.Driver
+    om_pkg = types.ModuleType("openmdao")
+    om_pkg.api = om_api
+    monkeypatch.setitem(sys.modules, "openmdao", om_pkg)
+    monkeypatch.setitem(sys.modules, "openmdao.api", om_api)
+    return fake
+
+
+def test_openmdao_driver_with_fake(monkeypatch):
+    """Drive ParOptDriver end-to-end against a minimal OpenMDAO stand-in:
+    bound/constraint transcription, gradients via compute_totals, and the
+    final design pushed back into the model."""
+    import importlib
+    import sys
+    fake = _install_fake_openmdao(monkeypatch)
+    for mod in ("paropt_tpu.drivers.openmdao_driver",
+                "paropt_tpu.drivers.openmdao_sparse_driver"):
+        sys.modules.pop(mod, None)
+    drv_mod = importlib.import_module("paropt_tpu.drivers.openmdao_driver")
+
+    om_prob = fake.QuadProblem(n=6)
+    driver = drv_mod.ParOptDriver()
+    driver.options["algorithm"] = "ip"
+    driver.options["output_file"] = None
+    driver.options["abs_res_tol"] = 1e-8
+    driver._setup_driver(om_prob)
+    failed = driver.run()
+    assert not failed
+    x = om_prob.vals["x"]
+    # optimum: x_i = 0.8 is NOT active (sum(x)=6*1 > 2); x -> target but
+    # capped by local <= 0.8
+    assert np.allclose(x, 0.8, atol=1e-3), x
+
+
+def test_openmdao_sparse_driver_with_fake(monkeypatch):
+    """ParOptSparseDriver routes the per-element constraint through the
+    separable CSR path."""
+    import importlib
+    import sys
+    fake = _install_fake_openmdao(monkeypatch)
+    for mod in ("paropt_tpu.drivers.openmdao_driver",
+                "paropt_tpu.drivers.openmdao_sparse_driver"):
+        sys.modules.pop(mod, None)
+    drv_mod = importlib.import_module(
+        "paropt_tpu.drivers.openmdao_sparse_driver")
+
+    om_prob = fake.QuadProblem(n=6)
+    driver = drv_mod.ParOptSparseDriver()
+    driver.options["algorithm"] = "ip"
+    driver.options["output_file"] = None
+    driver.options["abs_res_tol"] = 1e-8
+    driver._setup_driver(om_prob)
+    driver.set_sparse_constraints(["local"])
+    failed = driver.run()
+    assert not failed
+    x = om_prob.vals["x"]
+    assert np.allclose(x, 0.8, atol=1e-3), x
