@@ -59,4 +59,10 @@ def __getattr__(name):
     if name == "ReducedProblem":
         from .reduced import ReducedProblem
         return ReducedProblem
+    if name == "FusedMMA":
+        from .mma import FusedMMA
+        return FusedMMA
+    if name == "FusedIP":
+        from .ip_fused import FusedIP
+        return FusedIP
     raise AttributeError(name)
