@@ -65,3 +65,68 @@ def test_random_mixed_ip_vs_tr(seed):
     assert (c[:ncon - neq] > -1e-6).all()          # inequalities
     if neq:
         assert np.abs(c[ncon - neq:]).max() < 1e-5  # equalities
+
+
+@pytest.mark.parametrize("seed", [7, 17])
+def test_random_csr_sparse_problems(seed):
+    """Random general-CSR sparse-constraint problems through the native
+    factorization path (random overlap patterns, occasional dense column):
+    IP converges and the solution is feasible + complementary."""
+    import numpy as np
+    import jax.numpy as jnp
+    from paropt_tpu import InteriorPoint
+    from paropt_tpu.problem import CSRSparseProblem
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 50))
+    m = int(rng.integers(5, 15))
+    rowp = [0]
+    cols = []
+    for i in range(m):
+        k = int(rng.integers(2, 6))
+        idx = set(rng.choice(n, size=k, replace=False).tolist())
+        if seed % 2 and i % 3 == 0:
+            idx.add(n - 1)          # recurring variable -> dense-ish column
+        cols.extend(sorted(idx))
+        rowp.append(len(cols))
+    rowp = np.asarray(rowp, np.int32)
+    cols = np.asarray(cols, np.int32)
+    w = rng.uniform(0.5, 2.0, size=len(cols))
+    targets = rng.uniform(0.5, 1.5, size=n)
+    caps = []
+    for i in range(m):
+        caps.append(float(w[rowp[i]:rowp[i + 1]].sum()) * 0.6)
+    caps = np.asarray(caps)
+
+    class RandCSR(CSRSparseProblem):
+        def __init__(self):
+            super().__init__(nvars=n, ncon=0, rowp=rowp, cols=cols)
+
+        def objective(self, x):
+            return jnp.sum((x - jnp.asarray(targets)) ** 2)
+
+        def eval_sparse_con(self, x):
+            out = []
+            for i in range(m):
+                sl = slice(rowp[i], rowp[i + 1])
+                out.append(caps[i] - jnp.sum(jnp.asarray(w[sl])
+                                             * x[cols[sl]]))
+            return jnp.stack(out)
+
+        def eval_sparse_jacobian_data(self, x):
+            return -jnp.asarray(w)
+
+        def get_vars_and_bounds(self):
+            return (jnp.full(n, 0.3), jnp.zeros(n), jnp.ones(n))
+
+    prob = RandCSR()
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-7,
+                              "max_major_iters": 300})
+    res = ip.optimize()
+    assert res["converged"], res
+    x = np.asarray(res["x"])
+    cw = np.asarray(prob.eval_sparse_con(res["x"]))
+    assert (cw > -1e-6).all()
+    # complementarity: multipliers vanish on inactive constraints
+    zw = np.asarray(ip.vars.zw)
+    assert (np.abs(zw * cw) < 1e-4).all()
