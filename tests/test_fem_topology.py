@@ -60,3 +60,29 @@ def test_fem_topology_regions_mma():
     res = mma.optimize()
     assert res["fobj"] < f0
     assert float(jnp.min(prob.sparse_constraints(res["x"]))) > -1e-4
+
+
+def test_dmo_multimaterial():
+    """Multi-material DMO compliance problem: block weighting constraints
+    (one per element), mass cap active, materials selected discretely."""
+    import numpy as np
+    from paropt_tpu.models.fem_topology import DMOFEMTopology
+    from paropt_tpu.ip import InteriorPoint
+
+    prob = DMOFEMTopology(nex=12, ney=6, cg_iters=150)
+    rep = prob.check_gradients(dh=1e-6, verbose=False)
+    assert rep["obj_gradient"] < 1e-7
+    assert rep["sparse_jacobian"] < 1e-9
+
+    ip = InteriorPoint(prob, {"output_file": None, "max_major_iters": 200,
+                              "abs_res_tol": 1e-5})
+    res = ip.optimize()
+    assert res["converged"], res
+    x = np.asarray(res["x"])
+    xm = x.reshape(prob.ne, prob.nmat)
+    # feasibility: per-element weight sums and the mass cap
+    assert (xm.sum(axis=1) <= 1.0 + 1e-6).all()
+    mass = float(np.mean(xm @ np.asarray(prob.rho_mats)))
+    assert mass <= prob.mass_fraction + 1e-4
+    # the mass constraint should be active (compliance monotone in mass)
+    assert mass > 0.8 * prob.mass_fraction
