@@ -86,3 +86,23 @@ def test_dmo_multimaterial():
     assert mass <= prob.mass_fraction + 1e-4
     # the mass constraint should be active (compliance monotone in mass)
     assert mass > 0.8 * prob.mass_fraction
+
+
+def test_dmo_fused_mma():
+    """Fused MMA drives the DMO model (blocked weighting constraints in the
+    on-device outer loop) to a feasible design at the mass cap."""
+    import numpy as np
+    from paropt_tpu.models.fem_topology import DMOFEMTopology
+    from paropt_tpu.mma import FusedMMA
+
+    prob = DMOFEMTopology(nex=12, ney=6, cg_iters=120)
+    res, st = FusedMMA(prob, {
+        "mma_max_iterations": 30, "mma_output_file": None,
+        "abs_res_tol": 1e-6, "mma_l1_tol": 1e-30, "mma_linfty_tol": 1e-30,
+        "max_major_iters": 50}).solve()
+    x = np.asarray(res["x"])
+    xm = x.reshape(prob.ne, prob.nmat)
+    assert (xm.sum(axis=1) <= 1.0 + 1e-5).all()
+    mass = float(np.mean(xm @ np.asarray(prob.rho_mats)))
+    assert mass <= prob.mass_fraction + 1e-4
+    assert int(st.subiters) > 0
