@@ -321,3 +321,27 @@ def test_initial_eval_failure_aborts():
     ip = InteriorPoint(AlwaysNan(), {"output_file": None})
     with pytest.raises(RuntimeError, match="initial objective"):
         ip.optimize()
+
+
+def test_verification_hooks_run():
+    """step/gradient verification options execute their checks and the KKT
+    step error is tiny (the `checkKKTStep` / `checkGradients` runtime hooks,
+    `ParOptInteriorPoint.cpp:675-682`, `:6212+`)."""
+    from paropt_tpu.models.analytic import Rosenbrock
+
+    prob = Rosenbrock()
+    out_path = "/tmp/paropt_verify_test.out"
+    ip = InteriorPoint(prob, {"output_file": out_path,
+                              "abs_res_tol": 1e-7,
+                              "step_verification_frequency": 3,
+                              "gradient_verification_frequency": 5,
+                              "max_major_iters": 100})
+    res = ip.optimize()
+    assert res["converged"]
+    out = open(out_path).read()
+    assert "KKT step check" in out, out[:500]
+    # step error tiny at every check
+    import re
+    errs = [float(m) for m in re.findall(
+        r"KKT step check: max \|K\*p \+ r\| = ([0-9.e+-]+)", out)]
+    assert errs and max(errs) < 1e-6, errs
