@@ -1,4 +1,7 @@
-"""Pallas TPU kernels for the hot KKT chains.
+"""Pallas TPU kernels for the hot KKT chains (a TPU-native tier with no
+direct reference counterpart — the closest role is the per-rank fused
+block apply inside `ParOptQuasiDefBlockMat::apply`,
+`ParOptSparseMat.cpp:114-224`).
 
 With the transposed-partition sparse layout ('blocked_t': design vectors
 viewed as [k, nwcon] with the LARGE axis minor), the quasi-definite apply
