@@ -134,7 +134,11 @@ class Problem(_problem.Problem):
         if self._csr is not None:
             cw = np.zeros(self.nwcon)
             fail, fobj, con = self.evalSparseObjCon(xnp, cw)
+            # cache keyed on the evaluation point so eval_sparse_con() can
+            # reuse it instead of paying a second full user evaluation
             self._cw_cache = cw
+            self._cw_cache_x = xnp.copy()
+            self._cw_cache_fail = bool(fail)
         else:
             fail, fobj, con = self.evalObjCon(xnp)
         if fail:
@@ -161,8 +165,16 @@ class Problem(_problem.Problem):
     def eval_sparse_con(self, x):
         xnp = np.asarray(x)
         if self._csr is not None:
+            cached_x = getattr(self, "_cw_cache_x", None)
+            if (cached_x is not None and cached_x.shape == xnp.shape
+                    and np.array_equal(cached_x, xnp)):
+                if self._cw_cache_fail:
+                    return jnp.full(self.nwcon, np.nan)
+                return jnp.asarray(self._cw_cache)
             cw = np.zeros(self.nwcon)
-            self.evalSparseObjCon(xnp, cw)
+            fail, _, _ = self.evalSparseObjCon(xnp, cw)
+            if fail:
+                return jnp.full(self.nwcon, np.nan)
             return jnp.asarray(cw)
         out = np.zeros(self.nwcon)
         self.evalSparseCon(xnp, out)

@@ -1046,6 +1046,11 @@ class InteriorPoint:
             self.niter = k
             info = info_prev
             qn_hessian_reset = False
+            # QN-update outcome flags: must be re-initialized every major
+            # iteration — _accept_step may never run (LFail through the whole
+            # DQN/SLP ladder), and stale flags from a previous iteration must
+            # not leak into this iteration's info row.
+            skipped = damped = 0
             if (self.qn is not None and not seq_linear and k > 0
                     and k % hessian_reset_freq == 0
                     and o["use_quasi_newton_update"]):

@@ -15,9 +15,9 @@ structure (SURVEY.md §3.1): a subproblem solve becomes ~K jitted step calls
 a TPU where dispatch latency would otherwise dominate.
 
 Feature set (a subset of ip.py, sufficient for the TR/MMA inner solves and
-jax-native outer problems): elastic double-slack formulation, monotone /
-complementarity-fraction barriers, least-squares + affine-step starting
-strategies, compact-QN or diagonal or fixed Hessians (optional in-loop L-BFGS
+jax-native outer problems): elastic double-slack formulation, all four
+barrier strategies (monotone / mehrotra / mehrotra_predictor_corrector /
+complementarity_fraction), least-squares + affine-step starting strategies, compact-QN or diagonal or fixed Hessians (optional in-loop L-BFGS
 updates), merit line search with function-precision-relaxed Armijo and the
 ρ-penalty update, equal-step complementarity safeguard, iterative refinement.
 """
@@ -77,7 +77,9 @@ class FusedIPOptions(NamedTuple):
     max_major_iters: int = 200
     iterative_refinement_steps: int = 1
     qn_sigma: float = 0.0
-    barrier_strategy: str = "monotone"  # 'monotone'|'complementarity_fraction'
+    # 'monotone'|'mehrotra'|'mehrotra_predictor_corrector'|
+    # 'complementarity_fraction' (see `_fused_step`'s barrier chain)
+    barrier_strategy: str = "monotone"
     starting_point_strategy: str = "affine_step"
     start_affine_multiplier_min: float = 1.0
     use_line_search: bool = True

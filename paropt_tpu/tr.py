@@ -403,6 +403,10 @@ class TrustRegion:
         o = self.options
         if start == "default":
             start = "affine_step"
+        if barrier == "default":
+            # Resolve the steering 'default' the same way the host-loop
+            # ip_infeas path does: fall back to the main barrier strategy.
+            barrier = o["barrier_strategy"]
         return FusedIPOptions(
             abs_res_tol=o["abs_res_tol"],
             init_barrier_param=o["init_barrier_param"],

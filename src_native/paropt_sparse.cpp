@@ -89,21 +89,32 @@ void build_permuted_lower(CholHandle* h, int n, const int* rowp,
                           const int* cols) {
   h->arowp.assign(n + 1, 0);
   std::vector<std::vector<std::pair<int, int>>> rows(n);
+  // Map EVERY input entry to its permuted lower-triangle image (no
+  // pi>=pj filter): half-stored single-triangle patterns then still
+  // cover the full lower pattern after permutation, and a symmetric
+  // pair (i,j)/(j,i) simply produces a duplicate that the dedupe below
+  // collapses.
   for (int i = 0; i < n; i++) {
     int pi = h->perm[i];
     for (int p = rowp[i]; p < rowp[i + 1]; p++) {
       int pj = h->perm[cols[p]];
       int r = std::max(pi, pj);
       int c = std::min(pi, pj);
-      if (pi >= pj) {  // keep each entry once (from its lower image)
-        rows[r].push_back({c, p});
-      }
+      rows[r].push_back({c, p});
     }
   }
   for (int r = 0; r < n; r++) {
     std::sort(rows[r].begin(), rows[r].end());
-    // dedupe keeping first source position (values summed at factor time
-    // would be wrong; patterns from FE assembly shouldn't have duplicates)
+    // dedupe keeping the FIRST source position per (r,c) — one
+    // convention for both the simplicial and supernodal factor paths
+    // (for a symmetric input the duplicate holds the equal-valued
+    // mirror entry; summing would double it)
+    auto last = std::unique(
+        rows[r].begin(), rows[r].end(),
+        [](const std::pair<int, int>& a, const std::pair<int, int>& b) {
+          return a.first == b.first;
+        });
+    rows[r].erase(last, rows[r].end());
     h->arowp[r + 1] = h->arowp[r] + (int)rows[r].size();
   }
   h->acols.resize(h->arowp[n]);

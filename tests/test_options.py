@@ -76,3 +76,46 @@ def test_option_registry_name_parity():
                  "ip_checkpoint_file", "gmres_subspace_size",
                  "eisenstat_walker_gamma", "nk_switch_tol"):
         assert name in ours, name
+
+
+def test_full_option_table_parity():
+    """Mechanical parity check against the VENDORED reference option table.
+
+    `reference_options.json` was extracted from the reference registration
+    calls (`ParOptInteriorPoint.cpp:536-727`, `ParOptTrustRegion.cpp:739-847`,
+    `ParOptMMA.cpp:234-289`, `ParOptOptimizer.cpp:39-50`; comment-stripped so
+    the commented-out `soc_rank_gamma` is excluded). Renaming, dropping, or
+    changing the default/range/enum-values of ANY option fails this test.
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "reference_options.json")
+    with open(path) as f:
+        groups = json.load(f)
+    ref = {}
+    for grp in groups.values():
+        for name, desc in grp.items():
+            if name in ref:
+                # output_level / function_precision / design_precision are
+                # registered by more than one optimizer with identical specs
+                assert ref[name] == desc, name
+            ref[name] = desc
+
+    ours = make_options()
+    extensions = {"dtype"}  # documented TPU-native extension
+    assert set(ref) - set(ours) == set(), "missing reference options"
+    assert set(ours) - set(ref) == extensions, "undocumented extra options"
+
+    type_map = {"str": "str", "bool": "bool", "int": "int",
+                "float": "float", "enum": "enum"}
+    for name, spec in sorted(ref.items()):
+        d = ours.descriptor(name)
+        assert d.otype == type_map[spec["type"]], name
+        assert ours[name] == spec["default"], (
+            name, ours[name], spec["default"])
+        if spec["type"] in ("int", "float"):
+            assert float(d.low) == float(spec["low"]), name
+            assert float(d.high) == float(spec["high"]), name
+        if spec["type"] == "enum":
+            assert list(d.values) == list(spec["values"]), name
