@@ -706,6 +706,84 @@ class InteriorPoint:
                         jnp.asarray(self.rho_penalty, self.dtype))
         return float(m), (xt, st, tt, swt, twt, fobj, c, cw)
 
+    def check_merit_func_gradient(self, xpt=None, dh: float = 1e-6, p=None):
+        """FD verification of the merit directional derivative used by the
+        line search (`checkMeritFuncGradient`,
+        `ParOptInteriorPoint.cpp:3280-3436`).
+
+        Evaluates f/c and gradients at ``xpt`` (or the current point),
+        computes (m0, dm0) along a probe direction through the same
+        ρ-penalty update the line search uses (max_x = 1), then compares
+        dm0 against the forward difference (m(dh) - m0) / dh.
+
+        The direction is ``p`` (an IPVars — the in-loop caller passes the
+        actual scaled KKT step) or, by default, the reference's
+        deterministic test direction: px = -g/|g| with fixed patterned
+        slack components (`:3325-3350`).
+
+        Returns (fd, dm0, abs_err, rel_err) and logs one line in the
+        reference's ``Merit function test`` format.
+        """
+        o = self.options
+        if self.vars is None:
+            self._init_design_and_bounds()
+            self._init_vars()
+        if xpt is not None:
+            self.vars = dataclasses.replace(
+                self.vars, x=jnp.asarray(xpt, self.dtype))
+        self.fobj, self.c, self.cw = self._eval_obj_con(self.vars.x)
+        if self.fobj is None:
+            raise RuntimeError("function evaluation failed")
+        self.g, self.A = self._eval_gradients(self.vars.x)
+        d = self._make_data()
+        ncon, nwcon = self.problem.ncon, self.problem.nwcon
+        if p is None:
+            # the reference's deterministic probe direction
+            gnorm = float(jnp.linalg.norm(d.g)) or 1.0
+            ic = np.arange(ncon)
+            iw = np.arange(nwcon)
+            zc = jnp.zeros(ncon, self.dtype)
+            zwv = jnp.zeros(nwcon, self.dtype)
+            p = IPVars(
+                x=(-d.g / gnorm).astype(self.dtype),
+                zl=jnp.zeros_like(self.vars.zl),
+                zu=jnp.zeros_like(self.vars.zu),
+                s=jnp.asarray(-0.259 * (1 + ic % 3), self.dtype),
+                t=jnp.asarray(-0.349 * (4 - ic % 2), self.dtype),
+                z=zc, zs=zc, zt=zc,
+                sw=jnp.asarray(-0.419 * (1 + iw % 5), self.dtype),
+                tw=jnp.asarray(-0.7513 * (1 + iw % 19), self.dtype),
+                zw=zwv, zsw=zwv, ztw=zwv)
+        use_qn = (self.qn is not None
+                  and not o["sequential_linear_method"])
+        mp = self._fn(_merit_parts)(
+            self.vars, d, p, self.fobj, jnp.asarray(self.mu, self.dtype),
+            o["rel_bound_barrier"], self._qn_compact(), use_qn=use_qn)
+        m0, dm0 = self._rho_update(*(float(v) for v in mp), 1.0)
+
+        # forward probe of all merit-relevant components (no clipping —
+        # the reference perturbs the raw variables, `:3381-3394`)
+        v = self.vars
+        ftemp, rc, rcw = self._eval_obj_con(v.x + dh * p.x)
+        if ftemp is None:
+            raise RuntimeError("function evaluation failed")
+        m1 = float(self._fn(_merit_eval)(
+            v.x + dh * p.x, v.s + dh * p.s, v.t + dh * p.t,
+            v.sw + dh * p.sw, v.tw + dh * p.tw, ftemp, rc, rcw, d,
+            jnp.asarray(self.mu, self.dtype), o["rel_bound_barrier"],
+            jnp.asarray(self.rho_penalty, self.dtype)))
+        fd = (m1 - m0) / dh
+        abs_err = abs(fd - dm0)
+        rel_err = abs_err / max(abs(fd), 1e-300)
+        line = ("Merit function test\n"
+                f"dm FD: {fd:15.8e}  Actual: {dm0:15.8e}  "
+                f"Err: {abs_err:8.2e}  Rel err: {rel_err:8.2e}\n")
+        if self._logger is not None:
+            self._logger.write(line)
+        else:
+            print(line, end="")
+        return fd, dm0, abs_err, rel_err
+
     def _line_search(self, d, p, alpha_min, m0, dm0):
         """Backtracking / quadratic-interpolation merit line search
         (`lineSearch`, `ParOptInteriorPoint.cpp:3939-4160`).
@@ -1280,6 +1358,11 @@ class InteriorPoint:
                                   compact, use_qn=use_qn)
                 m0, dm0 = self._rho_update(*(float(x) for x in mp), ax)
                 dm0_prev = dm0
+                # FD-verify the merit derivative along the ACTUAL step
+                # (`ParOptInteriorPoint.cpp:5177-5180`)
+                if gv_freq > 0 and k % gv_freq == 0:
+                    self.check_merit_func_gradient(
+                        None, o["gradient_check_step_length"], p=p_s)
                 if 0.0 <= dm0 <= fprec:
                     # descent within precision of zero: skip the line search
                     ok, skipped, damped = self._accept_step(d, 1.0, p_s, None)

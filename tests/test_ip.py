@@ -345,3 +345,45 @@ def test_verification_hooks_run():
     errs = [float(m) for m in re.findall(
         r"KKT step check: max \|K\*p \+ r\| = ([0-9.e+-]+)", out)]
     assert errs and max(errs) < 1e-6, errs
+
+
+def test_check_merit_func_gradient():
+    """FD merit-derivative verification (`checkMeritFuncGradient`,
+    `ParOptInteriorPoint.cpp:3280-3436`) on a bound + dense + sparse
+    constrained problem, standalone with the reference's deterministic
+    probe direction."""
+    prob = ScalableRosenbrock(n=16, group=4, use_sparse=True)
+    ip = InteriorPoint(prob, {"output_file": None})
+    fd, dm0, abs_err, rel_err = ip.check_merit_func_gradient(dh=1e-7)
+    # f64 forward difference: O(dh) truncation ~1e-7 relative
+    assert rel_err < 1e-5, (fd, dm0, rel_err)
+
+
+def test_check_merit_func_gradient_at_point():
+    prob = Rosenbrock()
+    ip = InteriorPoint(prob, {"output_file": None})
+    fd, dm0, abs_err, rel_err = ip.check_merit_func_gradient(
+        xpt=jnp.array([0.2, -0.3]), dh=1e-7)
+    assert rel_err < 1e-5, (fd, dm0, rel_err)
+
+
+def test_merit_gradient_verification_in_loop(tmp_path):
+    """`gradient_verification_frequency` wires the merit FD check into the
+    major-iteration loop (`ParOptInteriorPoint.cpp:5177-5180`) along the
+    actual scaled KKT step."""
+    out = tmp_path / "paropt.out"
+    prob = ScalableRosenbrock(n=16, group=4, use_sparse=True)
+    ip = InteriorPoint(prob, {
+        "output_file": str(out),
+        "gradient_verification_frequency": 2,
+        "gradient_check_step_length": 1e-7,
+        "max_major_iters": 6})
+    ip.optimize()
+    text = out.read_text()
+    assert "Merit function test" in text
+    # every logged FD check along the actual step agrees with dm0
+    import re
+    rel_errs = [float(m) for m in re.findall(
+        r"Rel err:\s*([0-9.e+-]+)", text)]
+    assert rel_errs, text
+    assert max(rel_errs) < 1e-4, rel_errs
