@@ -74,15 +74,38 @@ def main():
     jax.block_until_ready(state)
     sys.stderr.write(f"[bench] compile(run_k): {time.time()-t0:.1f}s\n")
 
-    t0 = time.time()
-    state = run_k(state)
-    jax.block_until_ready(state)
-    dt = time.time() - t0
-    its_per_s = iters / dt
+    # >=3 timed windows, report the MEDIAN: the tunnel TPU's run-to-run
+    # variance is large (139-190 it/s on identical code, CLAUDE.md), so a
+    # single window makes round-over-round deltas meaningless
+    windows = []
+    for w in range(5):
+        t0 = time.time()
+        state = run_k(state)
+        jax.block_until_ready(state)
+        dt = time.time() - t0
+        windows.append(iters / dt)
+        sys.stderr.write(
+            f"[bench] window {w}: {iters} IP iterations in {dt:.3f}s "
+            f"({windows[-1]:.2f} it/s)\n")
+    windows.sort()
+    its_per_s = windows[len(windows) // 2]
     sys.stderr.write(
-        f"[bench] {iters} IP iterations in {dt:.3f}s "
-        f"({its_per_s:.2f} it/s); fobj={float(state.fobj):.6e} "
+        f"[bench] median {its_per_s:.2f} it/s "
+        f"(min {windows[0]:.2f}, max {windows[-1]:.2f}); "
+        f"fobj={float(state.fobj):.6e} "
         f"res={float(state.res_norm):.3e} mu={float(state.mu):.3e}\n")
+
+    # HBM bytes/step from XLA's own cost analysis of the compiled step —
+    # variance-free evidence to accompany the noisy throughput number
+    try:
+        ca = fused._step_jit.lower(state, data, (), None).compile()\
+            .cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        gb = ca.get("bytes accessed", 0.0) / 1e9
+        sys.stderr.write(f"[bench] step cost analysis: {gb:.2f} GB "
+                         "HBM accessed/iteration\n")
+    except Exception as exc:  # pragma: no cover - backend-dependent API
+        sys.stderr.write(f"[bench] cost analysis unavailable: {exc}\n")
 
     # secondary info: whole-solve wall clock to the f32 KKT tolerance via
     # the zero-round-trip lax.while_loop path (compile excluded)

@@ -28,6 +28,7 @@ ladder — but structured TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -332,6 +333,8 @@ class InteriorPoint:
         # bounds + design variables
         self._init_design_and_bounds()
 
+        self._eval_exc_warned = False
+
         # current evaluation cache
         self.fobj = None
         self.c = None
@@ -456,18 +459,31 @@ class InteriorPoint:
     # -- user evaluation wrappers -------------------------------------------
 
     def _eval_obj_con(self, x) -> Tuple[Any, Any, Any]:
-        """-> (fobj, c, cw) or (None,)*3 on failure."""
+        """-> (fobj, c, cw) or (None,)*3 on failure.
+
+        Any exception raised by the user callbacks — not just
+        FloatingPointError — maps to the fail path, mirroring the
+        reference's treatment of any nonzero fail flag
+        (`ParOptInteriorPoint.cpp:4019-4026`): a failed evaluation during
+        the line search shrinks the step and retries instead of
+        propagating a raw traceback mid-solve."""
         try:
             fobj, c = self.problem.eval_obj_con(x)
-        except FloatingPointError:
+            self.neval += 1
+            fobj = jnp.asarray(fobj, self.dtype)
+            c = jnp.asarray(c, self.dtype).reshape(self.problem.ncon)
+            if self.problem.nwcon > 0:
+                cw = jnp.asarray(self.problem.eval_sparse_con(x), self.dtype)
+            else:
+                cw = jnp.zeros(0, self.dtype)
+        except Exception as exc:  # user-callback failure -> fail flag
+            if not self._eval_exc_warned:
+                self._eval_exc_warned = True
+                warnings.warn(
+                    "objective/constraint evaluation raised "
+                    f"{type(exc).__name__}: {exc}; treating as a failed "
+                    "evaluation (fail flag)", RuntimeWarning)
             return None, None, None
-        self.neval += 1
-        fobj = jnp.asarray(fobj, self.dtype)
-        c = jnp.asarray(c, self.dtype).reshape(self.problem.ncon)
-        if self.problem.nwcon > 0:
-            cw = jnp.asarray(self.problem.eval_sparse_con(x), self.dtype)
-        else:
-            cw = jnp.zeros(0, self.dtype)
         if not (bool(jnp.isfinite(fobj)) and bool(jnp.all(jnp.isfinite(c)))
                 and bool(jnp.all(jnp.isfinite(cw)))):
             return None, None, None

@@ -683,26 +683,41 @@ class FusedMMA:
         self._step_jit = jax.jit(step)
 
         @jax.jit
-        def run(s):
+        def run(s, k_stop):
             def cond(st):
-                return (~st.converged) & (st.k < mo.max_iterations)
+                return (~st.converged) & (st.k < k_stop)
             return jax.lax.while_loop(cond, lambda st: step(st), s)
 
         self._run_jit = run
 
     def solve(self, state0: Optional[FusedMMAState] = None,
-              jit_loop: bool = True):
+              jit_loop: bool = True, chunk: Optional[int] = 16):
         """Run the fused outer loop.  Returns (result dict, final state).
         Pass a previous final state to resume.
 
+        ``chunk`` bounds how many outer iterations run inside ONE device
+        execution (host-paced between chunks, same compiled program each
+        time).  A single execution spanning the whole optimization can run
+        for minutes on a large problem (mesh size × cg_iters) and trip
+        runtime watchdogs — observed as a crashed TPU worker on a 192×96
+        FEM topology with cg_iters=800.  Chunking adds one dispatch per
+        ``chunk`` outer iterations (negligible) and stops early on
+        convergence.  Pass ``chunk=None`` to run the whole loop in one
+        device call.
+
         ``jit_loop=False`` steps one jitted outer iteration at a time from
-        python — use it for very large problems where a single device
-        execution spanning the whole optimization would run for minutes
-        (long uninterrupted executions can trip runtime watchdogs), or to
-        inspect/log per-iteration state."""
+        python — use it to inspect/log per-iteration state."""
         state = state0 if state0 is not None else self._state0
         if jit_loop:
-            state = self._run_jit(state)
+            max_it = self._mo.max_iterations
+            if chunk is None or chunk >= max_it:
+                state = self._run_jit(state, max_it)
+            else:
+                while True:
+                    k_stop = min(int(state.k) + chunk, max_it)
+                    state = self._run_jit(state, k_stop)
+                    if bool(state.converged) or int(state.k) >= max_it:
+                        break
         else:
             for _ in range(self._mo.max_iterations):
                 state = self._step_jit(state)
@@ -718,7 +733,32 @@ class FusedMMA:
         return result, state
 
 
+_FUSED_MMA_CACHE: "weakref.WeakValueDictionary" = None
+
+
 def fused_mma_solve(problem, options: Optional[Dict[str, Any]] = None,
-                    jit_loop: bool = True):
-    """One-shot convenience wrapper over `FusedMMA` (build + solve)."""
-    return FusedMMA(problem, options).solve(jit_loop=jit_loop)
+                    jit_loop: bool = True, chunk: Optional[int] = 16):
+    """One-shot convenience wrapper over `FusedMMA` (build + solve).
+
+    The built solver (and its compiled outer loop) is cached per
+    (problem, options) so back-to-back calls reuse the compilation instead
+    of retracing — the build-once semantics of the `FusedMMA` class."""
+    global _FUSED_MMA_CACHE
+    import weakref
+    if _FUSED_MMA_CACHE is None:
+        _FUSED_MMA_CACHE = weakref.WeakValueDictionary()
+    if hasattr(options, "descriptors"):
+        key = None  # registry objects are mutable; don't cache
+    else:
+        try:
+            key = (id(problem), tuple(sorted((options or {}).items())),
+                   hash(tuple((options or {}).values())))
+        except TypeError:  # unhashable option values
+            key = None
+    solver = _FUSED_MMA_CACHE.get(key) if key is not None else None
+    if solver is None or solver._problem_ref() is not problem:
+        solver = FusedMMA(problem, options)
+        solver._problem_ref = weakref.ref(problem)
+        if key is not None:
+            _FUSED_MMA_CACHE[key] = solver
+    return solver.solve(jit_loop=jit_loop, chunk=chunk)

@@ -18,7 +18,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["SparseCholesky", "csr_adat", "amd_order", "native_available"]
+__all__ = ["SparseCholesky", "csr_adat", "amd_order", "nd_order",
+           "fill_count", "native_available"]
 
 _LIB = None
 _LOCK = threading.Lock()
@@ -58,6 +59,10 @@ def _load():
         dp = ctypes.POINTER(ctypes.c_double)
         lib.paropt_amd_order.restype = ctypes.c_int
         lib.paropt_amd_order.argtypes = [ctypes.c_int, ip, ip, ip]
+        lib.paropt_nd_order.restype = ctypes.c_int
+        lib.paropt_nd_order.argtypes = [ctypes.c_int, ip, ip, ip]
+        lib.paropt_fill_count.restype = ctypes.c_longlong
+        lib.paropt_fill_count.argtypes = [ctypes.c_int, ip, ip, ip]
         lib.paropt_chol_create.restype = ctypes.c_void_p
         lib.paropt_chol_create.argtypes = [ctypes.c_int, ip, ip, ctypes.c_int]
         lib.paropt_chol_nnz.restype = ctypes.c_int
@@ -121,11 +126,39 @@ def amd_order(rowp, cols) -> np.ndarray:
     return perm
 
 
+def nd_order(rowp, cols) -> np.ndarray:
+    """Nested-dissection fill-reducing ordering: perm[old] = new position
+    (the role of the reference's `METIS_NodeND` leg,
+    `ParOptSparseCholesky.cpp:7-78`, implemented in-house)."""
+    lib = _load()
+    rowp = np.ascontiguousarray(rowp, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    n = rowp.shape[0] - 1
+    perm = np.zeros(n, dtype=np.int32)
+    rc = lib.paropt_nd_order(n, _iptr(rowp), _iptr(cols), _iptr(perm))
+    if rc != 0:
+        raise RuntimeError("nd ordering failed")
+    return perm
+
+
+def fill_count(rowp, cols, perm) -> int:
+    """Symbolic nnz(L) (incl. diagonal) for a candidate ordering."""
+    lib = _load()
+    rowp = np.ascontiguousarray(rowp, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    perm = np.ascontiguousarray(perm, dtype=np.int32)
+    n = rowp.shape[0] - 1
+    return int(lib.paropt_fill_count(n, _iptr(rowp), _iptr(cols),
+                                     _iptr(perm)))
+
+
 class SparseCholesky:
     """Sparse Cholesky L·Lᵀ = P·A·Pᵀ of a symmetric positive-definite CSR
     matrix (the role of `ParOptSparseCholesky`, `ParOptSparseCholesky.h:
-    29-47`): `setValues`/`factor`/`solve` with NATURAL or minimum-degree
-    ordering.
+    29-47`): `setValues`/`factor`/`solve` with ``natural``, ``amd``
+    (minimum degree), ``nd`` (in-house nested dissection — the reference's
+    METIS_NodeND leg, `ParOptSparseCholesky.cpp:7-78`), or ``auto``
+    (AMD vs ND picked by symbolic fill count) ordering.
 
     Two factorization methods, matching the reference's design choice of a
     supernodal factorization ("variables are aggregated into supernodes
@@ -141,6 +174,9 @@ class SparseCholesky:
 
     ORDER_NATURAL = 0
     ORDER_AMD = 1
+    ORDER_ND = 2
+    ORDER_AUTO = 3
+    _ORDERINGS = {"natural": 0, "amd": 1, "nd": 2, "auto": 3}
 
     def __init__(self, rowp, cols, ordering: str = "amd",
                  method: str = "supernodal"):
@@ -149,7 +185,11 @@ class SparseCholesky:
         self.cols = np.ascontiguousarray(cols, dtype=np.int32)
         self.n = self.rowp.shape[0] - 1
         self.method = method
-        order = self.ORDER_AMD if ordering == "amd" else self.ORDER_NATURAL
+        if ordering not in self._ORDERINGS:
+            raise ValueError(
+                f"ordering must be one of {sorted(self._ORDERINGS)}, "
+                f"got {ordering!r}")
+        order = self._ORDERINGS[ordering]
         if method == "supernodal":
             self._h = self._lib.paropt_snchol_create(
                 self.n, _iptr(self.rowp), _iptr(self.cols), order)
@@ -237,7 +277,7 @@ class CSRQuasiDefMat:
     Cholesky — the role of `ParOptQuasiDefSparseMat`
     (`ParOptSparseMat.cpp:231-451`), serial per-host like the reference."""
 
-    def __init__(self, nvars: int, rowp, cols, ordering: str = "amd",
+    def __init__(self, nvars: int, rowp, cols, ordering: str = "auto",
                  method: str = "supernodal",
                  dense_col_fraction: float = 0.25):
         self.nvars = int(nvars)

@@ -340,6 +340,264 @@ void min_degree_order(int n, const int* rowp, const int* cols, int* perm) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Nested-dissection ordering (the role of the reference's METIS_NodeND leg,
+// ParOptSparseCholesky.cpp:7-78 / ordering enum ParOptSparseCholesky.h:7-11,
+// implemented in-house — no METIS dependency): recursive bisection by BFS
+// level sets from a pseudo-peripheral vertex, refined to a minimal vertex
+// separator; parts are ordered first, the separator last; subgraphs at or
+// below the leaf size are ordered by the quotient-graph minimum-degree
+// routine above.  ND is what makes the supernodal factorization competitive
+// on 2-D/3-D mesh-pattern Schur complements (wide dense separator panels).
+// ---------------------------------------------------------------------------
+class NDContext {
+ public:
+  NDContext(int n, const int* rowp, const int* cols, int leaf_size)
+      : n_(n), leaf_size_(leaf_size), stampv_(n, -1), stamp_(0),
+        level_(n, 0), local_(n, -1) {
+    // deduped adjacency without the diagonal (pattern assumed symmetric,
+    // as for min_degree_order)
+    adjp_.assign(n + 1, 0);
+    adj_.reserve(rowp[n]);
+    for (int i = 0; i < n; i++) {
+      size_t start = adj_.size();
+      for (int p = rowp[i]; p < rowp[i + 1]; p++) {
+        if (cols[p] != i) adj_.push_back(cols[p]);
+      }
+      std::sort(adj_.begin() + start, adj_.end());
+      adj_.erase(std::unique(adj_.begin() + start, adj_.end()), adj_.end());
+      adjp_[i + 1] = (int)adj_.size();
+    }
+    order_.reserve(n);
+  }
+
+  void run(int* perm) {
+    std::vector<int> all(n_);
+    for (int i = 0; i < n_; i++) all[i] = i;
+    recurse(all);
+    for (int pos = 0; pos < n_; pos++) perm[order_[pos]] = pos;
+  }
+
+ private:
+  // BFS over the current member set from seed; fills levels_ & reached_.
+  // Members are vertices with stampv_[v] == stamp_.
+  void bfs(int seed) {
+    reached_.clear();
+    reached_.push_back(seed);
+    level_[seed] = 0;
+    visited_stamp_[seed] = stamp_;
+    for (size_t qh = 0; qh < reached_.size(); qh++) {
+      int v = reached_[qh];
+      for (int p = adjp_[v]; p < adjp_[v + 1]; p++) {
+        int w = adj_[p];
+        if (stampv_[w] == stamp_ && visited_stamp_[w] != stamp_) {
+          visited_stamp_[w] = stamp_;
+          level_[w] = level_[v] + 1;
+          reached_.push_back(w);
+        }
+      }
+    }
+  }
+
+  void leaf_order(std::vector<int>& verts) {
+    int m = (int)verts.size();
+    if (m == 1) {
+      order_.push_back(verts[0]);
+      return;
+    }
+    // extract the subgraph in local indices and run minimum degree
+    for (int i = 0; i < m; i++) local_[verts[i]] = i;
+    std::vector<int> srowp(m + 1, 0), scols;
+    for (int i = 0; i < m; i++) {
+      int v = verts[i];
+      for (int p = adjp_[v]; p < adjp_[v + 1]; p++) {
+        int w = adj_[p];
+        if (local_[w] >= 0 && stampv_[w] == stampv_[v]) {
+          scols.push_back(local_[w]);
+        }
+      }
+      srowp[i + 1] = (int)scols.size();
+    }
+    std::vector<int> lperm(m), lorder(m);
+    min_degree_order(m, srowp.data(), scols.data(), lperm.data());
+    for (int i = 0; i < m; i++) lorder[lperm[i]] = i;
+    for (int i = 0; i < m; i++) order_.push_back(verts[lorder[i]]);
+    for (int i = 0; i < m; i++) local_[verts[i]] = -1;
+  }
+
+  void recurse(std::vector<int>& verts) {
+    int m = (int)verts.size();
+    if (m == 0) return;
+    if (m <= leaf_size_) {
+      // stamp so leaf_order's subgraph extraction sees a consistent set
+      stamp_++;
+      for (int v : verts) stampv_[v] = stamp_;
+      leaf_order(verts);
+      return;
+    }
+    stamp_++;
+    if ((int)visited_stamp_.size() < n_) visited_stamp_.assign(n_, -1);
+    for (int v : verts) stampv_[v] = stamp_;
+
+    bfs(verts[0]);
+    if ((int)reached_.size() < m) {
+      // disconnected: recurse on the component and the remainder (no
+      // separator needed between components)
+      std::vector<int> comp = reached_;
+      std::vector<int> rest;
+      rest.reserve(m - comp.size());
+      for (int v : verts) {
+        if (visited_stamp_[v] != stamp_) rest.push_back(v);
+      }
+      recurse(comp);
+      recurse(rest);
+      return;
+    }
+
+    // pseudo-peripheral seed: repeat BFS from the farthest vertex while
+    // the eccentricity grows (cap the iterations)
+    int ecc = level_[reached_.back()];
+    for (int it = 0; it < 3; it++) {
+      int far = reached_.back();
+      int save_stamp = stamp_;
+      stamp_++;  // fresh visited marks, same membership test via stampv_
+      for (int v : verts) stampv_[v] = stamp_;
+      bfs(far);
+      (void)save_stamp;
+      int ecc2 = level_[reached_.back()];
+      if (ecc2 <= ecc) break;
+      ecc = ecc2;
+    }
+    int h = level_[reached_.back()];
+    if (h < 2) {
+      // too shallow to split (near-clique); fall back to minimum degree
+      leaf_order(verts);
+      return;
+    }
+
+    // level-set sizes and the balanced cut with the thinnest level
+    std::vector<int> lcount(h + 1, 0);
+    for (int v : reached_) lcount[level_[v]]++;
+    int best_l = -1, best_size = n_ + 1;
+    int below = lcount[0];
+    for (int l = 1; l < h; l++) {
+      int above = m - below - lcount[l];
+      if (below >= m / 4 && above >= m / 4 && lcount[l] < best_size) {
+        best_size = lcount[l];
+        best_l = l;
+      }
+      below += lcount[l];
+    }
+    if (best_l < 0) {
+      // no balanced level: take the one closest to the median
+      int cum = 0;
+      for (int l = 0; l <= h; l++) {
+        cum += lcount[l];
+        if (cum >= m / 2) {
+          best_l = std::max(1, std::min(l, h - 1));
+          break;
+        }
+      }
+    }
+
+    // minimal vertex separator: members of level best_l adjacent to
+    // level best_l + 1 (removing them disconnects below from above)
+    std::vector<int> sep, partA, partB;
+    for (int v : reached_) {
+      int lv = level_[v];
+      if (lv < best_l) {
+        partA.push_back(v);
+      } else if (lv > best_l) {
+        partB.push_back(v);
+      } else {
+        bool boundary = false;
+        for (int p = adjp_[v]; p < adjp_[v + 1]; p++) {
+          int w = adj_[p];
+          if (stampv_[w] == stamp_ && level_[w] == best_l + 1) {
+            boundary = true;
+            break;
+          }
+        }
+        if (boundary) {
+          sep.push_back(v);
+        } else {
+          partA.push_back(v);
+        }
+      }
+    }
+    if (partA.empty() || partB.empty() || sep.empty()) {
+      leaf_order(verts);
+      return;
+    }
+    recurse(partA);
+    recurse(partB);
+    // separator eliminated last (ascending keeps it deterministic)
+    std::sort(sep.begin(), sep.end());
+    for (int v : sep) order_.push_back(v);
+  }
+
+  int n_, leaf_size_;
+  std::vector<int> adjp_, adj_;
+  std::vector<int> stampv_;          // membership stamp per vertex
+  int stamp_;
+  std::vector<int> level_;
+  std::vector<int> visited_stamp_{};  // BFS visited marks
+  std::vector<int> local_;           // global -> subgraph index scratch
+  std::vector<int> reached_;
+  std::vector<int> order_;           // old indices in elimination order
+};
+
+void nested_dissection_order(int n, const int* rowp, const int* cols,
+                             int* perm, int leaf_size = 96) {
+  NDContext ctx(n, rowp, cols, leaf_size);
+  ctx.run(perm);
+}
+
+// nnz(L) for a candidate ordering (diagonal included): symbolic-only pass
+// used to pick between AMD and ND by actual fill
+long long count_fill(int n, const int* rowp, const int* cols,
+                     const int* perm) {
+  CholHandle h;
+  h.n = n;
+  h.perm.assign(perm, perm + n);
+  h.iperm.resize(n);
+  for (int i = 0; i < n; i++) h.iperm[h.perm[i]] = i;
+  build_permuted_lower(&h, n, rowp, cols);
+  h.parent.resize(n);
+  std::vector<int> ancestor;
+  build_etree(n, h.arowp.data(), h.acols.data(), h.parent.data(), ancestor);
+  std::vector<int> s(n), w(n, -1);
+  long long nnz = n;  // diagonal
+  for (int k = 0; k < n; k++) {
+    int top = ereach(n, h.arowp.data(), h.acols.data(), k, h.parent.data(),
+                     s.data(), w.data());
+    nnz += n - top;
+  }
+  return nnz;
+}
+
+// order_type dispatch shared by both factorization paths:
+// 0 = natural, 1 = minimum degree, 2 = nested dissection,
+// 3 = auto (AMD vs ND by symbolic fill count)
+void compute_ordering(int n, const int* rowp, const int* cols,
+                      int order_type, int* perm) {
+  if (order_type == 1) {
+    min_degree_order(n, rowp, cols, perm);
+  } else if (order_type == 2) {
+    nested_dissection_order(n, rowp, cols, perm);
+  } else if (order_type == 3) {
+    std::vector<int> amd_perm(n), nd_perm(n);
+    min_degree_order(n, rowp, cols, amd_perm.data());
+    nested_dissection_order(n, rowp, cols, nd_perm.data());
+    long long amd_fill = count_fill(n, rowp, cols, amd_perm.data());
+    long long nd_fill = count_fill(n, rowp, cols, nd_perm.data());
+    const std::vector<int>& pick = nd_fill < amd_fill ? nd_perm : amd_perm;
+    std::copy(pick.begin(), pick.end(), perm);
+  } else {
+    for (int i = 0; i < n; i++) perm[i] = i;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -352,18 +610,29 @@ int paropt_amd_order(int n, const int* rowp, const int* cols, int* perm) {
   return 0;
 }
 
-// order_type: 0 = natural, 1 = minimum degree
+// Nested-dissection fill-reducing ordering.  perm[old] = new position.
+// Returns 0 on success.
+int paropt_nd_order(int n, const int* rowp, const int* cols, int* perm) {
+  if (n <= 0) return 1;
+  nested_dissection_order(n, rowp, cols, perm);
+  return 0;
+}
+
+// Symbolic fill count nnz(L) (incl. diagonal) for a given ordering.
+long long paropt_fill_count(int n, const int* rowp, const int* cols,
+                            const int* perm) {
+  return count_fill(n, rowp, cols, perm);
+}
+
+// order_type: 0 = natural, 1 = minimum degree, 2 = nested dissection,
+// 3 = auto (AMD vs ND by symbolic fill count)
 void* paropt_chol_create(int n, const int* rowp, const int* cols,
                          int order_type) {
   CholHandle* h = new CholHandle();
   h->n = n;
   h->perm.resize(n);
   h->iperm.resize(n);
-  if (order_type == 1) {
-    min_degree_order(n, rowp, cols, h->perm.data());
-  } else {
-    for (int i = 0; i < n; i++) h->perm[i] = i;
-  }
+  compute_ordering(n, rowp, cols, order_type, h->perm.data());
   for (int i = 0; i < n; i++) h->iperm[h->perm[i]] = i;
 
   build_permuted_lower(h, n, rowp, cols);
@@ -792,11 +1061,7 @@ void* paropt_snchol_create(int n, const int* rowp, const int* cols,
   h->n = n;
   h->perm.resize(n);
   h->iperm.resize(n);
-  if (order_type == 1) {
-    min_degree_order(n, rowp, cols, h->perm.data());
-  } else {
-    for (int i = 0; i < n; i++) h->perm[i] = i;
-  }
+  compute_ordering(n, rowp, cols, order_type, h->perm.data());
   {
     // reuse the simplicial helper for the permuted lower pattern
     CholHandle tmp;

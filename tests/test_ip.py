@@ -301,6 +301,55 @@ def test_line_search_eval_failure_recovery():
     assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-3)
 
 
+def test_line_search_eval_exception_recovery():
+    """A user callback that RAISES (any exception, not just
+    FloatingPointError) during the line search maps to the fail path —
+    shrink alpha and retry — never a raw traceback mid-solve
+    (`ParOptInteriorPoint.cpp:4019-4026` treats any nonzero fail flag)."""
+    import warnings
+    import numpy as np
+    import jax.numpy as jnp
+    from paropt_tpu import Problem
+
+    class RaisingRosen(Problem):
+        """Rosenbrock whose evaluation raises outside |x| <= 1.8."""
+
+        def __init__(self, exc_type):
+            super().__init__(nvars=2, ncon=1)
+            self.exc_type = exc_type
+            self.nraise = 0
+
+        def eval_obj_con(self, x):
+            xnp = np.asarray(x)
+            if np.max(np.abs(xnp)) > 1.8:
+                self.nraise += 1
+                raise self.exc_type("physics solver diverged")
+            f = 100.0 * (xnp[1] - xnp[0] ** 2) ** 2 + (1.0 - xnp[0]) ** 2
+            return jnp.asarray(f), jnp.array([xnp[0] + xnp[1] + 5.0])
+
+        def eval_obj_con_gradient(self, x):
+            xnp = np.asarray(x)
+            g = np.array([
+                -400.0 * xnp[0] * (xnp[1] - xnp[0] ** 2) - 2.0 * (1 - xnp[0]),
+                200.0 * (xnp[1] - xnp[0] ** 2)])
+            return jnp.asarray(g), jnp.ones((1, 2))
+
+        def get_vars_and_bounds(self):
+            return (jnp.array([-1.5, 1.5]), jnp.full(2, -2.0),
+                    jnp.full(2, 2.0))
+
+    for exc_type in (ValueError, RuntimeError):
+        prob = RaisingRosen(exc_type)
+        ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-7,
+                                  "max_major_iters": 400})
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            res = ip.optimize()
+        assert res["converged"], (exc_type, res)
+        assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-3)
+        assert prob.nraise > 0  # the failure path was actually exercised
+
+
 def test_initial_eval_failure_aborts():
     """A failed INITIAL evaluation aborts with a clear error
     (`ParOptInteriorPoint.cpp:4549-4561` role)."""

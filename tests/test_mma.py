@@ -106,3 +106,38 @@ def test_fused_mma_python_loop_mode():
     r2, _ = fused_mma_solve(SyntheticTopology(n=128, block=8), dict(opts),
                             jit_loop=False)
     assert np.allclose(np.asarray(r1["x"]), np.asarray(r2["x"]), atol=1e-10)
+
+
+def test_fused_mma_chunked_matches_single_execution():
+    """Chunked outer-loop execution (bounded device calls — the guard
+    against watchdog-killing giant single executions) is numerically
+    identical to the one-device-call path, including early stop."""
+    import numpy as np
+    from paropt_tpu.models.topology import SyntheticTopology
+    from paropt_tpu.mma import FusedMMA
+
+    opts = {"mma_max_iterations": 12, "mma_output_file": None}
+    prob = SyntheticTopology(n=128, block=8)
+    solver = FusedMMA(prob, dict(opts))
+    r_one, st_one = solver.solve(chunk=None)
+    r_chk, st_chk = solver.solve(chunk=3)
+    assert r_one["niter"] == r_chk["niter"]
+    assert np.allclose(np.asarray(r_one["x"]), np.asarray(r_chk["x"]),
+                       atol=1e-12)
+    assert int(st_one.subiters) == int(st_chk.subiters)
+
+
+def test_fused_mma_solve_reuses_build():
+    """Back-to-back fused_mma_solve calls with the same (problem, options)
+    reuse one compiled solver (no rebuild/retrace)."""
+    import numpy as np
+    from paropt_tpu import mma as mma_mod
+    from paropt_tpu.models.topology import SyntheticTopology
+
+    prob = SyntheticTopology(n=128, block=8)
+    opts = {"mma_max_iterations": 5, "mma_output_file": None}
+    r1, _ = mma_mod.fused_mma_solve(prob, dict(opts))
+    n_solvers = len(mma_mod._FUSED_MMA_CACHE)
+    r2, _ = mma_mod.fused_mma_solve(prob, dict(opts))
+    assert len(mma_mod._FUSED_MMA_CACHE) == n_solvers  # no second build
+    assert np.allclose(np.asarray(r1["x"]), np.asarray(r2["x"]))

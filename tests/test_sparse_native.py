@@ -31,7 +31,7 @@ def _random_spd_csr(n, density=0.2, seed=0):
     return dense, rowp, np.asarray(cols, np.int32), np.asarray(data)
 
 
-@pytest.mark.parametrize("ordering", ["natural", "amd"])
+@pytest.mark.parametrize("ordering", ["natural", "amd", "nd", "auto"])
 @pytest.mark.parametrize("n", [10, 50, 200])
 def test_sparse_cholesky_solve(n, ordering):
     dense, rowp, cols, data = _random_spd_csr(n, seed=n)
@@ -86,6 +86,43 @@ def test_amd_is_valid_permutation_and_reduces_fill():
     chol_nat = sn.SparseCholesky(rowp, cols, ordering="natural")
     chol_amd = sn.SparseCholesky(rowp, cols, ordering="amd")
     assert chol_amd.nnz < chol_nat.nnz
+
+
+def test_nd_ordering_beats_amd_on_2d_laplacian():
+    """Nested dissection (the reference's METIS_NodeND leg,
+    `ParOptSparseCholesky.cpp:7-78`, in-house here) is what makes the
+    supernodal path competitive on mesh-pattern Schur complements: on a
+    2-D Laplacian with n >= 1e5, ND fill <= AMD fill, solves are correct,
+    and 'auto' picks the lower-fill ordering."""
+    import time
+    nx = ny = 320  # n = 102,400
+    rowp, cols, data = _laplacian_2d_csr(nx, ny)
+    n = nx * ny
+    pa = sn.amd_order(rowp, cols)
+    pn = sn.nd_order(rowp, cols)
+    assert sorted(pn.tolist()) == list(range(n))  # valid permutation
+    fill_amd = sn.fill_count(rowp, cols, pa)
+    fill_nd = sn.fill_count(rowp, cols, pn)
+    assert fill_nd <= fill_amd, (fill_nd, fill_amd)
+
+    ch_amd = sn.SparseCholesky(rowp, cols, ordering="amd")
+    ch_nd = sn.SparseCholesky(rowp, cols, ordering="nd")
+    ch_auto = sn.SparseCholesky(rowp, cols, ordering="auto")
+    t0 = time.time()
+    ch_amd.factor(data)
+    t_amd = time.time() - t0
+    t0 = time.time()
+    ch_nd.factor(data)
+    t_nd = time.time() - t0
+    ch_auto.factor(data)
+    assert ch_auto.nnz == ch_nd.nnz  # auto picked ND here
+    b = np.random.default_rng(0).standard_normal(n)
+    x_nd = ch_nd.solve(b)
+    x_amd = ch_amd.solve(b)
+    assert np.allclose(x_nd, x_amd, atol=1e-8)
+    # factor-time improvement is the point of ND; allow slack for machine
+    # noise but fail on a clear regression
+    assert t_nd < 1.5 * t_amd, (t_nd, t_amd)
 
 
 def test_adat_matches_dense():
