@@ -150,6 +150,7 @@ class ParOptDriver(om.Driver):
 
     def run(self):
         prob = _OpenMDAOProblem(self._problem(), self)
+        self._paropt_problem = prob
         user_opts = {}
         registry = make_options()
         for name in registry:

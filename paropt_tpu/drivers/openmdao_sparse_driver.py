@@ -170,6 +170,7 @@ class ParOptSparseDriver(ParOptDriver):
     def run(self):
         prob = _OpenMDAOSparseProblem(self._problem(), self,
                                       self._sparse_con_names)
+        self._paropt_problem = prob
         user_opts = {}
         registry = make_options()
         for name in registry:

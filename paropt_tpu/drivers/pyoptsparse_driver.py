@@ -78,11 +78,17 @@ class _DenseAdapter(Problem):
 
 
 class ParOpt(_PyOptOptimizer):
-    """pyOptSparse-compatible optimizer class backed by this framework."""
+    """pyOptSparse-compatible optimizer class backed by this framework
+    (the role of `paropt_pyoptsparse.py:156-430`).
 
-    def __init__(self, raiseError=True, options={}):
+    ``sparse=True`` routes every pyOptSparse constraint through the
+    CSR sparse-constraint path (the reference's ParOptSparseProblem leg);
+    the default treats them as dense global constraints."""
+
+    def __init__(self, raiseError=True, options={}, sparse=False):
         name = "ParOpt"
         category = "Local Optimizer"
+        self.sparse = sparse
         # expose every framework option as a pyoptsparse option
         defOpts = {}
         registry = make_options()
@@ -90,36 +96,80 @@ class ParOpt(_PyOptOptimizer):
             defOpts[desc.name] = [type(desc.default)
                                   if desc.default is not None else str,
                                   desc.default]
+        # pyoptsparse requires non-None defaults for these
+        defOpts["ip_checkpoint_file"] = [str, "default.out"]
+        defOpts["problem_name"] = [str, "problem"]
+        if sparse:
+            # trust region does not support sparse constraints
+            defOpts["algorithm"] = [str, "ip"]
+        # explicitly-set options, collected via _on_setOption
+        self.set_options = {}
         super().__init__(name, category, defaultOptions=defOpts,
                          informs={}, options=options)
+        self.jacType = "csr" if sparse else "dense2d"
 
     def __call__(self, optProb, sens=None, sensStep=None, sensMode=None,
                  storeHistory=None, hotStart=None, storeSens=True):
+        if self.sparse and \
+                str(self.set_options.get("algorithm", "ip")).lower() == "tr":
+            raise ValueError(
+                "Trust region algorithm does not support sparse "
+                "constraints; use the interior point or MMA algorithms")
         self.startTime = datetime.datetime.now()
+        self.callCounter = 0
+        self.storeSens = storeSens
+
         self.unconstrained = len(optProb.constraints) == 0
+        if self.unconstrained:
+            # dummy constraint so the problem shape stays uniform
+            # (`paropt_pyoptsparse.py:276-280`)
+            optProb.dummyConstraint = True
+        self.optProb = optProb
+        self.optProb.finalize()
+
+        self._setHistory(storeHistory, hotStart)
+        self._setInitialCacheValues()
         self._setSens(sens, sensStep, sensMode)
         blx, bux, xs = self._assembleContinuousVariables()
-        ncon = 0
-        nineq = 0
-        if not self.unconstrained:
-            indices, blc, buc, fact = self.optProb.getOrdering(
-                ["ne", "ni", "le", "li"], oneSided=True, noEquality=False)
-            ncon = len(indices)
+        xs = np.minimum(np.maximum(xs, blx), bux)
+        nvars = len(xs)
+
+        if self.unconstrained:
+            ncon, nineq = 1, 1
+            indices = [0]
+        else:
+            # INEQUALITIES FIRST — the framework (like the reference)
+            # declares the trailing ncon - ninequality constraints as
+            # equalities (`paropt_pyoptsparse.py:306-318`)
             ineq, _, _, _ = self.optProb.getOrdering(
-                ["ni", "li"], oneSided=True, noEquality=False)
+                ["ni", "li"], oneSided=True)
             nineq = len(ineq)
+            indices, blc, buc, fact = self.optProb.getOrdering(
+                ["ni", "li", "ne", "le"], oneSided=True)
+            ncon = len(indices)
             self.optProb.jacIndices = indices
             self.optProb.fact = fact
             self.optProb.offset = buc
-        self.optProb.comm = None
 
-        self._setInitialCacheValues()
-        self._setHistory(storeHistory, hotStart)
+        if self.sparse and not self.unconstrained:
+            # CSR pattern of the ordered constraint Jacobian
+            # (`paropt_pyoptsparse.py:324-334`)
+            from pyoptsparse.pyOpt_utils import extractRows, IROW, ICOL
+            gcon = {}
+            for iCon in self.optProb.constraints:
+                gcon[iCon] = self.optProb.constraints[iCon].jac
+            jac = self.optProb.processConstraintJacobian(gcon)
+            jac = extractRows(jac, indices)
+            rowp = jac["csr"][IROW]
+            cols = jac["csr"][ICOL]
+            prob = _SparseAdapter(self, nvars, rowp, cols, nineq, xs, blx,
+                                  bux)
+        else:
+            prob = _DenseAdapter(self, nvars, ncon, nineq, xs, blx, bux)
 
-        # inequalities first in the framework's ordering convention
-        prob = _DenseAdapter(self, len(xs), ncon, nineq, xs, blx, bux)
-        user_opts = {k: v for k, v in self.options.items()
-                     if k in make_options()}
+        registry = make_options()
+        user_opts = {k: v for k, v in self.set_options.items()
+                     if k in registry}
         opt = _FrameworkOptimizer(prob, user_opts)
         result = opt.optimize()
         x, z, zw, zl, zu = opt.get_optimized_point()
@@ -129,8 +179,20 @@ class ParOpt(_PyOptOptimizer):
         xstar = np.asarray(x)
         fobj, fcon, fail = self._masterFunc(xstar, ["fobj", "fcon"])
         opt_time = (datetime.datetime.now() - self.startTime).total_seconds()
-        sol = self._createSolution(opt_time, sol_inform, fobj, xstar)
+        # sign-flipped multipliers: the framework solves c(x) >= 0 while
+        # pyOptSparse uses g(x) = -c(x) <= 0 (`paropt_pyoptsparse.py:383-408`)
+        mult = zw if self.sparse else z
+        multipliers = (-np.asarray(mult) if mult is not None
+                       and np.asarray(mult).size else [])
+        try:
+            sol = self._createSolution(opt_time, sol_inform, fobj, xstar,
+                                       multipliers=multipliers)
+        except TypeError:  # older pyoptsparse without multipliers kwarg
+            sol = self._createSolution(opt_time, sol_inform, fobj, xstar)
         return sol
+
+    def _on_setOption(self, name, value):
+        self.set_options[name] = value
 
 
 class _SparseAdapter(Problem):

@@ -763,10 +763,14 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
         line_search_test=ls_count, neval=state.neval + neval_add + 1,
         alpha=alpha, alpha_x=ax, alpha_z=az, gmres_iters=nk_iters)
 
-    # freeze everything once converged (for the while_loop path)
+    # freeze everything once converged (for the while_loop path) — but
+    # record the converging iteration's res_norm/mu so the final state
+    # reports the values the convergence test actually saw, not the
+    # previous iteration's
     return jax.tree_util.tree_map(
         lambda new, old: jnp.where(converged, old, new),
-        new_state, dataclasses.replace(state, converged=converged))
+        new_state, dataclasses.replace(state, converged=converged,
+                                       res_norm=res_norm, mu=mu))
 
 
 def _fused_solve_loop(model: ModelFns, opts: FusedIPOptions,

@@ -24,6 +24,9 @@ parser.add_argument("--n", type=int, default=1 << 17)
 parser.add_argument("--iters", type=int, default=60)
 parser.add_argument("--tpu", action="store_true")
 parser.add_argument("--configs", type=str, default="")
+parser.add_argument("--solve", action="store_true",
+                    help="run full while_loop solves at tol=1e-6 instead of "
+                         "fixed-iteration residual floors")
 args = parser.parse_args()
 
 if not args.tpu:
@@ -68,8 +71,42 @@ def run(dtype, matmul_precision, label, n, iters):
         return min_res
 
 
+def run_solve(dtype, label, n, tol=1e-6, **opt_kw):
+    prob = SyntheticTopology(n=n, block=8, dtype=dtype)
+    model = ip_fused.model_from_problem(prob)
+    opt_kw.setdefault("iterative_refinement_steps", 1)
+    opts = ip_fused.FusedIPOptions(
+        use_quasi_newton_update=True, abs_res_tol=tol,
+        max_major_iters=100, **opt_kw)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts, dtype=dtype)
+    data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
+    qn0 = qnmod.qn_init(10, prob.nvars, dtype=dtype)
+    out = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    jax.block_until_ready(out)
+    wall = time.time() - t0
+    print(f"[{label}] n={n} tol={tol:.0e}: converged={bool(out.converged)} "
+          f"iters={int(out.k)} res={float(out.res_norm):.3e} "
+          f"mu={float(out.mu):.2e} wall={wall:.2f}s "
+          f"({int(out.k)/max(wall,1e-9):.1f} it/s)", flush=True)
+    return out
+
+
 def main():
     n, iters = args.n, args.iters
+    if args.solve:
+        run_solve(jnp.float32, "solve-f32-ref1", n,
+                  iterative_refinement_steps=1)
+        run_solve(jnp.float32, "solve-f32-ref0", n,
+                  iterative_refinement_steps=0)
+        run_solve(jnp.float32, "solve-f32-ref1b", n,
+                  iterative_refinement_steps=1)
+        run_solve(jnp.float32, "solve-f32-ref0b", n,
+                  iterative_refinement_steps=0)
+        return
     todo = args.configs.split(",") if args.configs else [
         "f32_default", "f32_highest", "f64"]
     if "f32_default" in todo:

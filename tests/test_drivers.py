@@ -185,3 +185,9 @@ def test_openmdao_sparse_driver_with_fake(monkeypatch):
     assert not failed
     x = om_prob.vals["x"]
     assert np.allclose(x, 0.8, atol=1e-3), x
+    # the per-element constraints went through the CSR sparse path (nwcon),
+    # not the dense Schur block
+    adapter = driver._paropt_problem
+    assert adapter.nwcon == 6, adapter.nwcon
+    assert adapter.ncon == 1, adapter.ncon  # only the global sum stays dense
+    assert adapter.csr_rowp[-1] == adapter.nwcon * 6  # dense-row fallback
