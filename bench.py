@@ -42,7 +42,11 @@ def main():
         # reaches res ~3e-7 at 1M vars (scripts/precision_study.py), so the
         # headline number is at full reference-grade tolerance
         abs_res_tol=1e-6,
-        iterative_refinement_steps=1)
+        # back-to-back A/B at tol=1e-6 on the v5e (scripts/precision_study
+        # --solve): refinement off converges identically (26 vs 25 iters,
+        # same final res 3e-7) at 179 vs 168 it/s — skip it at f32; keep
+        # one pass in f64 where it is effectively free
+        iterative_refinement_steps=0 if dtype == jnp.float32 else 1)
     fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
                              prob.nwblock, opts, dtype=dtype)
     data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)

@@ -1,168 +1,122 @@
-"""Localize per-iteration cost of the fused IP step on the current backend:
-times step variants with phases disabled, plus isolated sub-kernels."""
+"""Trustworthy per-phase roofline of the fused IP step.
+
+Two variance-free measurements per step variant:
+
+1. **Compiled-program cost analysis** — XLA's own 'bytes accessed' and flop
+   counts for the whole compiled step.  Diffing variants (full vs
+   no-refinement vs no-line-search vs no-QN) attributes bytes to phases
+   without any timing, dispatch floors, or multiply-counted while_loop
+   bodies (the round-1 attribution bug: summing isolated-kernel timings
+   re-counted the line-search body).
+2. **In-loop timing** — K steps fused into one device computation via
+   lax.fori_loop, so tunnel dispatch latency (~2 ms/call) is excluded.
+
+Run on TPU:  timeout 1800 python scripts/profile_step.py
+Run on CPU:  env -u PYTHONPATH -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+                 python scripts/profile_step.py
+"""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
     os.environ["PAROPT_TPU_NO_X64"] = "1"
 
-import sys
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
 from paropt_tpu import ip_fused
 from paropt_tpu.models.topology import SyntheticTopology
 from paropt_tpu.ops import qn as qnmod
-from paropt_tpu.ops import kkt
+
+# v5e single chip: ~819 GB/s HBM bandwidth
+PEAK_BW_GBPS = 819.0
 
 
-def timeit(label, fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters * 1e3
-    print(f"{label:40s} {dt:8.2f} ms", flush=True)
-    return out
+def cost_of(jitted, *args):
+    """(bytes_accessed_GB, flops_G) from the compiled program."""
+    ca = jitted.lower(*args).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return ca.get("bytes accessed", 0.0) / 1e9, ca.get("flops", 0.0) / 1e9
+
+
+def inloop_ms(step_fn, state, iters=20, reps=3):
+    """Median per-step ms over `reps` windows of `iters` fused steps."""
+    @jax.jit
+    def run_k(s):
+        return jax.lax.fori_loop(0, iters, lambda i, t: step_fn(t), s)
+
+    s = run_k(state)
+    jax.block_until_ready(s)
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        s = run_k(state)
+        jax.block_until_ready(s)
+        times.append((time.time() - t0) / iters * 1e3)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():
-    n = 1 << 20 if jax.default_backend() != "cpu" else 1 << 17
-    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+    on_cpu = jax.default_backend() == "cpu"
+    n = 1 << 17 if on_cpu else 1 << 20
+    dtype = jnp.float64 if on_cpu else jnp.float32
+    msub = 10
     prob = SyntheticTopology(n=n, block=8, dtype=dtype)
     model = ip_fused.model_from_problem(prob)
     data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
-    qn0 = qnmod.qn_init(10, prob.nvars, dtype=dtype)
-    print(f"backend={jax.default_backend()} n={n}", flush=True)
+    qn0 = qnmod.qn_init(msub, prob.nvars, dtype=dtype)
+    print(f"backend={jax.default_backend()} n={n} msub={msub} "
+          f"dtype={jnp.dtype(dtype).name}", flush=True)
 
-    variants = {
-        "full step": ip_fused.FusedIPOptions(use_quasi_newton_update=True),
-        "no refinement": ip_fused.FusedIPOptions(
-            use_quasi_newton_update=True, iterative_refinement_steps=0),
-        "no line search": ip_fused.FusedIPOptions(
-            use_quasi_newton_update=True, use_line_search=False),
-        "no qn update": ip_fused.FusedIPOptions(
-            use_quasi_newton_update=False),
-        "slm (no qn at all)": ip_fused.FusedIPOptions(
-            sequential_linear_method=True, use_quasi_newton_update=False),
-    }
-    st0 = None
-    for label, opts in variants.items():
+    base = dict(use_quasi_newton_update=True, abs_res_tol=1e-6)
+    variants = [
+        ("full step", ip_fused.FusedIPOptions(**base)),
+        ("no refinement", ip_fused.FusedIPOptions(
+            **base, iterative_refinement_steps=0)),
+        ("1 line-search iter", ip_fused.FusedIPOptions(
+            **base, max_line_iters=1)),
+        ("no line search", ip_fused.FusedIPOptions(
+            **base, use_line_search=False)),
+        ("no qn update (fixed B)", ip_fused.FusedIPOptions(
+            abs_res_tol=1e-6, use_quasi_newton_update=False)),
+        ("slm (B = I only)", ip_fused.FusedIPOptions(
+            abs_res_tol=1e-6, sequential_linear_method=True)),
+    ]
+
+    rows = []
+    state0 = None
+    for label, opts in variants:
         fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
                                  prob.nwblock, opts, dtype=dtype)
         st = fused.init(x0, data, (), qn0, None)
-        if st0 is None:
-            st0 = st
-        timeit(label, lambda s: fused._step_jit(s, data, (), None), st)
+        if state0 is None:
+            state0 = st
+        step = lambda s, _f=fused: _f._step_jit(s, data, (), None)
+        gb, gflop = cost_of(jax.jit(step), st)
+        ms = inloop_ms(step, st)
+        rows.append((label, gb, gflop, ms))
 
-    # isolated sub-kernels at the same state
-    v = st0.vars
-    d = ip_fused._refresh_data(data, st0.g, st0.A, st0.c, st0.cw)
-    cq = qnmod.qn_compact(st0.qn)
-    mu = st0.mu
-
-    @jax.jit
-    def k_residual(v, d, mu):
-        return kkt.kkt_residual(v, d, mu, 1.0)
-
-    @jax.jit
-    def k_factor(v, d, cq):
-        return kkt.setup_kkt_factor(v, d, qn_compact=cq)
-
-    @jax.jit
-    def k_solve(v, d, f, r):
-        return kkt.solve_kkt(v, d, f, r)
-
-    @jax.jit
-    def k_model_eval(x):
-        return model.eval_obj_con((), x)
-
-    @jax.jit
-    def k_model_grad(x):
-        return model.eval_grad((), x)
-
-    @jax.jit
-    def k_qn_update(qn, s, y):
-        return qnmod.qn_update(qn, s, y)
-
-    @jax.jit
-    def k_maxstep(v, d, p):
-        return kkt.max_step_lengths(v, d, p, jnp.asarray(0.95, v.x.dtype))
-
-    r = timeit("kkt_residual", k_residual, v, d, mu)
-    f = timeit("setup_kkt_factor", k_factor, v, d, cq)
-    p = timeit("solve_kkt", k_solve, v, d, f, r)
-    timeit("max_step_lengths", k_maxstep, v, d, p)
-    timeit("model eval (f,c,cw)", k_model_eval, v.x)
-    timeit("model grad", k_model_grad, v.x)
-    timeit("qn_update", k_qn_update, st0.qn, 0.01 * p.x, 0.02 * p.x)
-
-
-def submicro():
-    """Micro-benchmarks of the [K, n] SMW chain pieces."""
-    n = 1 << 20 if jax.default_backend() != "cpu" else 1 << 17
-    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
-    prob = SyntheticTopology(n=n, block=8, dtype=dtype)
-    model = ip_fused.model_from_problem(prob)
-    data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
-    qn0 = qnmod.qn_init(10, prob.nvars, dtype=dtype)
-    opts = ip_fused.FusedIPOptions(use_quasi_newton_update=True)
-    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
-                             prob.nwblock, opts, dtype=dtype)
-    st = fused.init(x0, data, (), qn0, None)
-    v = st.vars
-    d = ip_fused._refresh_data(data, st.g, st.A, st.c, st.cw)
-    cq = qnmod.qn_compact(st.qn)
-    Z = cq[1]
-    K = Z.shape[0]
-    print(f"--- submicro K={K} n={n}", flush=True)
-
-    @jax.jit
-    def k_elem(Z):
-        return 1.3 * Z + 0.7
-
-    @jax.jit
-    def k_aw_mat(Z):
-        return kkt.ProblemData.Aw_matvec(d, Z)
-
-    @jax.jit
-    def k_aw_rmat(W):
-        return kkt.ProblemData.Aw_rmatvec(d, W)
-
-    @jax.jit
-    def k_zx(Z, x):
-        return Z @ x
-
-    @jax.jit
-    def k_qdsolve(f, Z):
-        zw = jnp.zeros((K, d.nwcon), Z.dtype)
-        return kkt.quasi_def_solve(f, d, Z, zw)
-
-    @jax.jit
-    def k_compact(qn):
-        return qnmod.qn_compact(qn)
-
-    @jax.jit
-    def k_factor_noqn(v, d):
-        return kkt.setup_kkt_factor(v, d, qn_compact=(cq[0], None, None))
-
-    f0 = k_factor_noqn(v, d)
-    W = k_aw_mat(Z)
-    timeit("elementwise [K,n]", k_elem, Z)
-    timeit("Aw_matvec [K,n]", k_aw_mat, Z)
-    timeit("Aw_rmatvec [K,nw]", k_aw_rmat, W)
-    timeit("Z @ x (one reduction)", k_zx, Z, v.x)
-    timeit("quasi_def_solve [K,n]", k_qdsolve, f0, Z)
-    timeit("qn_compact", k_compact, st.qn)
-    timeit("factor (no QN)", k_factor_noqn, v, d)
+    full_gb = rows[0][1]
+    full_ms = rows[0][3]
+    print(f"\n{'variant':28s} {'GB/step':>8s} {'Gflop':>7s} {'ms':>7s} "
+          f"{'BW-bound ms':>11s} {'dGB vs full':>11s}")
+    for label, gb, gflop, ms in rows:
+        bw_ms = gb / PEAK_BW_GBPS * 1e3
+        print(f"{label:28s} {gb:8.2f} {gflop:7.1f} {ms:7.2f} {bw_ms:11.2f} "
+              f"{full_gb - gb:11.2f}", flush=True)
+    print(f"\nreconciliation: full step {full_gb:.2f} GB -> "
+          f"{full_gb / PEAK_BW_GBPS * 1e3:.2f} ms at peak BW; measured "
+          f"{full_ms:.2f} ms "
+          f"({full_gb / PEAK_BW_GBPS * 1e3 / max(full_ms, 1e-9) * 100:.0f}% "
+          "of peak)", flush=True)
 
 
 if __name__ == "__main__":
     main()
-    submicro()

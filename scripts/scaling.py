@@ -25,7 +25,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 17)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-process run: call jax.distributed."
+                         "initialize() (coordinator from the standard env "
+                         "vars / TPU pod autodetection) and measure over a "
+                         "hybrid (hosts x local-chips) DCN mesh")
+    ap.add_argument("--coordinator", type=str, default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
+
+    if args.distributed:
+        from paropt_tpu.parallel.sharding import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     from paropt_tpu import ip_fused
     from paropt_tpu.models.topology import SyntheticTopology
@@ -43,12 +56,22 @@ def main():
     data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
     qn0 = qnmod.qn_init(10, prob.nvars, dtype=dtype)
 
+    from paropt_tpu.parallel import sharding as shlib
+
     base = None
     for nd in sizes:
-        mesh = Mesh(np.asarray(jax.devices()[:nd]), ("d",))
-        shard_n = NamedSharding(mesh, P("d"))
-        shard_rows = NamedSharding(mesh, P(None, "d"))
-        repl = NamedSharding(mesh, P())
+        if args.distributed and jax.process_count() > 1:
+            # hybrid (hosts x local) mesh: DCN outer axis, ICI inner; the
+            # design axis shards over both so each chip owns a contiguous
+            # block and reductions ride ICI first
+            if nd < len(jax.devices()):
+                continue  # measure only the full global mesh per process
+            mesh = shlib.hybrid_design_mesh()
+        else:
+            mesh = Mesh(np.asarray(jax.devices()[:nd]), ("d",))
+        shard_n = shlib.design_sharding(mesh)
+        shard_rows = shlib.row_sharding(mesh)
+        repl = shlib.replicated_sharding(mesh)
 
         def place(leaf):
             leaf = jnp.asarray(leaf)

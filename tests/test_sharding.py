@@ -78,6 +78,41 @@ def test_fused_step_sharded_matches_unsharded():
     assert int(st.k) == int(st_s.k)
 
 
+def test_fused_step_hybrid_host_mesh_matches_unsharded():
+    """The hybrid multi-host mesh shape — 2-D ('host', 'd'), design axis
+    sharded over BOTH axes (DCN outer / ICI inner in deployment,
+    docs/design.md 'Scaling') — reproduces the unsharded trajectory."""
+    from paropt_tpu.parallel.sharding import (hybrid_design_mesh,
+                                              design_sharding, row_sharding,
+                                              replicated_sharding)
+    n = 1024
+    fused, data, x0, qn0 = _build(n=n)
+
+    st = fused.init(x0, data, (), qn0, None)
+    for _ in range(5):
+        st = fused.step(st, data, (), None)
+
+    mesh = hybrid_design_mesh(n_hosts=2, local_devices=4,
+                              devices=jax.devices()[:8])
+    assert mesh.axis_names == ("host", "d")
+
+    def place(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[-1] == n:
+            sh = (design_sharding(mesh) if leaf.ndim == 1
+                  else row_sharding(mesh))
+            return jax.device_put(leaf, sh)
+        return jax.device_put(leaf, replicated_sharding(mesh))
+
+    st_h = jax.tree_util.tree_map(place, fused.init(x0, data, (), qn0, None))
+    data_h = jax.tree_util.tree_map(place, data)
+    for _ in range(5):
+        st_h = fused.step(st_h, data_h, (), None)
+
+    assert _tree_maxdiff(st.vars, st_h.vars) < 1e-10
+    assert float(st.fobj) == pytest.approx(float(st_h.fobj), rel=1e-12)
+
+
 def test_fused_full_solve_sharded():
     n = 1024
     fused, data, x0, qn0 = _build(n=n)
