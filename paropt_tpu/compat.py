@@ -241,6 +241,11 @@ class Optimizer(_Optimizer):
         return np.asarray(x), np.asarray(z), np.asarray(zw), \
             np.asarray(zl), np.asarray(zu)
 
+    def setTrustRegionSubproblem(self, subproblem):
+        """Install a custom TR subproblem (the eigenvalue path's entry,
+        `ParOptOptimizer.cpp:226-237`)."""
+        return self.set_trust_region_subproblem(subproblem)
+
 
 class InteriorPoint(_InteriorPoint):
     def getOptimizedPoint(self):

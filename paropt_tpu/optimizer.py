@@ -25,7 +25,15 @@ class Optimizer:
             self.options = make_options(options, which="facade")
         self.algorithm = self.options["algorithm"]
         self._inner = None
+        self._subproblem = None
         self._result: Optional[Dict[str, Any]] = None
+
+    def set_trust_region_subproblem(self, subproblem) -> None:
+        """Install a custom TR subproblem — the eigenvalue-approximation
+        path's entry (`ParOptOptimizer::setTrustRegionSubproblem`,
+        `ParOptOptimizer.cpp:226-237`; used by
+        `examples/eigenvalue/eigenvalue_opt.py:298-306`)."""
+        self._subproblem = subproblem
 
     def optimize(self) -> Dict[str, Any]:
         algo = self.options["algorithm"]
@@ -35,7 +43,8 @@ class Optimizer:
             self._result = self._inner.optimize(checkpoint=ckpt)
         elif algo == "tr":
             from .tr import TrustRegion
-            self._inner = TrustRegion(self.problem, self.options)
+            self._inner = TrustRegion(self.problem, self.options,
+                                      subproblem=self._subproblem)
             self._result = self._inner.optimize()
         elif algo == "mma":
             from .mma import MMA
