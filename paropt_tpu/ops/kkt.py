@@ -336,13 +336,19 @@ def _chol_solve_blocks(chol, b):
 
 
 def _pallas_qd_enabled() -> bool:
-    """Use the fused Pallas quasi-def kernel.  Opt-in (PAROPT_TPU_PALLAS=1):
-    measured on TPU v5e at 1M vars, XLA's own fusion of this chain is
-    slightly faster (163 vs 156 it/s), so the jnp path is the default; the
-    kernel remains as validated infrastructure for configurations where XLA
-    fuses poorly.  Single chip only (sharded inputs would need shard_map)."""
+    """Use the fused Pallas quasi-def kernel.  DEFAULT-ON on a single
+    accelerator chip (set PAROPT_TPU_PALLAS=0 to force the jnp path):
+    back-to-back interleaved A/B on TPU v5e at 1M vars / msub=10 /
+    tol=1e-6 / refinement off measured 177.6 vs 142.4 it/s median and
+    3.77 vs 4.30 GB/step — the kernel fuses the whole [K, n] batched
+    quasi-definite chain (the SMW Phi formation in the factor is the
+    dominant consumer) into one read-compute-write sweep.  (At the old
+    1e-4 operating point with refinement the jnp path had been marginally
+    ahead; the byte mix changed.)  Single chip only — sharded inputs
+    would need a shard_map wrapper."""
     import os
-    if not os.environ.get("PAROPT_TPU_PALLAS"):
+    flag = os.environ.get("PAROPT_TPU_PALLAS")
+    if flag is not None and flag not in ("1", "true", "on"):
         return False
     try:
         return (jax.default_backend() != "cpu"

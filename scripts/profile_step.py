@@ -118,5 +118,68 @@ def main():
           "of peak)", flush=True)
 
 
+def kernels():
+    """Exact bytes-accessed of the QN-related sub-kernels (cost analysis of
+    each compiled kernel; no timing, no dispatch floors)."""
+    from paropt_tpu.ops import kkt
+    on_cpu = jax.default_backend() == "cpu"
+    n = 1 << 17 if on_cpu else 1 << 20
+    dtype = jnp.float64 if on_cpu else jnp.float32
+    msub = 10
+    prob = SyntheticTopology(n=n, block=8, dtype=dtype)
+    model = ip_fused.model_from_problem(prob)
+    data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
+    qn0 = qnmod.qn_init(msub, prob.nvars, dtype=dtype)
+    opts = ip_fused.FusedIPOptions(use_quasi_newton_update=True,
+                                   abs_res_tol=1e-6)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts, dtype=dtype)
+    st = fused.init(x0, data, (), qn0, None)
+    v = st.vars
+    d = ip_fused._refresh_data(data, st.g, st.A, st.c, st.cw)
+    cq = qnmod.qn_compact(st.qn)
+    mu = st.mu
+    r = kkt.kkt_residual(v, d, mu, 1.0)
+    f = kkt.setup_kkt_factor(v, d, qn_compact=cq)
+    p = kkt.solve_kkt(v, d, f, r)
+
+    probes = [
+        ("qn_update", jax.jit(lambda q, s, y: qnmod.qn_update(q, s, y)),
+         (st.qn, 0.01 * p.x, 0.02 * p.x)),
+        ("qn_compact", jax.jit(qnmod.qn_compact), (st.qn,)),
+        ("factor WITH qn", jax.jit(
+            lambda v_, d_: kkt.setup_kkt_factor(v_, d_, qn_compact=cq)),
+         (v, d)),
+        ("factor no qn", jax.jit(
+            lambda v_, d_: kkt.setup_kkt_factor(
+                v_, d_, qn_compact=(cq[0], None, None))), (v, d)),
+        ("solve_kkt WITH smw", jax.jit(
+            lambda v_, d_, f_, r_: kkt.solve_kkt(v_, d_, f_, r_)),
+         (v, d, f, r)),
+        ("solve_kkt no smw", jax.jit(
+            lambda v_, d_, r_: kkt.solve_kkt(
+                v_, d_, kkt.setup_kkt_factor(
+                    v_, d_, qn_compact=(cq[0], None, None)), r_)),
+         (v, d, r)),
+        ("kkt_residual", jax.jit(
+            lambda v_, d_: kkt.kkt_residual(v_, d_, mu, 1.0)), (v, d)),
+        ("apply_kkt (refinement op)", jax.jit(
+            lambda v_, d_, p_: kkt.apply_kkt_matrix(v_, d_, p_, cq)),
+         (v, d, p)),
+    ]
+    print(f"--- kernel bytes (n={n}, msub={msub}; [2m,n] array = "
+          f"{2 * msub * n * jnp.dtype(dtype).itemsize / 1e9:.3f} GB)")
+    for label, jitted, args in probes:
+        gb, gflop = cost_of(jitted, *args)
+        print(f"{label:28s} {gb:8.3f} GB {gflop:8.2f} Gflop", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernels", action="store_true")
+    a = ap.parse_args()
+    if a.kernels:
+        kernels()
+    else:
+        main()
