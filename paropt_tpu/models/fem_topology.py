@@ -146,21 +146,35 @@ class FEMTopology(Problem):
         diag = jnp.where(self.fixed_mask > 0, 1.0, jnp.maximum(diag, 1e-12))
         b = jnp.where(self.fixed_mask > 0, 0.0, self.f)
 
+        # CG scalars need full-precision reductions: on TPU, default-precision
+        # f32 dots take bf16 inputs, and on the ill-conditioned SIMP system
+        # (large meshes, E contrast ~1e3) the rounded alpha/beta make CG
+        # diverge to NaN late in the optimization (observed at 192x96).
+        # The breakdown guard must also be representable in f32 — 1e-300
+        # underflows to 0 and turns a rounded-to-zero curvature into inf.
+        hi = jax.lax.Precision.HIGHEST
+        tiny = float(jnp.finfo(self._dtype).tiny)
+
         def body(i, carry):
             u, r, p, rz = carry
             Kp = self._kmul(E, p)
-            alpha = rz / jnp.maximum(jnp.vdot(p, Kp), 1e-300)
+            pKp = jnp.vdot(p, Kp, precision=hi)
+            # rounded-to-nonpositive curvature: freeze instead of blowing up
+            alpha = jnp.where(pKp > tiny, rz / jnp.where(pKp > tiny, pKp,
+                                                         1.0), 0.0)
             u = u + alpha * p
             r = r - alpha * Kp
             z = r / diag
-            rz_new = jnp.vdot(r, z)
-            beta = rz_new / jnp.maximum(rz, 1e-300)
+            rz_new = jnp.vdot(r, z, precision=hi)
+            # degenerate rz: restart with the steepest-descent direction
+            beta = jnp.where(rz > tiny, rz_new / jnp.where(rz > tiny, rz,
+                                                           1.0), 0.0)
             p = z + beta * p
             return (u, r, p, rz_new)
 
         u0 = jnp.zeros(self.ndof, self._dtype)
         z0 = b / diag
-        carry = (u0, b, z0, jnp.vdot(b, z0))
+        carry = (u0, b, z0, jnp.vdot(b, z0, precision=hi))
         u, r, _, _ = jax.lax.fori_loop(0, self.cg_iters, body, carry)
         return u
 

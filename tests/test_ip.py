@@ -179,6 +179,32 @@ def test_complex_step_gradient_check():
     assert errs["con_gradient"] < 1e-14
 
 
+def test_hvec_product_check_and_reproducibility():
+    """check_gradients(check_hvec_product=True) verifies the Hessian-vector
+    product against an FD of the Lagrangian gradient AND that repeated Hvec
+    calls agree exactly — the reference's reproducibility leg
+    (`ParOptProblem.cpp:319-333`)."""
+    prob = Rosenbrock()
+    errs = prob.check_gradients(1e-5, check_hvec_product=True, verbose=False)
+    assert "hvec_repeat" in errs and errs["hvec_repeat"] == 0.0, errs
+    assert errs["hvec_product"] < 1e-4, errs
+
+    class NonDeterministicHvec(Rosenbrock):
+        def __init__(self):
+            super().__init__()
+            self._ncalls = 0
+
+        def eval_hvec_product(self, x, z, zw, px):
+            self._ncalls += 1
+            base = super().eval_hvec_product(x, z, zw, px)
+            # drift on repeated calls — must be caught
+            return base + 1e-3 * (self._ncalls - 1)
+
+    bad = NonDeterministicHvec()
+    errs = bad.check_gradients(1e-5, check_hvec_product=True, verbose=False)
+    assert errs["hvec_repeat"] > 1e-4, errs
+
+
 def test_block_coupled_sparse_constraints_nwblock2():
     """End-to-end with nwblock=2: pairs of weighting constraints share
     variable support, so Cw has coupled 2x2 blocks (the reference's
