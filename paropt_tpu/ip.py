@@ -240,10 +240,16 @@ def _apply_step(v: IPVars, d: ProblemData, p: IPVars, alpha, design_precision):
     [lb+dp, ub-dp] where bounded; slack/positivity variables clipped at dp."""
     vn = v.axpy(alpha, alpha, p)
     x = vn.x
-    x = jnp.where((d.lb_mask > 0) & (x <= d.lb + design_precision),
-                  d.lb + design_precision, x)
-    x = jnp.where((d.ub_mask > 0) & (x + design_precision >= d.ub),
-                  d.ub - design_precision, x)
+    # pad by at least a few ulps of the bound: design_precision (1e-14) is
+    # below f32 resolution, where lb + 1e-14 == lb would let a rounded
+    # step land exactly ON the bound (zl/(x-lb) -> division by zero)
+    eps4 = 4.0 * jnp.finfo(x.dtype).eps
+    lo_pad = jnp.maximum(design_precision, eps4 * (1.0 + jnp.abs(d.lb)))
+    hi_pad = jnp.maximum(design_precision, eps4 * (1.0 + jnp.abs(d.ub)))
+    x = jnp.where((d.lb_mask > 0) & (x <= d.lb + lo_pad),
+                  d.lb + lo_pad, x)
+    x = jnp.where((d.ub_mask > 0) & (x + hi_pad >= d.ub),
+                  d.ub - hi_pad, x)
 
     def clip0(a):
         return jnp.maximum(a, design_precision)
@@ -260,10 +266,13 @@ def _trial_point(v: IPVars, d: ProblemData, p: IPVars, alpha,
                  design_precision):
     """(x, s, t, sw, tw) at v + α·p with the same clipping as _apply_step."""
     x = v.x + alpha * p.x
-    x = jnp.where((d.lb_mask > 0) & (x <= d.lb + design_precision),
-                  d.lb + design_precision, x)
-    x = jnp.where((d.ub_mask > 0) & (x + design_precision >= d.ub),
-                  d.ub - design_precision, x)
+    eps4 = 4.0 * jnp.finfo(x.dtype).eps
+    lo_pad = jnp.maximum(design_precision, eps4 * (1.0 + jnp.abs(d.lb)))
+    hi_pad = jnp.maximum(design_precision, eps4 * (1.0 + jnp.abs(d.ub)))
+    x = jnp.where((d.lb_mask > 0) & (x <= d.lb + lo_pad),
+                  d.lb + lo_pad, x)
+    x = jnp.where((d.ub_mask > 0) & (x + hi_pad >= d.ub),
+                  d.ub - hi_pad, x)
     clip = lambda a: jnp.maximum(a, design_precision)
     return (x, clip(v.s + alpha * p.s), clip(v.t + alpha * p.t),
             clip(v.sw + alpha * p.sw), clip(v.tw + alpha * p.tw))
@@ -429,10 +438,14 @@ class InteriorPoint:
         mbv = o["max_bound_value"]
         self.lb_mask = (lb > -mbv).astype(self.dtype)
         self.ub_mask = (ub < mbv).astype(self.dtype)
-        # clip strictly inside the bounds
-        eps = o["design_precision"]
-        x = jnp.where((self.lb_mask > 0) & (x < lb + eps), lb + eps, x)
-        x = jnp.where((self.ub_mask > 0) & (x > ub - eps), ub - eps, x)
+        # clip strictly inside the bounds (dtype-aware pad, see _apply_step)
+        eps4 = 4.0 * jnp.finfo(self.dtype).eps
+        lo_pad = jnp.maximum(o["design_precision"],
+                             eps4 * (1.0 + jnp.abs(lb)))
+        hi_pad = jnp.maximum(o["design_precision"],
+                             eps4 * (1.0 + jnp.abs(ub)))
+        x = jnp.where((self.lb_mask > 0) & (x < lb + lo_pad), lb + lo_pad, x)
+        x = jnp.where((self.ub_mask > 0) & (x > ub - hi_pad), ub - hi_pad, x)
         self.x0, self.lb, self.ub = x, lb, ub
 
     def reset_design_and_bounds(self):

@@ -214,6 +214,21 @@ def _refresh_data(d: ProblemData, g, A, c, cw) -> ProblemData:
     return dataclasses.replace(d, g=g, A=A, c=c, cw=cw)
 
 
+def _bound_pads(d: ProblemData, dprec, dtype):
+    """Distance the clips keep x STRICTLY inside [lb, ub].
+
+    design_precision (1e-14, the reference's f64-scale default) is below
+    f32 resolution: lb + 1e-14 == lb in f32, so the clip intended to keep
+    x off the bound becomes a no-op and a rounded step can land exactly ON
+    it — the barrier quotients zl/(x-lb) then divide by zero (observed as
+    inner-IP NaN on a 192x96 FEM topology subproblem).  Pad by at least a
+    few ulps of the bound's magnitude."""
+    eps = jnp.finfo(dtype).eps
+    lo = jnp.maximum(dprec, 4.0 * eps * (1.0 + jnp.abs(d.lb)))
+    hi = jnp.maximum(dprec, 4.0 * eps * (1.0 + jnp.abs(d.ub)))
+    return lo, hi
+
+
 def _get_compact(opts: FusedIPOptions, model: ModelFns, state: FusedState,
                  model_params, compact):
     """Resolve the Hessian representation for this iteration."""
@@ -232,9 +247,9 @@ def _get_compact(opts: FusedIPOptions, model: ModelFns, state: FusedState,
 def _fused_init(model: ModelFns, opts: FusedIPOptions, x0, d: ProblemData,
                 model_params, qn_state, compact) -> FusedState:
     dtype = x0.dtype
-    eps = opts.design_precision
-    x = jnp.where((d.lb_mask > 0) & (x0 < d.lb + eps), d.lb + eps, x0)
-    x = jnp.where((d.ub_mask > 0) & (x > d.ub - eps), d.ub - eps, x)
+    lo_pad, hi_pad = _bound_pads(d, opts.design_precision, dtype)
+    x = jnp.where((d.lb_mask > 0) & (x0 < d.lb + lo_pad), d.lb + lo_pad, x0)
+    x = jnp.where((d.ub_mask > 0) & (x > d.ub - hi_pad), d.ub - hi_pad, x)
 
     n = x.shape[0]
     ncon, nwcon = d.ncon, d.nwcon
@@ -648,12 +663,14 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
     fprec = opts.function_precision
     dprec = opts.design_precision
 
+    lo_pad, hi_pad = _bound_pads(d, dprec, dtype)
+
     def trial(alpha):
         xt = v.x + alpha * ps.x
-        xt = jnp.where((d.lb_mask > 0) & (xt <= d.lb + dprec), d.lb + dprec,
-                       xt)
-        xt = jnp.where((d.ub_mask > 0) & (xt + dprec >= d.ub), d.ub - dprec,
-                       xt)
+        xt = jnp.where((d.lb_mask > 0) & (xt <= d.lb + lo_pad),
+                       d.lb + lo_pad, xt)
+        xt = jnp.where((d.ub_mask > 0) & (xt + hi_pad >= d.ub),
+                       d.ub - hi_pad, xt)
         clip = lambda a: jnp.maximum(a, dprec)
         st_ = clip(v.s + alpha * ps.s)
         tt = clip(v.t + alpha * ps.t)
@@ -726,8 +743,10 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
     # -- apply the step -----------------------------------------------------
     vn = v.axpy(alpha, alpha, ps)
     xn = vn.x
-    xn = jnp.where((d.lb_mask > 0) & (xn <= d.lb + dprec), d.lb + dprec, xn)
-    xn = jnp.where((d.ub_mask > 0) & (xn + dprec >= d.ub), d.ub - dprec, xn)
+    xn = jnp.where((d.lb_mask > 0) & (xn <= d.lb + lo_pad), d.lb + lo_pad,
+                   xn)
+    xn = jnp.where((d.ub_mask > 0) & (xn + hi_pad >= d.ub), d.ub - hi_pad,
+                   xn)
     clip = lambda a: jnp.maximum(a, dprec)
     vn = IPVars(x=xn, zl=jnp.where(d.lb_mask > 0, clip(vn.zl), 0.0),
                 zu=jnp.where(d.ub_mask > 0, clip(vn.zu), 0.0),
@@ -763,13 +782,23 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
         line_search_test=ls_count, neval=state.neval + neval_add + 1,
         alpha=alpha, alpha_x=ax, alpha_z=az, gmres_iters=nk_iters)
 
+    # fail-stop safeguard: if the accepted state went non-finite (an
+    # ill-conditioned subproblem at f32 — no host-side recovery ladder
+    # exists inside the fused loop), freeze at the previous finite state
+    # and stop, instead of burning iterations on NaN (the fused analogue
+    # of the reference's fail-flag abort, `ParOptInteriorPoint.cpp:
+    # 4549-4561`; observed on a 192x96 FEM topology MMA subproblem)
+    bad = ~(jnp.isfinite(fobj_n) & jnp.isfinite(jnp.sum(vn.x))
+            & jnp.isfinite(jnp.sum(g_n)))
+    stop = converged | bad
+
     # freeze everything once converged (for the while_loop path) — but
     # record the converging iteration's res_norm/mu so the final state
     # reports the values the convergence test actually saw, not the
     # previous iteration's
     return jax.tree_util.tree_map(
-        lambda new, old: jnp.where(converged, old, new),
-        new_state, dataclasses.replace(state, converged=converged,
+        lambda new, old: jnp.where(stop, old, new),
+        new_state, dataclasses.replace(state, converged=stop,
                                        res_norm=res_norm, mu=mu))
 
 

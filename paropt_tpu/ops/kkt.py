@@ -447,6 +447,28 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
 
     # Schur complement over the dense multipliers: Gmat = Γ + A K_qd^{-1} A'
     ncon = d.ncon
+
+    # OPT-IN fully-fused factor path (PAROPT_TPU_FUSED_FACTOR=1): ONE
+    # Pallas sweep solves the quasi-definite system for the stacked
+    # [Z_qn; A] right-hand sides AND accumulates the [B, B] Gram matrix
+    # holding every small product the Schur (Gmat), SMW right-hand sides,
+    # and Ce assembly need.  Measured on the v5e at 1M vars it REGRESSED
+    # whole-step bytes (4.94 vs 4.13 GB data-as-arg) — the stack concat +
+    # gram output defeat fusions XLA otherwise finds — so the default
+    # stays the per-solve Pallas kernel; kept as validated infrastructure
+    # (correctness-tested in tests/test_pallas.py).
+    import os
+    if (os.environ.get("PAROPT_TPU_FUSED_FACTOR")
+            and d.nwcon > 0 and d.Aw_layout == "blocked_t"
+            and d.nwblock == 1 and csr_mat is None and Zqn is not None
+            and Zqn.shape[0] > 0):
+        global _PALLAS_QD
+        if _PALLAS_QD is None:
+            _PALLAS_QD = _pallas_qd_enabled()
+        if _PALLAS_QD:
+            return _setup_factor_fused(v, d, Dinv, Gamma, C0, Cw_chol,
+                                       Zqn, Mqn, csr_mat)
+
     f0 = KKTFactor(Dinv=Dinv, Gamma=Gamma, C0=C0, Cw_chol=Cw_chol,
                    Xa=jnp.zeros((ncon, d.n), dtype), Wa=None, G_lu=None,
                    Zqn=None, Phi_x=None, Phi_z=None, Phi_w=None, Ce_inv=None,
@@ -487,6 +509,59 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
         return dataclasses.replace(f1, Zqn=Zqn, Phi_x=Phi_x, Phi_z=Phi_z,
                                    Phi_w=Phi_w, Ce_inv=Ce_inv)
     return f1
+
+
+def _setup_factor_fused(v: IPVars, d: ProblemData, Dinv, Gamma, C0, Cw_chol,
+                        Zqn, Mqn, csr_mat, interpret: bool = False
+                        ) -> KKTFactor:
+    """Factor setup through `phi_gram_blocked_t` (see setup_kkt_factor):
+    algebraically identical to the jnp path, verified in tests/test_pallas.
+    gram[a, b] = stack_a · yx_b with stack = [Z_qn; A]."""
+    from .pallas_kernels import phi_gram_blocked_t
+    dtype = v.x.dtype
+    ncon = d.ncon
+    K = Zqn.shape[0]
+    stack = jnp.concatenate([Zqn, d.A], axis=0) if ncon else Zqn
+    B = K + ncon
+    nwcon, k = d.Aw_cols.shape
+    cwinv = 1.0 / (Cw_chol[:, 0, 0] ** 2)
+    yx3, yw2, gram = phi_gram_blocked_t(
+        Dinv.reshape(k, nwcon), cwinv, d.Aw_vals.T,
+        stack.reshape(B, k, nwcon), jnp.zeros((B, nwcon), dtype),
+        interpret=interpret)
+    yx = yx3.reshape(B, d.n)
+    yZ, Xa = yx[:K], yx[K:]
+    ywZ, Wa = yw2[:K], yw2[K:]
+
+    if ncon > 0:
+        Gmat = jnp.diag(Gamma) + gram[K:, K:]
+        if ncon == 1:
+            G_lu = 1.0 / Gmat
+        elif ncon == 2:
+            det = Gmat[0, 0] * Gmat[1, 1] - Gmat[0, 1] * Gmat[1, 0]
+            G_lu = jnp.array([[Gmat[1, 1], -Gmat[0, 1]],
+                              [-Gmat[1, 0], Gmat[0, 0]]]) / det
+        else:
+            G_lu = jax.scipy.linalg.lu_factor(Gmat)
+        rhs = -gram[K:, :K].T                       # [K, ncon]
+        if ncon <= 2:
+            pz = rhs @ G_lu.T
+        else:
+            pz = jax.scipy.linalg.lu_solve(G_lu, rhs.T).T
+        Phi_x = yZ + pz @ Xa
+        Phi_w = ywZ + pz @ Wa
+        Phi_z = pz
+        Ce = Mqn - (gram[:K, :K] + gram[:K, K:] @ pz.T)
+    else:
+        G_lu = None
+        Phi_x, Phi_w = yZ, ywZ
+        Phi_z = jnp.zeros((K, 0), dtype)
+        Ce = Mqn - gram[:K, :K]
+    Ce_inv = jnp.linalg.inv(Ce)
+    return KKTFactor(Dinv=Dinv, Gamma=Gamma, C0=C0, Cw_chol=Cw_chol,
+                     Xa=Xa, Wa=Wa, G_lu=G_lu, Zqn=Zqn, Phi_x=Phi_x,
+                     Phi_z=Phi_z, Phi_w=Phi_w, Ce_inv=Ce_inv,
+                     csr_solver=csr_mat)
 
 
 def _solve_diag3(f: KKTFactor, d: ProblemData, bx, bc, bw):

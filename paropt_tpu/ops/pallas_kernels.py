@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["quasi_def_apply_blocked_t", "pallas_available"]
+__all__ = ["quasi_def_apply_blocked_t", "phi_gram_blocked_t",
+           "pallas_available"]
 
 
 def _use_interpret() -> bool:
@@ -66,6 +67,89 @@ def _qd_kernel(dinv_ref, cwinv_ref, vals_ref, bx_ref, bw_ref,
     yx = dinv[None, :, :] * (bx + vals[None, :, :] * yw[:, None, :])
     yx_ref[...] = yx
     yw_ref[...] = yw
+
+
+def _phi_gram_kernel(dinv_ref, cwinv_ref, vals_ref, bx_ref, bw_ref,
+                     yx_ref, yw_ref, gram_ref):
+    """Quasi-definite apply + Gram accumulation in one tile pass.
+
+    gram[a, b] += Σ_tile bx[a] · yx[b]  (contracted over the k and tile
+    axes) — accumulated across the sequential TPU grid; provides every
+    small matrix the SMW/Schur setup needs (A@Xa', yZ@A', Z@yZ', Z@Xa')
+    without re-reading the [B, n] arrays."""
+    from jax.experimental import pallas as pl
+
+    dinv = dinv_ref[...]          # [k, Tw]
+    vals = vals_ref[...]          # [k, Tw]
+    cwinv = cwinv_ref[...]        # [1, Tw]
+    bx = bx_ref[...]              # [B, k, Tw]
+    bw = bw_ref[...]              # [B, Tw]
+    t = dinv[None, :, :] * bx
+    aw = jnp.sum(vals[None, :, :] * t, axis=1)      # [B, Tw]
+    yw = cwinv * (bw - aw)
+    yx = dinv[None, :, :] * (bx + vals[None, :, :] * yw[:, None, :])
+    yx_ref[...] = yx
+    yw_ref[...] = yw
+
+    B = bx.shape[0]
+    contrib = jax.lax.dot_general(
+        bx.reshape(B, -1), yx.reshape(B, -1),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=gram_ref.dtype)       # [B, B]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gram_ref[...] = jnp.zeros_like(gram_ref)
+
+    gram_ref[...] += contrib
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def phi_gram_blocked_t(dinv_2d: jnp.ndarray, cwinv: jnp.ndarray,
+                       vals_t: jnp.ndarray, bx3: jnp.ndarray,
+                       bw: jnp.ndarray, interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused quasi-definite solve of a [B, n] RHS stack PLUS the [B, B]
+    Gram matrix  gram[a, b] = bx_a · yx_b  in the same memory sweep.
+
+    Used by the KKT factor setup: with the stack [Z_qn; A] this yields the
+    quasi-def solves AND every inner product the Schur (Gmat), SMW
+    right-hand sides, and Ce assembly need — one read of the stack, one
+    write of the solves, no separate [B, n] matmuls afterwards.
+
+    Returns (yx3 [B, k, nwcon], yw [B, nwcon], gram [B, B])."""
+    from jax.experimental import pallas as pl
+
+    B, k, nwcon = bx3.shape
+    tile = 512
+    while nwcon % tile != 0:
+        tile //= 2
+    grid = (nwcon // tile,)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((B, k, nwcon), bx3.dtype),
+        jax.ShapeDtypeStruct((B, nwcon), bw.dtype),
+        jax.ShapeDtypeStruct((B, B), bx3.dtype),
+    )
+    yx3, yw, gram = pl.pallas_call(
+        _phi_gram_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda i: (0, i)),
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+            pl.BlockSpec((k, tile), lambda i: (0, i)),
+            pl.BlockSpec((B, k, tile), lambda i: (0, 0, i)),
+            pl.BlockSpec((B, tile), lambda i: (0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, k, tile), lambda i: (0, 0, i)),
+            pl.BlockSpec((B, tile), lambda i: (0, i)),
+            pl.BlockSpec((B, B), lambda i: (0, 0)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(dinv_2d, cwinv.reshape(1, nwcon), vals_t, bx3, bw)
+    return yx3, yw, gram
 
 
 @partial(jax.jit, static_argnames=("interpret",))

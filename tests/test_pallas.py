@@ -2,6 +2,7 @@
 path (compiled execution is exercised by bench.py on real TPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -36,6 +37,74 @@ def test_pallas_quasi_def_matches_jnp():
     yx_ref = dinv[None] * (bx + vals[None] * yw_ref[:, None, :])
     assert np.allclose(np.asarray(yw), np.asarray(yw_ref), atol=1e-12)
     assert np.allclose(np.asarray(yx), np.asarray(yx_ref), atol=1e-12)
+
+
+def test_phi_gram_fused_factor_matches_jnp():
+    """The fully-fused factor setup (phi_gram_blocked_t + small algebra)
+    reproduces the jnp `setup_kkt_factor` field-for-field (Xa, G, Phi_*,
+    Ce) on a blocked_t problem with a dense constraint and a populated
+    compact QN."""
+    import jax.numpy as jnp
+    from paropt_tpu.ops import qn as qnmod
+
+    rng = np.random.default_rng(11)
+    k, nwcon, ncon, m = 4, 128, 1, 3
+    n = k * nwcon
+    cols = (np.arange(nwcon, dtype=np.int32)[:, None]
+            + np.arange(k, dtype=np.int32)[None, :] * nwcon)
+    vals = jnp.asarray(rng.standard_normal((nwcon, k)))
+    d = kkt.ProblemData(
+        g=jnp.asarray(rng.standard_normal(n)),
+        A=jnp.asarray(rng.standard_normal((ncon, n))),
+        c=jnp.ones(ncon), cw=jnp.zeros(nwcon),
+        lb=jnp.full(n, -1.0), ub=jnp.full(n, 1.0),
+        lb_mask=jnp.ones(n), ub_mask=jnp.ones(n),
+        gamma_s=jnp.zeros(ncon), gamma_t=jnp.full(ncon, 1e3),
+        gamma_sw=jnp.zeros(nwcon), gamma_tw=jnp.full(nwcon, 1e3),
+        Aw_cols=jnp.asarray(cols), Aw_vals=vals, nwblock=1,
+        Aw_layout="blocked_t")
+    v = kkt.zero_vars(n, ncon, nwcon)
+    import dataclasses as dc
+    pos = lambda shape, lo=0.4, hi=1.6: jnp.asarray(
+        rng.uniform(lo, hi, shape))
+    v = dc.replace(v, x=jnp.asarray(rng.uniform(-0.5, 0.5, n)),
+                   zl=pos(n), zu=pos(n), s=pos(ncon), t=pos(ncon),
+                   z=jnp.asarray(rng.standard_normal(ncon)),
+                   zs=pos(ncon), zt=pos(ncon), sw=pos(nwcon), tw=pos(nwcon),
+                   zw=jnp.asarray(rng.standard_normal(nwcon)),
+                   zsw=pos(nwcon), ztw=pos(nwcon))
+    qn = qnmod.qn_init(m, n)
+    for i in range(m):
+        s = jnp.asarray(rng.standard_normal(n))
+        y = 2.0 * s + 0.3 * jnp.asarray(rng.standard_normal(n))
+        qn, _, _ = qnmod.qn_update(qn, s, y)
+    cq = qnmod.qn_compact(qn)
+
+    f_ref = kkt.setup_kkt_factor(v, d, qn_compact=cq)
+    b0, Zqn, Mqn = cq
+    from paropt_tpu.ops.kkt import _bound_quotients
+    ql, qu = _bound_quotients(v, d)
+    Dinv = 1.0 / (b0 + ql + qu)
+    Gamma = v.s / v.zs + v.t / v.zt
+    C0 = v.sw / v.zsw + v.tw / v.ztw
+    Cw = d.Aw_inner_blocks(Dinv) + C0.reshape(-1, 1)[:, :, None] \
+        * jnp.eye(1)
+    f_pl = kkt._setup_factor_fused(v, d, Dinv, Gamma, C0, jnp.sqrt(Cw),
+                                   Zqn, Mqn, None, interpret=True)
+    for name in ("Dinv", "Xa", "Wa", "Phi_x", "Phi_z", "Phi_w", "Ce_inv"):
+        a = getattr(f_ref, name)
+        b = getattr(f_pl, name)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-9), name
+    assert np.allclose(np.asarray(f_ref.G_lu), np.asarray(f_pl.G_lu),
+                       atol=1e-9)
+    # and the resulting KKT solves agree
+    r = kkt.kkt_residual(v, d, jnp.asarray(0.1), 1.0)
+    p_ref = kkt.solve_kkt(v, d, f_ref, r)
+    p_pl = kkt.solve_kkt(v, d, f_pl, r)
+    for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(p_ref),
+                              jax.tree_util.tree_leaves(p_pl)):
+        assert np.allclose(np.asarray(leaf_a), np.asarray(leaf_b),
+                           atol=1e-8)
 
 
 def test_pallas_matches_kkt_quasi_def_solve():

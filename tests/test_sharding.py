@@ -126,6 +126,54 @@ def test_fused_full_solve_sharded():
     assert float(out.c[0]) > -1e-6
 
 
+def test_fused_fail_stop_freezes_finite():
+    """If an iteration's accepted state goes non-finite (ill-conditioned
+    subproblem, no host recovery ladder inside the fused loop), the solver
+    freezes at the last finite state and stops instead of iterating on NaN
+    (observed on a 192x96 FEM topology MMA subproblem at f32)."""
+    from paropt_tpu.problem import Problem
+
+    n = 64
+    trap = 0.9  # gradient blows up once max(x) crosses this
+
+    class TrapProblem(Problem):
+        """Gradient 'callback' goes NaN beyond the trap while the objective
+        stays finite — so the line search happily accepts a step into the
+        trap and the POST-ACCEPT gradient evaluation is what poisons the
+        state (the scenario the fail-stop exists for)."""
+
+        def __init__(self):
+            super().__init__(nvars=n, ncon=1)
+
+        def objective(self, x):
+            return jnp.sum((x - 2.0) ** 2)
+
+        def constraints(self, x):
+            return jnp.array([jnp.sum(x) * 0.0 + 1.0])
+
+        def eval_obj_con_gradient(self, x):
+            g = 2.0 * (x - 2.0)
+            g = jnp.where(jnp.max(x) > trap, jnp.nan, g)
+            return g, jnp.zeros((1, n), x.dtype)
+
+        def get_vars_and_bounds(self):
+            return jnp.zeros(n), jnp.full(n, -2.0), jnp.full(n, 2.0)
+
+    prob = TrapProblem()
+    model = ip_fused.model_from_problem(prob)
+    opts = ip_fused.FusedIPOptions(abs_res_tol=1e-8, max_major_iters=100,
+                                   use_quasi_newton_update=True)
+    fused = ip_fused.FusedIP(model, n, 1, opts=opts)
+    data, x0 = ip_fused.data_template_from_problem(prob)
+    qn0 = qnmod.qn_init(5, n)
+    out = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    # the minimizer x=2 sits beyond the trap: the solve must stop at a
+    # FINITE state rather than return NaN
+    assert bool(out.converged)
+    assert bool(jnp.all(jnp.isfinite(out.vars.x))), "frozen state not finite"
+    assert bool(jnp.isfinite(out.fobj))
+
+
 def test_jit_loop_whole_solve():
     """The zero-round-trip lax.while_loop path gives the same answer as the
     host-paced path."""
