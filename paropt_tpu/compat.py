@@ -40,7 +40,7 @@ from .utils.logging import (unpack_mma_output, unpack_output,
 
 __all__ = ["Problem", "Optimizer", "InteriorPoint", "TrustRegion", "MMA",
            "LBFGS", "LSR1", "CompactQuasiNewton", "QuadraticSubproblem",
-           "ReducedProblem",
+           "ReducedProblem", "getOptionsInfo",
            "unpack_output", "unpack_tr_output", "unpack_mma_output", "dtype"]
 
 # the reference exposes ParOpt.dtype (double, or complex in the complex
@@ -319,6 +319,35 @@ InteriorPoint.setQuasiNewton = _ip_set_quasi_newton
 
 TrustRegion = _TrustRegion
 MMA = _MMA
+
+
+class _OptionInfo:
+    """One entry of getOptionsInfo() — the reference's introspection record
+    (`ParOpt.pyx:447-518`): option_type / default / values / descript."""
+
+    def __init__(self, desc):
+        self.name = desc.name
+        self.option_type = desc.otype if desc.otype != "enum" else "str"
+        self.default = desc.default
+        if desc.otype == "enum":
+            self.values = list(desc.values)
+        elif desc.low is not None:
+            self.values = [desc.low, desc.high]
+        else:
+            self.values = None
+        self.descript = desc.doc
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return (f"OptionInfo({self.name}: {self.option_type}, "
+                f"default={self.default!r})")
+
+
+def getOptionsInfo():
+    """{name: info} over every registered option — drivers use this to
+    auto-declare their own option surfaces (`ParOpt.pyx:447-518`,
+    `paropt_driver.py:51-92`, `paropt_pyoptsparse.py:164-190`)."""
+    from .utils.options import make_options
+    return {d.name: _OptionInfo(d) for d in make_options().descriptors()}
 
 from .tr import QuadraticSubproblem  # noqa: E402,F401  (ParOpt.pyx:1395)
 from .reduced import ReducedProblem  # noqa: E402,F401

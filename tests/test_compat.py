@@ -217,3 +217,29 @@ def test_compat_lbfgs_lsr1_objects():
         res = ip.optimize()
         x = np.asarray(res["x"])
         assert np.allclose(x, [1.0, 1.0], atol=1e-3), (qn_cls.__name__, x)
+
+
+def test_get_options_info():
+    """`getOptionsInfo()` introspection (ParOpt.pyx:447-518): every
+    registered option appears with its type, default, and range/enum —
+    the surface the reference's drivers auto-declare options from."""
+    from paropt_tpu import compat
+    from paropt_tpu.utils.options import make_options
+
+    info = compat.getOptionsInfo()
+    reg = make_options()
+    names = {d.name for d in reg.descriptors()}
+    assert set(info) == names
+    for d in reg.descriptors():
+        rec = info[d.name]
+        assert rec.default == d.default, d.name
+        assert rec.option_type in ("str", "bool", "int", "float"), d.name
+        if d.otype == "enum":
+            assert rec.option_type == "str"
+            assert d.default in rec.values
+        elif d.otype in ("int", "float") and d.low is not None:
+            assert rec.values == [d.low, d.high]
+    # spot checks against the reference registrations
+    assert info["algorithm"].default == "tr"
+    assert info["qn_subspace_size"].option_type == "int"
+    assert info["abs_res_tol"].option_type == "float"
