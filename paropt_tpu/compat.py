@@ -36,12 +36,13 @@ from .mma import MMA as _MMA
 from .optimizer import Optimizer as _Optimizer
 from .tr import TrustRegion as _TrustRegion
 from .utils.logging import (unpack_mma_output, unpack_output,
-                            unpack_tr_output)
+                            unpack_tr_2nd_output, unpack_tr_output)
 
 __all__ = ["Problem", "Optimizer", "InteriorPoint", "TrustRegion", "MMA",
            "LBFGS", "LSR1", "CompactQuasiNewton", "QuadraticSubproblem",
-           "ReducedProblem", "getOptionsInfo",
-           "unpack_output", "unpack_tr_output", "unpack_mma_output", "dtype"]
+           "ReducedProblem", "getOptionsInfo", "printOptionSummary",
+           "unpack_checkpoint", "unpack_output", "unpack_tr_output",
+           "unpack_tr_2nd_output", "unpack_mma_output", "dtype"]
 
 # the reference exposes ParOpt.dtype (double, or complex in the complex
 # build); derivatives here are exact via autodiff so the real dtype suffices
@@ -317,8 +318,52 @@ def _ip_set_quasi_newton(self, qn):
 
 InteriorPoint.setQuasiNewton = _ip_set_quasi_newton
 
+
+def _ip_get_optimized_slacks(self):
+    """`getOptimizedSlacks` (ParOpt.pyx:1291-1310): -> (s, t, sw, tw)."""
+    return tuple(np.asarray(v) for v in self.get_optimized_slacks())
+
+
+def _ip_set_multiple_penalty_gamma(self, gamma):
+    """`setMultiplePenaltyGamma` (ParOpt.pyx:1330-1340): one gamma per
+    dense constraint."""
+    return self.set_penalty_gamma(np.asarray(gamma, dtype=float))
+
+
+def _ip_reset_qn(self):
+    return self.reset_quasi_newton_hessian()
+
+
+InteriorPoint.getOptimizedSlacks = _ip_get_optimized_slacks
+InteriorPoint.setMultiplePenaltyGamma = _ip_set_multiple_penalty_gamma
+InteriorPoint.resetQuasiNewtonHessian = _ip_reset_qn
+
 TrustRegion = _TrustRegion
 MMA = _MMA
+MMA.getAsymptotes = lambda self: tuple(np.asarray(v)
+                                       for v in self.get_asymptotes())
+MMA.getDesignHistory = lambda self: tuple(np.asarray(v)
+                                          for v in self.get_design_history())
+
+
+def unpack_checkpoint(filename):
+    """Read a checkpoint written by `writeSolutionFile` into python objects
+    — the reference contract (`ParOpt.pyx:318-355`): returns
+    (barrier, s, z, x, zl, zu).  This framework's checkpoints are npz."""
+    if not filename.endswith(".npz"):
+        filename = filename + ".npz"
+    dat = np.load(filename)
+    return (float(dat["mu"]), np.asarray(dat["s"]), np.asarray(dat["z"]),
+            np.asarray(dat["x"]), np.asarray(dat["zl"]),
+            np.asarray(dat["zu"]))
+
+
+def printOptionSummary():
+    """Print a summary of every option in all optimizers
+    (`ParOpt.pyx:417-425`)."""
+    info = getOptionsInfo()
+    for name in info:
+        print(info[name].descript)
 
 
 class _OptionInfo:

@@ -228,14 +228,23 @@ class _SparseAdapter(Problem):
 
     def eval_obj_con(self, x):
         import jax.numpy as jnp
-        fobj, fcon, fail = self.ptr._masterFunc(np.asarray(x),
-                                                ["fobj", "fcon"])
+        xnp = np.asarray(x)
+        fobj, fcon, fail = self.ptr._masterFunc(xnp, ["fobj", "fcon"])
+        # cache per point so eval_sparse_con does not pay a second full
+        # user evaluation (one _masterFunc call per point)
         self._cw = -np.atleast_1d(fcon)
+        self._cw_x = xnp.copy()
+        if fail:
+            return jnp.asarray(np.nan), jnp.zeros(0)
         return jnp.asarray(float(fobj)), jnp.zeros(0)
 
     def eval_sparse_con(self, x):
         import jax.numpy as jnp
-        _, fcon, _ = self.ptr._masterFunc(np.asarray(x), ["fobj", "fcon"])
+        xnp = np.asarray(x)
+        cached = getattr(self, "_cw_x", None)
+        if cached is not None and np.array_equal(cached, xnp):
+            return jnp.asarray(self._cw)
+        _, fcon, _ = self.ptr._masterFunc(xnp, ["fobj", "fcon"])
         return jnp.asarray(-np.atleast_1d(fcon))
 
     def eval_obj_con_gradient(self, x):

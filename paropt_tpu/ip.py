@@ -1078,6 +1078,18 @@ class InteriorPoint:
         v = self.vars
         return v.x, v.z, v.zw, v.zl, v.zu
 
+    def get_optimized_slacks(self):
+        """-> (s, t, sw, tw) (`getOptimizedSlacks`, ParOpt.pyx:1291-1310)."""
+        v = self.vars
+        return v.s, v.t, v.sw, v.tw
+
+    def reset_quasi_newton_hessian(self):
+        """Zero out the quasi-Newton approximation
+        (`resetQuasiNewtonHessian`, ParOpt.pyx:1344-1345)."""
+        if self._qn_holder.get("state") is not None:
+            self._qn_holder["state"] = qnmod.qn_reset(
+                self._qn_holder["state"])
+
     def get_iteration_counters(self):
         return self.niter, self.neval, self.ngeval, self.nhvec
 

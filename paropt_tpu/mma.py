@@ -260,6 +260,16 @@ class MMA(Problem):
     def get_optimized_point(self):
         return self.x
 
+    def get_asymptotes(self):
+        """-> (L, U) current moving asymptotes (`getAsymptotes`,
+        ParOpt.pyx:1383-1388)."""
+        return self.L, self.U
+
+    def get_design_history(self):
+        """-> (x1, x2), the two previous design iterates
+        (`getDesignHistory`, ParOpt.pyx:1389-1394)."""
+        return self.x1, self.x2
+
     def initialize_subproblem(self, xv):
         """Shift history, evaluate f/c/gradients at the new point, update
         asymptotes and p/q coefficients (`initializeSubProblem`,

@@ -716,6 +716,19 @@ class TrustRegion:
         else:
             rho = actual_reduc / model_reduc if model_reduc != 0 else 1.0
 
+        if self._logger is not None and o["output_level"] > 0:
+            # actual/predicted reduction block, the contract
+            # `unpack_tr_2nd_output` parses (`ParOptTrustRegion.cpp:
+            # 1316-1321`)
+            self._logger.write(
+                "\n%-15s %12s %12s %12s %12s\n"
+                % ("Model", "ared(f)", "pred(f)", "ared(c)", "pred(c)"))
+            self._logger.write(
+                "%15s %12.5e %12.5e %12.5e %12.5e\n"
+                % (" ", float(fk - ft), obj_reduc,
+                   float(infeas_k - infeas_t),
+                   float(infeas_k - infeas_model)))
+
         infeas_new = self._model_infeas(ct)
 
         accepted = rho >= eta or self.tr_size <= tr_min

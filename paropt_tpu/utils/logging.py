@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 __all__ = ["IPLogger", "TRLogger", "MMALogger", "unpack_output",
-           "unpack_tr_output", "unpack_mma_output"]
+           "unpack_tr_output", "unpack_tr_2nd_output", "unpack_mma_output"]
 
 
 class _FileLogger:
@@ -159,6 +159,27 @@ def unpack_tr_output(path: str) -> Dict[str, np.ndarray]:
     rows = _parse_rows(path, len(names), int_cols={0})
     arr = np.asarray(rows, dtype=float) if rows else np.zeros((0, len(names)))
     return {name: arr[:, j] for j, name in enumerate(names)}
+
+
+def unpack_tr_2nd_output(path: str) -> Dict[str, np.ndarray]:
+    """Parse the actual/predicted-reduction blocks a TR log contains at
+    output_level > 0 (the `unpack_tr_2nd_output` contract,
+    `ParOpt.pyx:208-246`): returns arrays for ared(f)/pred(f)/
+    ared(c)/pred(c)."""
+    names = ["ared(f)", "pred(f)", "ared(c)", "pred(c)"]
+    content: Dict[str, list] = {n: [] for n in names}
+    with open(path) as fp:
+        lines = fp.readlines()
+    for idx, line in enumerate(lines):
+        if ("Model" in line and "ared(f)" in line and "pred(f)" in line
+                and idx + 1 < len(lines)):
+            data = lines[idx + 1].split()
+            for j, n in enumerate(names):
+                try:
+                    content[n].append(float(data[j]))
+                except (IndexError, ValueError):
+                    content[n].append(0.0)
+    return {n: np.asarray(v) for n, v in content.items()}
 
 
 def unpack_mma_output(path: str) -> Dict[str, np.ndarray]:

@@ -243,3 +243,88 @@ def test_get_options_info():
     assert info["algorithm"].default == "tr"
     assert info["qn_subspace_size"].option_type == "int"
     assert info["abs_res_tol"].option_type == "float"
+
+
+def test_reference_accessor_surface(tmp_path):
+    """The remaining ParOpt.pyx accessors: getOptimizedSlacks,
+    setMultiplePenaltyGamma, resetQuasiNewtonHessian, MMA
+    getAsymptotes/getDesignHistory, unpack_checkpoint, printOptionSummary
+    (`ParOpt.pyx:318-355, 417-425, 1291-1394`)."""
+    import numpy as np
+    from paropt_tpu import compat
+
+    class Rosen(compat.Problem):
+        def __init__(self):
+            super().__init__(nvars=2, ncon=1)
+        def getVarsAndBounds(self, x, lb, ub):
+            x[:] = [-1.0, 1.0]; lb[:] = -2.0; ub[:] = 2.0
+        def evalObjCon(self, x):
+            f = 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+            return 0, f, [x[0] + x[1] + 5.0]
+        def evalObjConGradient(self, x, g, A):
+            g[0] = -400.0 * x[0] * (x[1] - x[0] ** 2) - 2.0 * (1.0 - x[0])
+            g[1] = 200.0 * (x[1] - x[0] ** 2)
+            A[0][:] = 1.0
+            return 0
+
+    ip = compat.InteriorPoint(Rosen(), {"output_file": None,
+                                        "abs_res_tol": 1e-8})
+    ip.setMultiplePenaltyGamma([123.0])
+    assert float(ip.gamma_t[0]) == 123.0
+    res = ip.optimize()
+    assert res["converged"]
+    s, t, sw, tw = ip.getOptimizedSlacks()
+    assert s.shape == (1,) and t.shape == (1,)
+    assert s[0] > 0 and t[0] > 0
+    assert sw.shape == (0,) and tw.shape == (0,)
+
+    # checkpoint roundtrip through the reference unpack contract
+    ckpt = str(tmp_path / "state.npz")
+    ip.writeSolutionFile(ckpt)
+    mu, s2, z2, x2, zl2, zu2 = compat.unpack_checkpoint(ckpt)
+    assert mu == float(ip.get_barrier_parameter())
+    assert np.allclose(x2, np.asarray(res["x"]))
+    assert np.allclose(s2, s)
+
+    ip.resetQuasiNewtonHessian()
+    assert int(ip._qn_holder["state"].count) == 0
+
+    # MMA asymptote/history accessors
+    import jax.numpy as jnp
+    from paropt_tpu.models.topology import SyntheticTopology
+    mma = compat.MMA(SyntheticTopology(n=64, block=8),
+                     {"mma_max_iterations": 3, "mma_output_file": None,
+                      "output_file": None})
+    mma.optimize()
+    L, U = mma.getAsymptotes()
+    x1, x2h = mma.getDesignHistory()
+    assert L.shape == (64,) and U.shape == (64,)
+    assert np.all(L < U)
+    assert x1.shape == (64,) and x2h.shape == (64,)
+
+    compat.printOptionSummary()  # must run without error
+
+
+def test_tr_2nd_output_blocks(tmp_path):
+    """output_level > 0 writes the Model ared/pred blocks the reference's
+    unpack_tr_2nd_output parses (`ParOptTrustRegion.cpp:1316-1321`,
+    `ParOpt.pyx:208-246`)."""
+    import numpy as np
+    from paropt_tpu import compat
+    from paropt_tpu.tr import TrustRegion
+    from paropt_tpu.models.topology import SyntheticTopology
+
+    path = str(tmp_path / "run.tr")
+    tr = TrustRegion(SyntheticTopology(n=64, block=8),
+                     {"tr_output_file": path, "output_file": None,
+                      "tr_max_iterations": 8, "output_level": 1})
+    tr.optimize()
+    out = compat.unpack_tr_2nd_output(path)
+    assert len(out["ared(f)"]) >= 1
+    assert len(out["ared(f)"]) == len(out["pred(f)"]) \
+        == len(out["ared(c)"]) == len(out["pred(c)"])
+    # predicted and actual objective reductions broadly agree on this
+    # near-quadratic problem
+    ratio = out["ared(f)"][:3] / np.where(out["pred(f)"][:3] == 0, 1,
+                                          out["pred(f)"][:3])
+    assert np.all(np.isfinite(ratio))
