@@ -360,6 +360,15 @@ def _pallas_qd_enabled() -> bool:
 _PALLAS_QD = None
 
 
+def _pallas_max_n() -> int:
+    """Size cutoff for the Pallas quasi-def kernel: its batched output
+    raises peak HBM, and a 16.7M-var whole-solve OOMs a 16GB v5e with the
+    kernel on while the jnp path completes (23 iters, 2.74s).  Verified
+    working through 2^22; default cutoff 6M, env-overridable."""
+    import os
+    return int(os.environ.get("PAROPT_TPU_PALLAS_MAX_N", 6_000_000))
+
+
 def quasi_def_solve(f: "KKTFactor", d: ProblemData, bx, bw):
     """Solve [[D, -Aw'], [Aw, C0]] [yx; yw] = [bx; bw] via the block-diagonal
     Schur complement Cw = C0 + Aw·D⁻¹·Aw' (`ParOptSparseMat.cpp:41-224`).
@@ -371,7 +380,7 @@ def quasi_def_solve(f: "KKTFactor", d: ProblemData, bx, bw):
     if d.nwcon == 0:
         return f.Dinv * bx, bw
     if (d.Aw_layout == "blocked_t" and d.nwblock == 1
-            and f.csr_solver is None):
+            and f.csr_solver is None and d.n <= _pallas_max_n()):
         if _PALLAS_QD is None:
             _PALLAS_QD = _pallas_qd_enabled()
         if _PALLAS_QD:
