@@ -66,8 +66,6 @@ def test_mma_reduces_compliance():
 
 def test_region_caps_sparse_path():
     """Separable region caps route through the sparse weighting path."""
-    from paropt_tpu import InteriorPoint
-
     prob = FEMTopology3D(nex=4, ney=2, nez=2, region=4, region_cap=0.6,
                          cg_iters=300)
     assert prob.nwcon == prob.ne // 4
