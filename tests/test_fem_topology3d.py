@@ -71,3 +71,26 @@ def test_region_caps_sparse_path():
     assert prob.nwcon == prob.ne // 4
     errs = prob.check_gradients(1e-6, verbose=False)
     assert errs["sparse_jacobian"] < 1e-8, errs
+
+
+def test_dmo_3d_gradients_and_design():
+    """3-D multi-material DMO: gradient checks plus a short fused MMA run
+    that respects the per-voxel weight-sum and global mass constraints
+    (the reference's flagship 3-D multi-material application class)."""
+    from paropt_tpu.models.fem_topology3d import DMOFEMTopology3D
+    from paropt_tpu.mma import FusedMMA
+
+    prob = DMOFEMTopology3D(nex=6, ney=3, nez=3, cg_iters=250)
+    errs = prob.check_gradients(1e-6, verbose=False)
+    assert errs["obj_gradient"] < 1e-5, errs
+    assert errs["con_gradient"] < 1e-8, errs
+    assert errs["sparse_jacobian"] < 1e-8, errs
+
+    res, st = FusedMMA(prob, {"mma_max_iterations": 12,
+                              "mma_output_file": None}).solve(chunk=4)
+    x = np.asarray(res["x"])
+    xm = x.reshape(prob.ne, prob.nmat)
+    assert np.all(xm.sum(axis=1) <= 1.0 + 1e-4)       # per-voxel simplex
+    mass = float(np.mean(xm @ np.asarray(prob.rho_mats)))
+    assert mass <= prob.mass_fraction + 1e-4          # global mass bound
+    assert 0.0 < res["fobj"] < 1.0                    # compliance reduced
