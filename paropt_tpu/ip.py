@@ -503,7 +503,15 @@ class InteriorPoint:
         return fobj, c, cw
 
     def _eval_gradients(self, x):
-        g, A = self.problem.eval_obj_con_gradient(x)
+        try:
+            g, A = self.problem.eval_obj_con_gradient(x)
+        except Exception as exc:
+            # gradient failure is fatal in the reference too
+            # ("Gradient evaluation failed", ParOptInteriorPoint.cpp:4230),
+            # but surface it as a clear solver error, not a raw traceback
+            raise RuntimeError(
+                f"gradient evaluation failed: {type(exc).__name__}: {exc}"
+            ) from exc
         self.ngeval += 1
         g = jnp.asarray(g, self.dtype)
         A = jnp.asarray(A, self.dtype).reshape(self.problem.ncon,

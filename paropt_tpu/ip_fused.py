@@ -788,8 +788,8 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
     # and stop, instead of burning iterations on NaN (the fused analogue
     # of the reference's fail-flag abort, `ParOptInteriorPoint.cpp:
     # 4549-4561`; observed on a 192x96 FEM topology MMA subproblem)
-    bad = ~(jnp.isfinite(fobj_n) & jnp.isfinite(jnp.sum(vn.x))
-            & jnp.isfinite(jnp.sum(g_n)))
+    bad = ~(jnp.isfinite(fobj_n) & jnp.isfinite(jnp.max(jnp.abs(vn.x)))
+            & jnp.isfinite(jnp.max(jnp.abs(g_n))))
     stop = converged | bad
 
     # freeze everything once converged (for the while_loop path) — but
