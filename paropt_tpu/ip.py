@@ -480,15 +480,15 @@ class InteriorPoint:
         (`ParOptInteriorPoint.cpp:4019-4026`): a failed evaluation during
         the line search shrinks the step and retries instead of
         propagating a raw traceback mid-solve."""
+        # ONLY the user callback invocations sit inside the try: a
+        # wrong-shaped return must still surface as a programming error
+        # (the reshape below), not loop forever as a "failed evaluation"
         try:
             fobj, c = self.problem.eval_obj_con(x)
-            self.neval += 1
-            fobj = jnp.asarray(fobj, self.dtype)
-            c = jnp.asarray(c, self.dtype).reshape(self.problem.ncon)
             if self.problem.nwcon > 0:
-                cw = jnp.asarray(self.problem.eval_sparse_con(x), self.dtype)
+                cw_raw = self.problem.eval_sparse_con(x)
             else:
-                cw = jnp.zeros(0, self.dtype)
+                cw_raw = None
         except Exception as exc:  # user-callback failure -> fail flag
             if not self._eval_exc_warned:
                 self._eval_exc_warned = True
@@ -497,6 +497,11 @@ class InteriorPoint:
                     f"{type(exc).__name__}: {exc}; treating as a failed "
                     "evaluation (fail flag)", RuntimeWarning)
             return None, None, None
+        self.neval += 1
+        fobj = jnp.asarray(fobj, self.dtype)
+        c = jnp.asarray(c, self.dtype).reshape(self.problem.ncon)
+        cw = (jnp.asarray(cw_raw, self.dtype).reshape(self.problem.nwcon)
+              if cw_raw is not None else jnp.zeros(0, self.dtype))
         if not (bool(jnp.isfinite(fobj)) and bool(jnp.all(jnp.isfinite(c)))
                 and bool(jnp.all(jnp.isfinite(cw)))):
             return None, None, None
@@ -1093,10 +1098,9 @@ class InteriorPoint:
 
     def reset_quasi_newton_hessian(self):
         """Zero out the quasi-Newton approximation
-        (`resetQuasiNewtonHessian`, ParOpt.pyx:1344-1345)."""
-        if self._qn_holder.get("state") is not None:
-            self._qn_holder["state"] = qnmod.qn_reset(
-                self._qn_holder["state"])
+        (`resetQuasiNewtonHessian`, ParOpt.pyx:1344-1345).  Handles both
+        plain QNState holders and duck-typed providers (EigenQuasiNewton)."""
+        self._reset_qn()
 
     def get_iteration_counters(self):
         return self.niter, self.neval, self.ngeval, self.nhvec
@@ -1408,10 +1412,17 @@ class InteriorPoint:
                 m0, dm0 = self._rho_update(*(float(x) for x in mp), ax)
                 dm0_prev = dm0
                 # FD-verify the merit derivative along the ACTUAL step
-                # (`ParOptInteriorPoint.cpp:5177-5180`)
+                # (`ParOptInteriorPoint.cpp:5177-5180`).  The check runs a
+                # ρ update of its own; restore the penalty afterwards so a
+                # diagnostic never changes the line search it is checking
+                # (m0/dm0 above were computed with the pre-check ρ).
                 if gv_freq > 0 and k % gv_freq == 0:
-                    self.check_merit_func_gradient(
-                        None, o["gradient_check_step_length"], p=p_s)
+                    rho_saved = self.rho_penalty
+                    try:
+                        self.check_merit_func_gradient(
+                            None, o["gradient_check_step_length"], p=p_s)
+                    finally:
+                        self.rho_penalty = rho_saved
                 if 0.0 <= dm0 <= fprec:
                     # descent within precision of zero: skip the line search
                     ok, skipped, damped = self._accept_step(d, 1.0, p_s, None)

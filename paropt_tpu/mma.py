@@ -743,7 +743,11 @@ class FusedMMA:
         return result, state
 
 
-_FUSED_MMA_CACHE: "weakref.WeakValueDictionary" = None
+# bounded STRONG-reference LRU: a weak-value cache would evict the solver
+# the moment fused_mma_solve returns (nothing else holds it), defeating the
+# compile reuse it exists for
+_FUSED_MMA_CACHE: "OrderedDict" = None
+_FUSED_MMA_CACHE_MAX = 8
 
 
 def fused_mma_solve(problem, options: Optional[Dict[str, Any]] = None,
@@ -752,17 +756,21 @@ def fused_mma_solve(problem, options: Optional[Dict[str, Any]] = None,
 
     The built solver (and its compiled outer loop) is cached per
     (problem, options) so back-to-back calls reuse the compilation instead
-    of retracing — the build-once semantics of the `FusedMMA` class."""
+    of retracing — the build-once semantics of the `FusedMMA` class.  The
+    cache holds strong references to the last few solvers (LRU, size 8);
+    problem identity is re-checked via weakref so a recycled id() cannot
+    alias a dead problem."""
     global _FUSED_MMA_CACHE
     import weakref
+    from collections import OrderedDict
     if _FUSED_MMA_CACHE is None:
-        _FUSED_MMA_CACHE = weakref.WeakValueDictionary()
+        _FUSED_MMA_CACHE = OrderedDict()
     if hasattr(options, "descriptors"):
         key = None  # registry objects are mutable; don't cache
     else:
         try:
-            key = (id(problem), tuple(sorted((options or {}).items())),
-                   hash(tuple((options or {}).values())))
+            key = (id(problem), tuple(sorted((options or {}).items())))
+            hash(key)
         except TypeError:  # unhashable option values
             key = None
     solver = _FUSED_MMA_CACHE.get(key) if key is not None else None
@@ -771,4 +779,9 @@ def fused_mma_solve(problem, options: Optional[Dict[str, Any]] = None,
         solver._problem_ref = weakref.ref(problem)
         if key is not None:
             _FUSED_MMA_CACHE[key] = solver
+            _FUSED_MMA_CACHE.move_to_end(key)
+            while len(_FUSED_MMA_CACHE) > _FUSED_MMA_CACHE_MAX:
+                _FUSED_MMA_CACHE.popitem(last=False)
+    elif key is not None:
+        _FUSED_MMA_CACHE.move_to_end(key)
     return solver.solve(jit_loop=jit_loop, chunk=chunk)

@@ -467,10 +467,10 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
     # stays the per-solve Pallas kernel; kept as validated infrastructure
     # (correctness-tested in tests/test_pallas.py).
     import os
-    if (os.environ.get("PAROPT_TPU_FUSED_FACTOR")
+    if (os.environ.get("PAROPT_TPU_FUSED_FACTOR") in ("1", "true", "on")
             and d.nwcon > 0 and d.Aw_layout == "blocked_t"
             and d.nwblock == 1 and csr_mat is None and Zqn is not None
-            and Zqn.shape[0] > 0):
+            and Zqn.shape[0] > 0 and d.n <= _pallas_max_n()):
         global _PALLAS_QD
         if _PALLAS_QD is None:
             _PALLAS_QD = _pallas_qd_enabled()

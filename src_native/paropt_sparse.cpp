@@ -441,16 +441,19 @@ class NDContext {
 
     bfs(verts[0]);
     if ((int)reached_.size() < m) {
-      // disconnected: recurse on the component and the remainder (no
-      // separator needed between components)
-      std::vector<int> comp = reached_;
-      std::vector<int> rest;
-      rest.reserve(m - comp.size());
+      // disconnected: peel off EVERY component iteratively in this frame
+      // (one-at-a-time recursion on the remainder would copy the O(m)
+      // rest-vector per component — O(c^2) time and O(c) recursion depth
+      // on c components, a hang on near-diagonal patterns)
+      std::vector<std::vector<int>> comps;
+      comps.push_back(reached_);
       for (int v : verts) {
-        if (visited_stamp_[v] != stamp_) rest.push_back(v);
+        if (visited_stamp_[v] != stamp_) {
+          bfs(v);  // visited marks persist across bfs calls (same stamp)
+          comps.push_back(reached_);
+        }
       }
-      recurse(comp);
-      recurse(rest);
+      for (auto& comp : comps) recurse(comp);
       return;
     }
 

@@ -328,3 +328,54 @@ def test_tr_2nd_output_blocks(tmp_path):
     ratio = out["ared(f)"][:3] / np.where(out["pred(f)"][:3] == 0, 1,
                                           out["pred(f)"][:3])
     assert np.all(np.isfinite(ratio))
+
+
+def test_reset_quasi_newton_hessian_with_eigen_provider():
+    """Regression: resetQuasiNewtonHessian must go through the
+    duck-typed-provider-aware reset (EigenQuasiNewton is not a QNState)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from paropt_tpu import compat
+    from paropt_tpu.eig import CompactEigenApprox, EigenQuasiNewton
+    from paropt_tpu.ops import qn as qnmod
+    from paropt_tpu.ip import InteriorPoint
+    from paropt_tpu.models.topology import SyntheticTopology
+
+    prob = SyntheticTopology(n=64, block=8)
+    ip = InteriorPoint(prob, {"output_file": None})
+    eigh = CompactEigenApprox(nvars=64, N=2)
+    qn0 = qnmod.qn_init(4, 64)
+    s = jnp.ones(64) * 0.1
+    qn0, _, _ = qnmod.qn_update(qn0, s, 2.0 * s)
+    eqn = EigenQuasiNewton(qn0, eigh, index=0)
+    ip.set_quasi_newton_holder({"state": eqn})
+    assert int(eqn.qn.count) == 1
+    ip.reset_quasi_newton_hessian()   # must NOT raise
+    assert int(eqn.qn.count) == 0
+
+
+def test_eval_obj_con_shape_error_surfaces():
+    """Regression: a wrong-shaped constraint return is a programming
+    error and must raise, not be swallowed as a failed evaluation."""
+    import numpy as np
+    import pytest
+    from paropt_tpu.ip import InteriorPoint
+    from paropt_tpu.problem import Problem
+    import jax.numpy as jnp
+
+    class BadShape(Problem):
+        def __init__(self):
+            super().__init__(nvars=2, ncon=1)
+
+        def eval_obj_con(self, x):
+            return jnp.asarray(1.0), jnp.zeros(3)  # ncon=1 but returns 3
+
+        def eval_obj_con_gradient(self, x):
+            return jnp.zeros(2), jnp.zeros((1, 2))
+
+        def get_vars_and_bounds(self):
+            return jnp.zeros(2), jnp.full(2, -1.0), jnp.ones(2)
+
+    ip = InteriorPoint(BadShape(), {"output_file": None})
+    with pytest.raises((TypeError, ValueError, RuntimeError)):
+        ip.optimize()

@@ -365,3 +365,18 @@ def test_quasi_def_dense_column_smw():
         Aw2[i, cols[rowp[i]:rowp[i + 1]]] = vals2[rowp[i]:rowp[i + 1]]
     Cw2 = np.diag(C0) + Aw2 @ np.diag(Dinv) @ Aw2.T
     assert np.allclose(m.solve(b), np.linalg.solve(Cw2, b), atol=1e-10)
+
+
+def test_nd_ordering_many_components_fast():
+    """Regression: a (near-)diagonal pattern has one connected component
+    per row; component peeling must be iterative, not one-per-recursion
+    (the recursive form was O(c^2) and hung on 300k rows)."""
+    import time
+    n = 100000
+    rowp = np.arange(n + 1, dtype=np.int32)
+    cols = np.arange(n, dtype=np.int32)
+    t0 = time.time()
+    perm = sn.nd_order(rowp, cols)
+    dt = time.time() - t0
+    assert sorted(perm.tolist()) == list(range(n))
+    assert dt < 5.0, dt  # was unbounded (hang) before the fix
