@@ -15,6 +15,17 @@ every gradient/Jacobian is autodiff-derived.
 - `RandomConvexQP`   — `examples/random_convex`: convex QP with known
                         optimum, dense constraints.
 - `Sellar`           — `examples/sellar`: small nonconvex constrained problem.
+- `Maratos`          — `examples/maratos_effect/maratos.py`: Nocedal & Wright
+                        example 15.4, one EQUALITY constraint on a circle;
+                        full steps near x* increase both objective and
+                        violation (the Maratos effect), exercising the TR
+                        second-order correction.
+- `RandomQuadratic`  — `examples/random_quadratic/random_quadratic.py` and
+                        `examples/limited_memory_test`: quadratic with a
+                        prescribed eigenvalue spectrum A = Q diag(eigs) Qᵀ and
+                        one linear constraint; the spectrum controls how many
+                        quasi-Newton updates are needed, which is what the
+                        limited-memory study varies.
 """
 
 from __future__ import annotations
@@ -25,7 +36,8 @@ import numpy as np
 from ..problem import Problem, SparseJacobian
 
 __all__ = ["Rosenbrock", "SparseRosenbrock", "ScalableRosenbrock",
-           "RandomConvexQP", "Sellar", "SimpleQuadratic", "Toy"]
+           "RandomConvexQP", "Sellar", "SimpleQuadratic", "Toy",
+           "Maratos", "RandomQuadratic"]
 
 
 class Rosenbrock(Problem):
@@ -174,6 +186,71 @@ class SimpleQuadratic(Problem):
 
     def solution(self):
         return jnp.clip(self.target, -1.0, 1.0)
+
+
+class Maratos(Problem):
+    """Nocedal & Wright example 15.4 (`examples/maratos_effect/maratos.py`):
+
+        min  2 (x0 - 0.5)^2 + 2 x1^2
+        s.t. x0^2 + x1^2 - 2 = 0     (equality: ninequality=0)
+
+    with x in [-10, 10]^2 from (1, 1).  The solution is x* = (sqrt(2), 0).
+    Near x* a full step along the linearized constraint increases both the
+    objective and the violation — the Maratos effect — so unit steps are
+    rejected unless a second-order correction re-solves with the constraint
+    re-expanded at the trial point (`tr_use_soc`)."""
+
+    def __init__(self, x0=(1.0, 1.0)):
+        super().__init__(nvars=2, ncon=1, ninequality=0)
+        self._x0 = jnp.asarray(x0, dtype=jnp.result_type(float))
+
+    def objective(self, x):
+        return 2.0 * (x[0] - 0.5) ** 2 + 2.0 * x[1] ** 2
+
+    def constraints(self, x):
+        return jnp.array([x[0] ** 2 + x[1] ** 2 - 2.0])
+
+    def get_vars_and_bounds(self):
+        return self._x0, jnp.full(2, -10.0), jnp.full(2, 10.0)
+
+    def solution(self):
+        return jnp.array([jnp.sqrt(2.0), 0.0])
+
+
+class RandomQuadratic(Problem):
+    """Quadratic with a prescribed spectrum (`examples/random_quadratic/
+    random_quadratic.py`, also the problem class of
+    `examples/limited_memory_test`):
+
+        min  1/2 x'Ax + b'x    A = Q diag(eigs) Q',  Q random orthogonal
+        s.t. a'x + b0 >= 0,    x in [-5, 5]^n
+
+    The eigenvalue spectrum sets the difficulty for limited-memory
+    quasi-Newton methods: a spectrum with k distinct clusters is solved in
+    ~k updates, so sweeping `msub`/`qn_subspace_size` against `eigs`
+    reproduces the reference's limited-memory study."""
+
+    def __init__(self, eigs, seed=0):
+        eigs = np.asarray(eigs, dtype=float)
+        n = eigs.size
+        super().__init__(nvars=n, ncon=1)
+        rng = np.random.default_rng(seed)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        self.A = jnp.asarray(Q @ np.diag(eigs) @ Q.T)
+        self.b = jnp.asarray(rng.uniform(size=n))
+        self.acon = jnp.asarray(rng.uniform(size=n))
+        self.bcon = float(rng.uniform())
+        self._x0 = jnp.asarray(-2.0 + rng.uniform(size=n))
+
+    def objective(self, x):
+        return 0.5 * jnp.vdot(x, self.A @ x) + jnp.vdot(self.b, x)
+
+    def constraints(self, x):
+        return jnp.array([jnp.vdot(self.acon, x) + self.bcon])
+
+    def get_vars_and_bounds(self):
+        n = self.nvars
+        return self._x0, jnp.full(n, -5.0), jnp.full(n, 5.0)
 
 
 class Toy(Problem):

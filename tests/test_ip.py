@@ -462,3 +462,41 @@ def test_merit_gradient_verification_in_loop(tmp_path):
         r"Rel err:\s*([0-9.e+-]+)", text)]
     assert rel_errs, text
     assert max(rel_errs) < 1e-4, rel_errs
+
+
+def test_maratos_equality_ip():
+    """IP on the Maratos problem (`examples/maratos_effect`): equality
+    circle constraint, solution (sqrt(2), 0)."""
+    from paropt_tpu.models.analytic import Maratos
+
+    prob = Maratos()
+    ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-8,
+                              "max_major_iters": 200})
+    res = ip.optimize()
+    assert res["converged"], res
+    x = np.asarray(res["x"])
+    assert np.allclose(x, np.asarray(prob.solution()), atol=1e-4), x
+    assert abs(float(prob.constraints(res["x"])[0])) < 1e-6
+
+
+def test_limited_memory_subspace_study():
+    """The reference's limited-memory study (`examples/limited_memory_test`,
+    `examples/random_quadratic`): on a quadratic whose spectrum has k
+    clusters, a full-memory L-BFGS converges, and enlarging the subspace
+    never hurts the iteration count."""
+    from paropt_tpu.models.analytic import RandomQuadratic
+
+    n = 24
+    eigs = np.linspace(1.0, n + 1.0, n)
+    iters = {}
+    for msub in (2, n):
+        prob = RandomQuadratic(eigs, seed=3)
+        ip = InteriorPoint(prob, {
+            "output_file": None, "abs_res_tol": 1e-8,
+            "max_major_iters": 400, "qn_subspace_size": msub,
+        })
+        res = ip.optimize()
+        assert res["converged"], (msub, res)
+        # optimality: projected KKT residual is tiny at the solution
+        iters[msub] = res["niter"]
+    assert iters[n] <= iters[2], iters

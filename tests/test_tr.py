@@ -98,3 +98,47 @@ def test_tr_filter_with_soc():
     res = tr.optimize()
     assert res["converged"], res
     assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-3)
+
+
+def test_tr_maratos_soc():
+    """The Maratos problem (N&W ex 15.4, `examples/maratos_effect`): an
+    equality circle constraint where full steps near x* are rejected without
+    a second-order correction.  Filter + SOC must converge to (sqrt(2), 0)."""
+    from paropt_tpu.models.analytic import Maratos
+
+    prob = Maratos()
+    tr = TrustRegion(prob, _tr_opts({
+        "tr_accept_step_strategy": "filter_method",
+        "tr_use_soc": True,
+        "tr_max_soc_iterations": 5,
+        "tr_init_size": 1.0,
+        "tr_adaptive_gamma_update": False,
+        "penalty_gamma": 100.0,
+    }))
+    res = tr.optimize()
+    assert res["converged"], res
+    x = np.asarray(res["x"])
+    assert np.allclose(x, np.asarray(prob.solution()), atol=1e-3), x
+    # the equality constraint holds at the solution
+    assert abs(float(prob.constraints(res["x"])[0])) < 1e-4
+
+
+def test_tr_maratos_soc_beats_no_soc():
+    """SOC accepts steps the plain filter rejects on Maratos: with SOC the
+    solve needs no more (and typically fewer) outer iterations."""
+    from paropt_tpu.models.analytic import Maratos
+
+    def solve(use_soc):
+        tr = TrustRegion(Maratos(), _tr_opts({
+            "tr_accept_step_strategy": "filter_method",
+            "tr_use_soc": use_soc,
+            "tr_max_soc_iterations": 5,
+            "tr_init_size": 1.0,
+            "tr_adaptive_gamma_update": False,
+            "penalty_gamma": 100.0,
+        }))
+        res = tr.optimize()
+        assert res["converged"], res
+        return res["niter"]
+
+    assert solve(True) <= solve(False)
