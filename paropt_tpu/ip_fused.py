@@ -765,12 +765,12 @@ def _fused_step(model: ModelFns, opts: FusedIPOptions, state: FusedState,
         if d.nwcon > 0:
             y = y - d.Aw_rmatvec(vn.zw)
             y0 = y0 - d.Aw_rmatvec(vn.zw)
-        qn_upd, _, _ = qnmod.qn_update(
+        # the rejected-step gate is folded into qn_update's own select
+        # (one pass over the [m, n] buffers instead of a second tree_map)
+        qn_n, _, _ = qnmod.qn_update(
             state.qn, alpha * ps.x, y - y0,
-            compact=None if opts.use_diag_hessian else cq)
-        do_upd = alpha > 0.0
-        qn_n = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(do_upd, a, b), qn_upd, state.qn)
+            compact=None if opts.use_diag_hessian else cq,
+            accept=alpha > 0.0)
 
     ls_count = jnp.where(no_improve, ls_base + 1,
                          jnp.zeros((), jnp.int32))

@@ -163,9 +163,25 @@ def _new_b0(state: QNState, s, y, yTs, yTy, sTs):
     return jnp.where(yTs > 0.0, val, state.b0)
 
 
+_PALLAS_QN = None
+
+
+def _use_pallas_qn(state: QNState) -> bool:
+    """Fused roll/select/dots kernel gate: same enablement as the quasi-def
+    kernel (single accelerator chip, PAROPT_TPU_PALLAS=0 disables), plus a
+    lane-alignment/size guard — tiny problems keep the jnp path."""
+    global _PALLAS_QN
+    if state.nvars % 256 != 0 or state.nvars < 4096:
+        return False
+    if _PALLAS_QN is None:
+        from .pallas_kernels import pallas_qn_enabled
+        _PALLAS_QN = pallas_qn_enabled()
+    return _PALLAS_QN
+
+
 def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
-              z0: Optional[jnp.ndarray] = None, compact=None
-              ) -> Tuple[QNState, jnp.ndarray, jnp.ndarray]:
+              z0: Optional[jnp.ndarray] = None, compact=None,
+              accept=None) -> Tuple[QNState, jnp.ndarray, jnp.ndarray]:
     """Apply one (s, y) update.
 
     Returns (new_state, skipped, damped) with int32 flags.  Behavior matches
@@ -176,10 +192,16 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
       θ = 0.8·sᵀBs/(sᵀBs − yᵀs), y ← θ·y + (1−θ)·Bs
     - 'skip_negative_curvature' (BFGS): skip when yᵀs <= 0 after the skip test
     - SR1: standard skip when |sᵀ(y − Bs)| small relative test
+
+    ``accept`` (optional bool scalar) gates the whole update (a rejected
+    line-search step): it is folded into the same select as the skip test so
+    callers don't pay a second full pass over the [m, n] buffers.  The
+    returned flags still report the curvature skip/damp decisions.
     """
     dtype = state.S.dtype
     s = s.astype(dtype)
     y = y.astype(dtype)
+    z0_old = state.z0
     # Bs = B @ s is needed only by the damped-BFGS update and the SR1 skip
     # test; the default skip_negative_curvature BFGS ladder uses pure
     # (s, y) scalars — skipping the product saves two [2m, n] passes
@@ -228,26 +250,44 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
         y_use = y
         damped = jnp.zeros((), dtype=bool)
 
-    yTs_use = jnp.vdot(y_use, s)
-    yTy_use = jnp.vdot(y_use, y_use)
-    b0_new = _new_b0(state, s, y_use, yTs_use, yTy_use, sTs)
+    # fold the caller's acceptance gate into the same select as the skip
+    # test: one pass over the [m, n] buffers instead of two
+    upd = ~skip if accept is None else \
+        (~skip) & jnp.asarray(accept).astype(bool)
+
+    m = state.msub
+    if _use_pallas_qn(state):
+        # fused roll + select + Gram dots in one memory sweep; the dots'
+        # last row carries (s·s, s·y_use, y_use·s, y_use·y_use) so the b0
+        # update needs no extra vector pass
+        from .pallas_kernels import qn_roll_update
+        S_sel, Y_sel, dots4 = qn_roll_update(state.S, state.Y, s, y_use,
+                                             upd)
+        Ss, Sy, Ys = dots4[:, 0], dots4[:, 1], dots4[:, 2]
+        sTs_u, yTs_use, yTy_use = dots4[-1, 0], dots4[-1, 1], dots4[-1, 3]
+    else:
+        yTs_use = jnp.vdot(y_use, s)
+        yTy_use = jnp.vdot(y_use, y_use)
+        sTs_u = sTs
+        # ring-buffer shift: roll up, newest in last row
+        S_new = jnp.concatenate([state.S[1:], s[None, :]], axis=0)
+        Y_new = jnp.concatenate([state.Y[1:], y_use[None, :]], axis=0)
+        # incremental Gram update: fill the new last row/col with ONE
+        # stacked matvec (the mdot pattern)
+        dots = jnp.concatenate([S_new, Y_new], axis=0) @ jnp.stack(
+            [s, y_use]).T                    # [2m, 2]
+        Ss = dots[:m, 0]      # S_new · s
+        Sy = dots[:m, 1]      # S_new · y_use  (new SY column)
+        Ys = dots[m:, 0]      # Y_new · s      (new SY row)
+        S_sel = jnp.where(upd, S_new, state.S)
+        Y_sel = jnp.where(upd, Y_new, state.Y)
+
+    b0_new = _new_b0(state, s, y_use, yTs_use, yTy_use, sTs_u)
     if state.qn_type == "sr1":
         # SR1 allows indefinite curvature; keep b0 positive
         b0_new = jnp.where(b0_new > 0.0, b0_new, state.b0)
 
-    # ring-buffer shift: roll up, newest in last row
-    S_new = jnp.concatenate([state.S[1:], s[None, :]], axis=0)
-    Y_new = jnp.concatenate([state.Y[1:], y_use[None, :]], axis=0)
     cnt_new = jnp.minimum(state.count + 1, state.msub)
-
-    # incremental Gram update: shift up-left, fill the new last row/col
-    # with ONE stacked matvec (the mdot pattern)
-    dots = jnp.concatenate([S_new, Y_new], axis=0) @ jnp.stack(
-        [s, y_use]).T                        # [2m, 2]
-    m = state.msub
-    Ss = dots[:m, 0]      # S_new · s
-    Sy = dots[:m, 1]      # S_new · y_use  (new SY column)
-    Ys = dots[m:, 0]      # Y_new · s      (new SY row)
     SS_new = jnp.roll(state.SS, shift=(-1, -1), axis=(0, 1))
     SS_new = SS_new.at[-1, :].set(Ss).at[:, -1].set(Ss)
     SY_new = jnp.roll(state.SY, shift=(-1, -1), axis=(0, 1))
@@ -255,10 +295,16 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
 
     new_state = dataclasses.replace(
         state,
-        S=jnp.where(skip, state.S, S_new),
-        Y=jnp.where(skip, state.Y, Y_new),
-        SS=jnp.where(skip, state.SS, SS_new),
-        SY=jnp.where(skip, state.SY, SY_new),
-        count=jnp.where(skip, state.count, cnt_new),
-        b0=jnp.where(skip, state.b0, b0_new))
+        S=S_sel,
+        Y=Y_sel,
+        SS=jnp.where(upd, SS_new, state.SS),
+        SY=jnp.where(upd, SY_new, state.SY),
+        count=jnp.where(upd, cnt_new, state.count),
+        b0=jnp.where(upd, b0_new, state.b0))
+    if state.scaled and accept is not None:
+        # the z0 refresh tracks the multiplier independently of the skip
+        # test, but a rejected step must not move it either
+        new_state = dataclasses.replace(
+            new_state, z0=jnp.where(jnp.asarray(accept).astype(bool),
+                                    new_state.z0, z0_old))
     return new_state, skip.astype(jnp.int32), damped.astype(jnp.int32)

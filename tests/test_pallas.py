@@ -150,3 +150,97 @@ def test_pallas_matches_kkt_quasi_def_solve():
     lhs_w = d.Aw_matvec(yx) + C0 * yw0
     assert np.allclose(np.asarray(lhs_x), np.asarray(bx[0]), atol=1e-10)
     assert np.allclose(np.asarray(lhs_w), np.asarray(bw[0]), atol=1e-10)
+
+
+def test_qn_roll_update_matches_manual():
+    """Fused roll/select/dots kernel vs a hand-rolled jnp reference."""
+    from paropt_tpu.ops.pallas_kernels import qn_roll_update
+
+    rng = np.random.default_rng(7)
+    m, n = 5, 512
+    S = jnp.asarray(rng.standard_normal((m, n)))
+    Y = jnp.asarray(rng.standard_normal((m, n)))
+    s = jnp.asarray(rng.standard_normal(n))
+    y = jnp.asarray(rng.standard_normal(n))
+
+    Sn = jnp.concatenate([S[1:], s[None]], axis=0)
+    Yn = jnp.concatenate([Y[1:], y[None]], axis=0)
+    dots_ref = np.stack([Sn @ s, Sn @ y, Yn @ s, Yn @ y], axis=1)
+
+    for upd in (True, False):
+        S_out, Y_out, dots = qn_roll_update(S, Y, s, y, jnp.asarray(upd),
+                                            interpret=True)
+        want_S = Sn if upd else S
+        want_Y = Yn if upd else Y
+        assert np.allclose(np.asarray(S_out), np.asarray(want_S))
+        assert np.allclose(np.asarray(Y_out), np.asarray(want_Y))
+        # dots are always taken on the rolled buffers
+        assert np.allclose(np.asarray(dots), dots_ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("qn_type,update_type", [
+    ("bfgs", "skip_negative_curvature"),
+    ("bfgs", "damped_update"),
+    ("sr1", "skip_negative_curvature"),
+])
+def test_qn_update_pallas_branch_matches_jnp(monkeypatch, qn_type,
+                                             update_type):
+    """qn_update through the Pallas branch (interpret mode) reproduces the
+    jnp branch leaf-for-leaf, including the accept gate."""
+    from functools import partial
+    from paropt_tpu.ops import qn as qnmod
+    from paropt_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(21)
+    m, n = 4, 4096
+
+    def run(pallas):
+        if pallas:
+            monkeypatch.setattr(qnmod, "_PALLAS_QN", True)
+            monkeypatch.setattr(pk, "qn_roll_update",
+                                partial(pk.qn_roll_update, interpret=True))
+        else:
+            monkeypatch.setattr(qnmod, "_PALLAS_QN", False)
+        state = qnmod.qn_init(m, n, qn_type=qn_type,
+                              update_type=update_type)
+        rng2 = np.random.default_rng(5)
+        outs = []
+        for i in range(m + 2):
+            s = jnp.asarray(rng2.standard_normal(n))
+            y = 1.5 * s + 0.2 * jnp.asarray(rng2.standard_normal(n))
+            if i == 2:
+                y = -y  # exercise the skip/damp ladder
+            accept = None if i % 2 == 0 else jnp.asarray(i != 3)
+            state, skip, damp = qnmod.qn_update(state, s, y, accept=accept)
+            outs.append((skip, damp))
+        return state, outs
+
+    st_jnp, fl_jnp = run(False)
+    st_pl, fl_pl = run(True)
+    for (a, b) in zip(fl_jnp, fl_pl):
+        assert int(a[0]) == int(b[0]) and int(a[1]) == int(b[1])
+    for name in ("S", "Y", "SS", "SY", "count", "b0"):
+        a = np.asarray(getattr(st_jnp, name))
+        b = np.asarray(getattr(st_pl, name))
+        assert np.allclose(a, b, rtol=1e-9, atol=1e-9), name
+
+
+def test_qn_update_accept_false_is_identity():
+    """accept=False leaves every leaf of the state unchanged (the fused
+    in-loop gate for rejected steps)."""
+    from paropt_tpu.ops import qn as qnmod
+
+    rng = np.random.default_rng(9)
+    m, n = 3, 64
+    state = qnmod.qn_init(m, n)
+    for _ in range(2):
+        s = jnp.asarray(rng.standard_normal(n))
+        y = 2.0 * s
+        state, _, _ = qnmod.qn_update(state, s, y)
+    s = jnp.asarray(rng.standard_normal(n))
+    y = 2.0 * s
+    new, skip, _ = qnmod.qn_update(state, s, y, accept=jnp.asarray(False))
+    assert int(skip) == 0  # curvature fine; gate is the caller's accept
+    for la, lb in zip(jax.tree_util.tree_leaves(state),
+                      jax.tree_util.tree_leaves(new)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
