@@ -62,91 +62,78 @@ def pallas_qn_enabled() -> bool:
         return False
 
 
-def _qn_roll_kernel(upd_ref, s_ref, y_ref, S_ref, Y_ref,
-                    S_out_ref, Y_out_ref, dots_ref):
-    """One column-tile of the fused quasi-Newton ring-buffer update.
-
-    In a single read-compute-write sweep over the [m, n] S/Y buffers:
-      S_out = upd ? [S[1:]; s] : S      (ring roll, newest pair last)
-      Y_out = upd ? [Y[1:]; y] : Y
-      dots  = [Sn·s, Sn·y, Yn·s, Yn·y]  ([m, 4], accumulated over tiles)
-    The dots are taken on the ROLLED buffers (the caller discards them when
-    upd is false), and their last row carries s·s, s·y, y·s, y·y — every
-    scalar the Gram/b0 update needs, so nothing downstream re-reads [m, n].
-
-    XLA executes the equivalent jnp chain (concat-roll, two-way select
-    against the pre-roll buffers, separate [2m, n] @ [n, 2] matmul) as
-    ~5 full passes over S/Y; this kernel is the 2-pass minimum."""
-    from jax.experimental import pallas as pl
-
-    upd = upd_ref[0, 0] > 0
-    s = s_ref[...]                 # [1, T]
-    y = y_ref[...]                 # [1, T]
-    S = S_ref[...]                 # [m, T]
-    Y = Y_ref[...]
-    Sn = jnp.concatenate([S[1:], s], axis=0)
-    Yn = jnp.concatenate([Y[1:], y], axis=0)
-    S_out_ref[...] = jnp.where(upd, Sn, S)
-    Y_out_ref[...] = jnp.where(upd, Yn, Y)
-    contrib = jnp.stack([
-        jnp.sum(Sn * s, axis=1),
-        jnp.sum(Sn * y, axis=1),
-        jnp.sum(Yn * s, axis=1),
-        jnp.sum(Yn * y, axis=1),
-    ], axis=1)                     # [m, 4]
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dots_ref[...] = jnp.zeros_like(dots_ref)
-
-    dots_ref[...] += contrib
-
-
 @partial(jax.jit, static_argnames=("interpret",))
-def qn_roll_update(S: jnp.ndarray, Y: jnp.ndarray, s: jnp.ndarray,
-                   y: jnp.ndarray, upd: jnp.ndarray,
-                   interpret: bool = False
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def qn_roll_update(buf: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
+                   upd: jnp.ndarray, interpret: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused quasi-Newton ring-buffer roll + select + Gram dots.
 
     The role of the update step inside `ParOptLBFGS::update`
     (`ParOptQuasiNewton.cpp:130-280`) — shift the (s, y) history and form
-    the new Gram row/column inner products — in one memory sweep.
+    the new Gram row/column inner products — in one memory sweep over the
+    stacked [2m, n] S/Y ring buffer (rows [:m] = S, rows [m:] = Y):
 
-    Returns (S_out [m, n], Y_out [m, n], dots [m, 4]) with dots columns
-    (Sn·s, Sn·y, Yn·s, Yn·y) computed on the rolled buffers."""
+      rolled = [buf[1:m]; s; buf[m+1:]; y]
+      out    = upd ? rolled : buf
+      dots   = rolled @ [s, y]ᵀ            ([2m, 2], accumulated over tiles)
+
+    The dots are taken on the ROLLED buffer (the caller discards them when
+    upd is false); rows m-1 / 2m-1 carry (s·s, s·y) / (y·s, y·y) — every
+    scalar the Gram/b0 update needs, so nothing downstream re-reads [2m, n].
+
+    XLA executes the equivalent jnp chain (concat-roll, two-way select
+    against the pre-roll buffer, separate [2m, n] @ [n, 2] matmul) as
+    ~5 full passes over the buffer; this kernel is the 2-pass minimum.
+
+    Returns (buf_out [2m, n], dots [2m, 2])."""
     from jax.experimental import pallas as pl
 
-    m, n = S.shape
+    K, n = buf.shape
+    m = K // 2
     tile = 2048
     while n % tile != 0:
         tile //= 2
     grid = (n // tile,)
     upd2 = jnp.asarray(upd).astype(jnp.int32).reshape(1, 1)
 
+    def kernel(upd_ref, s_ref, y_ref, buf_ref, out_ref, dots_ref):
+        do = upd_ref[0, 0] > 0
+        sv = s_ref[...]                # [1, T]
+        yv = y_ref[...]                # [1, T]
+        B = buf_ref[...]               # [2m, T]
+        rolled = jnp.concatenate([B[1:m], sv, B[m + 1:], yv], axis=0)
+        out_ref[...] = jnp.where(do, rolled, B)
+        contrib = jnp.stack([
+            jnp.sum(rolled * sv, axis=1),
+            jnp.sum(rolled * yv, axis=1),
+        ], axis=1)                     # [2m, 2]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dots_ref[...] = jnp.zeros_like(dots_ref)
+
+        dots_ref[...] += contrib
+
     out_shape = (
-        jax.ShapeDtypeStruct((m, n), S.dtype),
-        jax.ShapeDtypeStruct((m, n), Y.dtype),
-        jax.ShapeDtypeStruct((m, 4), S.dtype),
+        jax.ShapeDtypeStruct((K, n), buf.dtype),
+        jax.ShapeDtypeStruct((K, 2), buf.dtype),
     )
     return pl.pallas_call(
-        _qn_roll_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
             pl.BlockSpec((1, tile), lambda i: (0, i)),
             pl.BlockSpec((1, tile), lambda i: (0, i)),
-            pl.BlockSpec((m, tile), lambda i: (0, i)),
-            pl.BlockSpec((m, tile), lambda i: (0, i)),
+            pl.BlockSpec((K, tile), lambda i: (0, i)),
         ],
         out_specs=(
-            pl.BlockSpec((m, tile), lambda i: (0, i)),
-            pl.BlockSpec((m, tile), lambda i: (0, i)),
-            pl.BlockSpec((m, 4), lambda i: (0, 0)),
+            pl.BlockSpec((K, tile), lambda i: (0, i)),
+            pl.BlockSpec((K, 2), lambda i: (0, 0)),
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(upd2, s.reshape(1, n), y.reshape(1, n), S, Y)
+    )(upd2, s.reshape(1, n), y.reshape(1, n), buf)
 
 
 def _qd_kernel(dinv_ref, cwinv_ref, vals_ref, bx_ref, bw_ref,

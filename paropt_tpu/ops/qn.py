@@ -10,17 +10,21 @@ so Hessian products cost one [K, n] matmul + one [K, K] solve (one fused
 all-reduce when n is sharded — the `mdot` pattern), and the KKT solve can apply
 B^{-1} through the Sherman-Morrison-Woodbury identity.
 
-TPU-first design: the state is a fixed-shape pytree (S, Y ring buffers of shape
-[m, n] with newest pair in the last row plus an active count), so `update`,
-`mult` and the compact-matrix assembly all `jit` without retracing; the
-branchy update safeguards (damping / skip, `ParOptQuasiNewton.cpp:175-179`,
-damped update θ = 0.8·sᵀBs/(sᵀBs − yᵀs)) are `jnp.where` selects.
+TPU-first design: the state is a fixed-shape pytree (ONE stacked [2m, n]
+S/Y ring buffer with newest pair in rows m-1 / 2m-1 plus an active count),
+so `update`, `mult` and the compact-matrix assembly all `jit` without
+retracing; the branchy update safeguards (damping / skip,
+`ParOptQuasiNewton.cpp:175-179`, damped update θ = 0.8·sᵀBs/(sᵀBs − yᵀs))
+are `jnp.where` selects.
 
 Conventions (self-contained; verified against dense BFGS in tests):
 
 - L-BFGS (Byrd–Nocedal–Schnabel compact form, as in `ParOptQuasiNewton.cpp:
-  339-377`):  Z = [b0*S; Y] (2m rows),
-  M = [[b0*S Sᵀ, L], [Lᵀ, -D]],  L_ij = s_i·y_j (i > j strictly), D = diag(s_i·y_i).
+  339-377`): classically Z₀ = [b0*S; Y] (2m rows), M₀ = [[b0*S Sᵀ, L],
+  [Lᵀ, -D]], L_ij = s_i·y_j (i > j strictly), D = diag(s_i·y_i).  Here the
+  b0 scaling is absorbed into the small matrix (Z = [S; Y] = the raw ring
+  buffer, M = [[S Sᵀ/b0, L/b0], [Lᵀ/b0, -D]]) so `qn_compact` is zero-copy
+  — see `_assemble_M`.
 - L-SR1 (`ParOptQuasiNewton.cpp:593-860`):  W = Y - b0*S (m rows),
   B = b0 I + W^T (D + L + Lᵀ - b0 S Sᵀ)^{-1} W, absorbed into the unified
   minus-sign form via M = b0 S Sᵀ - D - L - Lᵀ, Z = W.
@@ -42,10 +46,16 @@ __all__ = ["QNState", "qn_init", "qn_reset", "qn_update", "qn_mult",
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class QNState:
-    """Fixed-shape limited-memory state. Rows [m-count:] of S/Y are active,
-    newest last; inactive rows are zero."""
-    S: jnp.ndarray          # [m, n]
-    Y: jnp.ndarray          # [m, n]
+    """Fixed-shape limited-memory state.
+
+    The (s, y) history lives in ONE [2m, n] ring buffer `buf` — rows [:m]
+    are the S ring, rows [m:] the Y ring, newest pair in rows m-1 / 2m-1.
+    This layout makes the BFGS compact form's Z = [S; Y] a zero-copy view
+    of the state (the b0 scaling is absorbed into the small M matrix, see
+    `_assemble_M`), so `qn_compact` touches no [*, n] memory at all.
+
+    Rows [m-count:m] / [2m-count:] are active; inactive rows are zero."""
+    buf: jnp.ndarray        # [2m, n] stacked S/Y ring buffers
     SS: jnp.ndarray         # [m, m] Gram S·Sᵀ, maintained incrementally
     SY: jnp.ndarray         # [m, m] SY[i, j] = s_i · y_j, incremental
     count: jnp.ndarray      # int32 scalar, number of active pairs (<= m)
@@ -61,12 +71,20 @@ class QNState:
                                      default=False)
 
     @property
+    def S(self) -> jnp.ndarray:
+        return self.buf[:self.msub]
+
+    @property
+    def Y(self) -> jnp.ndarray:
+        return self.buf[self.msub:]
+
+    @property
     def msub(self) -> int:
-        return self.S.shape[0]
+        return self.buf.shape[0] // 2
 
     @property
     def nvars(self) -> int:
-        return self.S.shape[1]
+        return self.buf.shape[1]
 
 
 def qn_init(msub: int, nvars: int, dtype=None, qn_type: str = "bfgs",
@@ -76,8 +94,7 @@ def qn_init(msub: int, nvars: int, dtype=None, qn_type: str = "bfgs",
     dtype = resolve_dtype(dtype)
     scaled = qn_type == "scaled_bfgs"
     return QNState(
-        S=jnp.zeros((msub, nvars), dtype=dtype),
-        Y=jnp.zeros((msub, nvars), dtype=dtype),
+        buf=jnp.zeros((2 * msub, nvars), dtype=dtype),
         SS=jnp.zeros((msub, msub), dtype=dtype),
         SY=jnp.zeros((msub, msub), dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
@@ -89,7 +106,7 @@ def qn_init(msub: int, nvars: int, dtype=None, qn_type: str = "bfgs",
 
 def qn_reset(state: QNState) -> QNState:
     return dataclasses.replace(
-        state, S=jnp.zeros_like(state.S), Y=jnp.zeros_like(state.Y),
+        state, buf=jnp.zeros_like(state.buf),
         SS=jnp.zeros_like(state.SS), SY=jnp.zeros_like(state.SY),
         count=jnp.zeros_like(state.count), b0=jnp.ones_like(state.b0))
 
@@ -102,8 +119,14 @@ def _active_mask(state: QNState) -> jnp.ndarray:
 
 def _assemble_M(state: QNState, b0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build (Z [K, n], M [K, K]) for the unified B = b0 I - Z^T M^{-1} Z form.
-    Inactive rows padded with identity on the M diagonal."""
-    S, Y = state.S, state.Y
+    Inactive rows padded with identity on the M diagonal.
+
+    BFGS: the classic BNS form is Z₀ = [b0·S; Y], M₀ = [[b0·SSᵀ, L],
+    [Lᵀ, -D]].  With T = diag(b0·I, I) we have Z₀ = T·[S; Y], so
+    Z₀ᵀ M₀⁻¹ Z₀ = Zᵀ (T⁻¹ M₀ T⁻¹)⁻¹ Z with Z = [S; Y] — the raw ring
+    buffer, ZERO-COPY.  The b0 scaling moves entirely into the small
+    matrix:  M = [[SSᵀ/b0, L/b0], [Lᵀ/b0, -D]].  No [*, n] memory is
+    touched here at all."""
     m = state.msub
     mask = _active_mask(state)
     # Gram matrices are maintained incrementally in the state (one small
@@ -113,18 +136,18 @@ def _assemble_M(state: QNState, b0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     D = jnp.diag(jnp.diag(SY))
     Lmat = jnp.tril(SY, k=-1)               # strictly lower: s_i.y_j, i > j
     if state.qn_type in ("bfgs", "scaled_bfgs"):
-        Z = jnp.concatenate([b0 * S, Y], axis=0)          # [2m, n]
-        M = jnp.block([[b0 * SS, Lmat], [Lmat.T, -D]])    # [2m, 2m]
+        Z = state.buf                                     # [2m, n] view
+        M = jnp.block([[SS / b0, Lmat / b0], [Lmat.T / b0, -D]])
         act = jnp.concatenate([mask, mask])
     elif state.qn_type == "sr1":
-        Z = Y - b0 * S
+        Z = state.Y - b0 * state.S
         M = b0 * SS - D - Lmat - Lmat.T
         act = mask
     else:
         raise ValueError(f"unknown qn_type {state.qn_type!r}")
     # pad inactive with identity.  Z needs NO masking: inactive S/Y rows
     # are zero by construction (qn_init/qn_reset zero the buffers and the
-    # ring roll shifts those zeros), so the concat rows are already zero —
+    # ring roll shifts those zeros), so the buffer rows are already zero —
     # skipping the [2m, n] mask multiply saves a full read+write pass
     K = M.shape[0]
     eye = jnp.eye(K, dtype=M.dtype)
@@ -138,12 +161,14 @@ def qn_compact(state: QNState):
 
     The analogue of `getCompactMat` (`ParOptQuasiNewton.h:32-67`); when
     count == 0, Z is all zero and M the identity, so B = b0 I exactly.
-    For the scaled-BFGS decorator (`ParOptScaledQuasiNewton.h:7-103`) the
-    inner approximation is scaled by the objective multiplier:
-    B = z0·B_inner, i.e. (z0·b0, sqrt(z0)·Z, M)."""
+    For BFGS, Z is the state's ring buffer itself (no [2m, n] copy — see
+    `_assemble_M`).  For the scaled-BFGS decorator
+    (`ParOptScaledQuasiNewton.h:7-103`) the inner approximation is scaled
+    by the objective multiplier: B = z0·B_inner = z0·b0·I - Zᵀ(M/z0)⁻¹Z,
+    again without touching Z."""
     Z, M = _assemble_M(state, state.b0)
     if state.scaled:
-        return state.z0 * state.b0, jnp.sqrt(state.z0) * Z, M
+        return state.z0 * state.b0, Z, M / state.z0
     return state.b0, Z, M
 
 
@@ -257,30 +282,28 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
 
     m = state.msub
     if _use_pallas_qn(state):
-        # fused roll + select + Gram dots in one memory sweep; the dots'
-        # last row carries (s·s, s·y_use, y_use·s, y_use·y_use) so the b0
-        # update needs no extra vector pass
+        # fused roll + select + Gram dots in one memory sweep; the dots
+        # rows m-1 / 2m-1 carry (s·s, s·y_use) / (y_use·s, y_use·y_use) so
+        # the b0 update needs no extra vector pass
         from .pallas_kernels import qn_roll_update
-        S_sel, Y_sel, dots4 = qn_roll_update(state.S, state.Y, s, y_use,
-                                             upd)
-        Ss, Sy, Ys = dots4[:, 0], dots4[:, 1], dots4[:, 2]
-        sTs_u, yTs_use, yTy_use = dots4[-1, 0], dots4[-1, 1], dots4[-1, 3]
+        buf_sel, dots = qn_roll_update(state.buf, s, y_use, upd)
+        # the dots rows m-1 / 2m-1 carry every scalar the b0 update needs
+        sTs_u, yTs_use, yTy_use = dots[m - 1, 0], dots[m - 1, 1], dots[-1, 1]
     else:
-        yTs_use = jnp.vdot(y_use, s)
-        yTy_use = jnp.vdot(y_use, y_use)
-        sTs_u = sTs
-        # ring-buffer shift: roll up, newest in last row
-        S_new = jnp.concatenate([state.S[1:], s[None, :]], axis=0)
-        Y_new = jnp.concatenate([state.Y[1:], y_use[None, :]], axis=0)
+        # ring-buffer shift within each half: newest pair in rows m-1/2m-1
+        buf_new = jnp.concatenate(
+            [state.buf[1:m], s[None, :],
+             state.buf[m + 1:], y_use[None, :]], axis=0)
         # incremental Gram update: fill the new last row/col with ONE
         # stacked matvec (the mdot pattern)
-        dots = jnp.concatenate([S_new, Y_new], axis=0) @ jnp.stack(
-            [s, y_use]).T                    # [2m, 2]
-        Ss = dots[:m, 0]      # S_new · s
-        Sy = dots[:m, 1]      # S_new · y_use  (new SY column)
-        Ys = dots[m:, 0]      # Y_new · s      (new SY row)
-        S_sel = jnp.where(upd, S_new, state.S)
-        Y_sel = jnp.where(upd, Y_new, state.Y)
+        dots = buf_new @ jnp.stack([s, y_use]).T           # [2m, 2]
+        buf_sel = jnp.where(upd, buf_new, state.buf)
+        sTs_u = sTs
+        yTs_use = jnp.vdot(y_use, s)
+        yTy_use = jnp.vdot(y_use, y_use)
+    Ss = dots[:m, 0]          # S_new · s
+    Sy = dots[:m, 1]          # S_new · y_use  (new SY column)
+    Ys = dots[m:, 0]          # Y_new · s      (new SY row)
 
     b0_new = _new_b0(state, s, y_use, yTs_use, yTy_use, sTs_u)
     if state.qn_type == "sr1":
@@ -295,8 +318,7 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
 
     new_state = dataclasses.replace(
         state,
-        S=S_sel,
-        Y=Y_sel,
+        buf=buf_sel,
         SS=jnp.where(upd, SS_new, state.SS),
         SY=jnp.where(upd, SY_new, state.SY),
         count=jnp.where(upd, cnt_new, state.count),

@@ -158,23 +158,20 @@ def test_qn_roll_update_matches_manual():
 
     rng = np.random.default_rng(7)
     m, n = 5, 512
-    S = jnp.asarray(rng.standard_normal((m, n)))
-    Y = jnp.asarray(rng.standard_normal((m, n)))
+    buf = jnp.asarray(rng.standard_normal((2 * m, n)))
     s = jnp.asarray(rng.standard_normal(n))
     y = jnp.asarray(rng.standard_normal(n))
 
-    Sn = jnp.concatenate([S[1:], s[None]], axis=0)
-    Yn = jnp.concatenate([Y[1:], y[None]], axis=0)
-    dots_ref = np.stack([Sn @ s, Sn @ y, Yn @ s, Yn @ y], axis=1)
+    rolled = jnp.concatenate([buf[1:m], s[None], buf[m + 1:], y[None]],
+                             axis=0)
+    dots_ref = np.stack([rolled @ s, rolled @ y], axis=1)
 
     for upd in (True, False):
-        S_out, Y_out, dots = qn_roll_update(S, Y, s, y, jnp.asarray(upd),
-                                            interpret=True)
-        want_S = Sn if upd else S
-        want_Y = Yn if upd else Y
-        assert np.allclose(np.asarray(S_out), np.asarray(want_S))
-        assert np.allclose(np.asarray(Y_out), np.asarray(want_Y))
-        # dots are always taken on the rolled buffers
+        out, dots = qn_roll_update(buf, s, y, jnp.asarray(upd),
+                                   interpret=True)
+        want = rolled if upd else buf
+        assert np.allclose(np.asarray(out), np.asarray(want))
+        # dots are always taken on the rolled buffer
         assert np.allclose(np.asarray(dots), dots_ref, atol=1e-10)
 
 
