@@ -462,9 +462,11 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
     # [Z_qn; A] right-hand sides AND accumulates the [B, B] Gram matrix
     # holding every small product the Schur (Gmat), SMW right-hand sides,
     # and Ce assembly need.  Measured on the v5e at 1M vars it REGRESSED
-    # whole-step bytes (4.94 vs 4.13 GB data-as-arg) — the stack concat +
-    # gram output defeat fusions XLA otherwise finds — so the default
-    # stays the per-solve Pallas kernel; kept as validated infrastructure
+    # whole-step bytes (4.94 vs 4.13 GB data-as-arg; re-measured after the
+    # zero-copy QN compact: 3.70 vs 3.03 GB, 178.8 vs 198.9 it/s
+    # interleaved, scripts/ab_fused_factor.py) — the stack concat + gram
+    # output defeat fusions XLA otherwise finds — so the default stays the
+    # per-solve Pallas kernel; kept as validated infrastructure
     # (correctness-tested in tests/test_pallas.py).
     import os
     if (os.environ.get("PAROPT_TPU_FUSED_FACTOR") in ("1", "true", "on")

@@ -147,25 +147,27 @@ def kernels():
         ("qn_update", jax.jit(lambda q, s, y: qnmod.qn_update(q, s, y)),
          (st.qn, 0.01 * p.x, 0.02 * p.x)),
         ("qn_compact", jax.jit(qnmod.qn_compact), (st.qn,)),
+        # qn_compact passed as DATA (closure-captured constants distort
+        # the byte attribution, CLAUDE.md)
         ("factor WITH qn", jax.jit(
-            lambda v_, d_: kkt.setup_kkt_factor(v_, d_, qn_compact=cq)),
-         (v, d)),
+            lambda v_, d_, cq_: kkt.setup_kkt_factor(v_, d_, qn_compact=cq_)),
+         (v, d, cq)),
         ("factor no qn", jax.jit(
-            lambda v_, d_: kkt.setup_kkt_factor(
-                v_, d_, qn_compact=(cq[0], None, None))), (v, d)),
+            lambda v_, d_, b0_: kkt.setup_kkt_factor(
+                v_, d_, qn_compact=(b0_, None, None))), (v, d, cq[0])),
         ("solve_kkt WITH smw", jax.jit(
             lambda v_, d_, f_, r_: kkt.solve_kkt(v_, d_, f_, r_)),
          (v, d, f, r)),
         ("solve_kkt no smw", jax.jit(
-            lambda v_, d_, r_: kkt.solve_kkt(
+            lambda v_, d_, r_, b0_: kkt.solve_kkt(
                 v_, d_, kkt.setup_kkt_factor(
-                    v_, d_, qn_compact=(cq[0], None, None)), r_)),
-         (v, d, r)),
+                    v_, d_, qn_compact=(b0_, None, None)), r_)),
+         (v, d, r, cq[0])),
         ("kkt_residual", jax.jit(
             lambda v_, d_: kkt.kkt_residual(v_, d_, mu, 1.0)), (v, d)),
         ("apply_kkt (refinement op)", jax.jit(
-            lambda v_, d_, p_: kkt.apply_kkt_matrix(v_, d_, p_, cq)),
-         (v, d, p)),
+            lambda v_, d_, p_, cq_: kkt.apply_kkt_matrix(v_, d_, p_, cq_)),
+         (v, d, p, cq)),
     ]
     print(f"--- kernel bytes (n={n}, msub={msub}; [2m,n] array = "
           f"{2 * msub * n * jnp.dtype(dtype).itemsize / 1e9:.3f} GB)")
