@@ -28,7 +28,7 @@ def main():
     p.add_argument("--algorithm", default="tr", choices=["ip", "tr"])
     p.add_argument("--no-soc", action="store_true",
                    help="disable the second-order correction (shows the "
-                        "Maratos effect: more rejected steps)")
+                        "Maratos effect: more rejected steps; tr only)")
     p.add_argument("-o", "--output", default=None,
                    help="render the iterate path over a contour plot")
     args = p.parse_args()
@@ -58,6 +58,9 @@ def main():
         })
         res = tr.optimize()
     else:
+        if args.no_soc:
+            p.error("--no-soc only applies to --algorithm tr (the "
+                    "second-order correction is a trust-region device)")
         from paropt_tpu.ip import InteriorPoint
         ip = InteriorPoint(prob, {"abs_res_tol": 1e-8,
                                   "write_output_frequency": 1})

@@ -193,10 +193,14 @@ _PALLAS_QN = None
 
 def _use_pallas_qn(state: QNState) -> bool:
     """Fused roll/select/dots kernel gate: same enablement as the quasi-def
-    kernel (single accelerator chip, PAROPT_TPU_PALLAS=0 disables), plus a
+    kernel (single accelerator chip, PAROPT_TPU_PALLAS=0 disables, same
+    PAROPT_TPU_PALLAS_MAX_N size cutoff — custom-call outputs raise peak
+    HBM in the >6M-var regime, see kkt._pallas_max_n), plus a
     lane-alignment/size guard — tiny problems keep the jnp path."""
     global _PALLAS_QN
-    if state.nvars % 256 != 0 or state.nvars < 4096:
+    from .kkt import _pallas_max_n
+    if (state.nvars % 256 != 0 or state.nvars < 4096
+            or state.nvars > _pallas_max_n()):
         return False
     if _PALLAS_QN is None:
         from .pallas_kernels import pallas_qn_enabled

@@ -241,3 +241,33 @@ def test_qn_update_accept_false_is_identity():
     for la, lb in zip(jax.tree_util.tree_leaves(state),
                       jax.tree_util.tree_leaves(new)):
         assert np.array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_qn_update_scaled_accept_gates_z0():
+    """scaled-BFGS: accept=False must freeze z0 along with the history
+    (the caller's rejected-step gate), while accept=True refreshes it even
+    when the curvature test skips the pair."""
+    from paropt_tpu.ops import qn as qnmod
+
+    rng = np.random.default_rng(17)
+    n = 64
+    state = qnmod.qn_init(3, n, qn_type="scaled_bfgs")
+    for _ in range(2):
+        s = jnp.asarray(rng.standard_normal(n))
+        state, _, _ = qnmod.qn_update(state, s, 2.0 * s, z0=2.0)
+    assert float(state.z0) == 2.0
+
+    s = jnp.asarray(rng.standard_normal(n))
+    rejected, _, _ = qnmod.qn_update(state, s, 2.0 * s, z0=5.0,
+                                     accept=jnp.asarray(False))
+    for la, lb in zip(jax.tree_util.tree_leaves(state),
+                      jax.tree_util.tree_leaves(rejected)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+
+    # accepted but curvature-skipped: z0 still refreshes (the reference's
+    # decorator tracks the multiplier independently of the skip test)
+    accepted, skip, _ = qnmod.qn_update(state, s, -2.0 * s, z0=5.0,
+                                        accept=jnp.asarray(True))
+    assert int(skip) == 1
+    assert float(accepted.z0) == 5.0
+    assert np.array_equal(np.asarray(accepted.buf), np.asarray(state.buf))
