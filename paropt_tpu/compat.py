@@ -281,21 +281,60 @@ class InteriorPoint(_InteriorPoint):
         return self.reset_design_and_bounds()
 
 
+# quasi-Newton enum constants (`ParOpt.pyx:52-59`), usable as the
+# update_type / diag_type arguments of LBFGS / LSR1
+SKIP_NEGATIVE_CURVATURE = "skip_negative_curvature"
+DAMPED_UPDATE = "damped_update"
+YTY_OVER_YTS = "yty_over_yts"
+YTS_OVER_STS = "yts_over_sts"
+INNER_PRODUCT_YTY_OVER_YTS = "inner_yty_over_yts"
+INNER_PRODUCT_YTS_OVER_STS = "inner_yts_over_sts"
+
+
 class CompactQuasiNewton:
     """Reference-style limited-memory Hessian object (`ParOpt.pyx:
-    1195-1227`): holds a QNState in a shared holder dict that
-    `InteriorPoint.setQuasiNewton` installs."""
+    1190-1227`): holds a QNState in a shared holder dict that
+    `InteriorPoint.setQuasiNewton` installs, and supports direct
+    `update`/`mult`/`multAdd` driving (the `examples/limited_memory_test`
+    usage mode)."""
 
     _qn_type = "bfgs"
 
-    def __init__(self, problem, subspace: int = 10):
+    def __init__(self, problem, subspace: int = 10,
+                 update_type: str = SKIP_NEGATIVE_CURVATURE,
+                 diag_type: str = YTY_OVER_YTS):
         from .ops.qn import qn_init
         self.holder = {"state": qn_init(subspace, problem.nvars,
-                                        qn_type=self._qn_type)}
+                                        qn_type=self._qn_type,
+                                        update_type=update_type,
+                                        diag_type=diag_type)}
 
     def reset(self):
         from .ops.qn import qn_reset
         self.holder["state"] = qn_reset(self.holder["state"])
+
+    def update(self, s, y):
+        """Apply one (s, y) pair (`ParOpt.pyx:1198-1200`)."""
+        from .ops.qn import qn_update
+        self.holder["state"], skipped, damped = qn_update(
+            self.holder["state"], jnp.asarray(s), jnp.asarray(y))
+        return int(skipped), int(damped)
+
+    def mult(self, x, y=None):
+        """y = B @ x; fills ``y`` in place when given an ndarray
+        (`ParOpt.pyx:1202-1204`), else returns the product."""
+        from .ops.qn import qn_mult
+        out = np.asarray(qn_mult(self.holder["state"], jnp.asarray(x)))
+        if y is not None:
+            y[:] = out
+            return None
+        return out
+
+    def multAdd(self, alpha, x, y):
+        """y += alpha * B @ x (`ParOpt.pyx:1206-1208`)."""
+        from .ops.qn import qn_mult
+        y[:] = np.asarray(y) + alpha * np.asarray(
+            qn_mult(self.holder["state"], jnp.asarray(x)))
 
 
 class LBFGS(CompactQuasiNewton):
@@ -304,8 +343,13 @@ class LBFGS(CompactQuasiNewton):
 
 
 class LSR1(CompactQuasiNewton):
-    """`ParOpt.pyx:1221-1227` role."""
+    """`ParOpt.pyx:1221-1227` role (no update_type: SR1 has a single
+    update rule; the curvature skip test is built in)."""
     _qn_type = "sr1"
+
+    def __init__(self, problem, subspace: int = 10,
+                 diag_type: str = YTY_OVER_YTS):
+        super().__init__(problem, subspace, diag_type=diag_type)
 
 
 def _ip_set_quasi_newton(self, qn):

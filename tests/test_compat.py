@@ -379,3 +379,66 @@ def test_eval_obj_con_shape_error_surfaces():
     ip = InteriorPoint(BadShape(), {"output_file": None})
     with pytest.raises((TypeError, ValueError, RuntimeError)):
         ip.optimize()
+
+
+def test_lbfgs_direct_drive_matches_dense_recursion():
+    """The reference's `examples/limited_memory_test` usage mode: drive an
+    LBFGS/LSR1 object directly with update()/mult()/multAdd() and compare
+    against the dense recursion with the same b0 convention."""
+    rng = np.random.default_rng(12)
+    n = 14
+
+    class Dummy(ParOpt.Problem):
+        def __init__(self):
+            super().__init__(None, nvars=n, ncon=0)
+
+        def getVarsAndBounds(self, x, lb, ub):
+            x[:] = 0.0
+            lb[:] = -1.0
+            ub[:] = 1.0
+
+        def evalObjCon(self, x):
+            return 0, 0.0, []
+
+        def evalObjConGradient(self, x, g, A):
+            g[:] = 0.0
+            return 0
+
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = Q @ np.diag(np.linspace(1.0, 8.0, n)) @ Q.T
+    S = rng.standard_normal((n, n))
+    Y = A @ S
+
+    for cls, kwargs in ((ParOpt.LBFGS, dict(
+            update_type=ParOpt.SKIP_NEGATIVE_CURVATURE)),
+            (ParOpt.LSR1, {})):
+        qn = cls(Dummy(), subspace=n, **kwargs)
+        for i in range(n):
+            qn.update(S[:, i], Y[:, i])
+
+        # dense recursion from B = b0*I with the same stored pairs; b0 is
+        # the compact form's final yty/yts (diag_type YTY_OVER_YTS)
+        s0, y0 = S[:, -1], Y[:, -1]
+        B = (y0 @ y0 / (s0 @ y0)) * np.eye(n)
+        for i in range(n):
+            s, y = S[:, i], Y[:, i]
+            if cls is ParOpt.LBFGS:
+                r = B @ s
+                B += -np.outer(r, r) / (s @ r) + np.outer(y, y) / (y @ s)
+            else:
+                w = y - B @ s
+                B += np.outer(w, w) / (w @ s)
+
+        for _ in range(4):
+            x = rng.standard_normal(n)
+            want = B @ x
+            got = qn.mult(x)
+            rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+            assert rel < 1e-8, (cls.__name__, rel)
+            # multAdd and in-place fill conventions
+            out = np.zeros(n)
+            qn.mult(x, out)
+            assert np.allclose(out, got)
+            acc = np.ones(n)
+            qn.multAdd(0.5, x, acc)
+            assert np.allclose(acc, 1.0 + 0.5 * got)
