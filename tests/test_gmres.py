@@ -97,3 +97,31 @@ def test_fused_nk_matches_host_gmres():
     st = fused.solve(x0, data, (), qn0, None, jit_loop=True)
     assert bool(st.converged)
     assert np.allclose(np.asarray(st.vars.x), [1.0, 1.0], atol=1e-4)
+
+
+def test_nk_phase_rescues_qn_plateau():
+    """Limited-memory quasi-Newton steps plateau above the requested
+    tolerance on the synthetic-topology problem; the Newton-Krylov phase
+    (true Hessian-vector products + preconditioned GMRES, the reference's
+    terminal-convergence device, `ParOptInteriorPoint.cpp:4853-4899`)
+    polishes to tolerance.  The Eisenstat-Walker gamma must be below
+    max_gmres_rtol for NK to engage on a plateau (ratio ~ 1 keeps the
+    forcing term at gamma) — this is the documented tuning recipe."""
+    from paropt_tpu.models.topology import SyntheticTopology
+
+    n = 1024
+    qn_only = InteriorPoint(
+        SyntheticTopology(n=n, block=8, dtype=jnp.float64),
+        {"output_file": None, "abs_res_tol": 1e-6, "max_major_iters": 40})
+    res = qn_only.optimize()
+    assert not res["converged"]          # the plateau (res ~ 1e-4)
+    assert res["res_norm"] > 1e-5
+
+    nk = InteriorPoint(
+        SyntheticTopology(n=n, block=8, dtype=jnp.float64),
+        {"output_file": None, "abs_res_tol": 1e-6, "max_major_iters": 60,
+         "use_hvec_product": True, "gmres_subspace_size": 25,
+         "eisenstat_walker_gamma": 0.05, "nk_switch_tol": 1e-3})
+    res2 = nk.optimize()
+    assert res2["converged"], res2
+    assert res2["res_norm"] < 1e-6
