@@ -336,19 +336,25 @@ def _chol_solve_blocks(chol, b):
 
 
 def _pallas_qd_enabled() -> bool:
-    """Use the fused Pallas quasi-def kernel.  DEFAULT-ON on a single
-    accelerator chip (set PAROPT_TPU_PALLAS=0 to force the jnp path):
-    back-to-back interleaved A/B on TPU v5e at 1M vars / msub=10 /
-    tol=1e-6 / refinement off measured 177.6 vs 142.4 it/s median and
-    3.77 vs 4.30 GB/step — the kernel fuses the whole [K, n] batched
-    quasi-definite chain (the SMW Phi formation in the factor is the
-    dominant consumer) into one read-compute-write sweep.  (At the old
-    1e-4 operating point with refinement the jnp path had been marginally
-    ahead; the byte mix changed.)  Single chip only — sharded inputs
-    would need a shard_map wrapper."""
+    """Use the fused Pallas quasi-def kernel.  OPT-IN since the zero-copy
+    QN compact landed (set PAROPT_TPU_PALLAS_QD=1 to enable on a single
+    accelerator chip; PAROPT_TPU_PALLAS=0 still disables all kernels).
+
+    History of this default — the winner flips with the step's byte mix,
+    so re-run scripts/ab_matrix.py after byte-mix changes:
+    - round 1 (1e-4 tol + refinement): jnp ahead, kernel opt-in;
+    - round 2 (1e-6, refinement off): kernel won 177.6 vs 142.4 it/s,
+      default-on;
+    - round 2 after the QN-roll kernel + zero-copy compact: the jnp path
+      fuses the factor's Phi chain with the raw [2m, n] ring buffer and
+      wins the 4-way interleaved A/B (qd off/qn on 209.9 vs qd on/qn on
+      194.9 it/s median; visible bytes 3.29 vs 3.03+hidden) — kernel
+      back to opt-in.
+    Single chip only — sharded inputs would need a shard_map wrapper."""
     import os
-    flag = os.environ.get("PAROPT_TPU_PALLAS")
-    if flag is not None and flag not in ("1", "true", "on"):
+    if os.environ.get("PAROPT_TPU_PALLAS") in ("0", "false", "off"):
+        return False
+    if os.environ.get("PAROPT_TPU_PALLAS_QD") not in ("1", "true", "on"):
         return False
     try:
         return (jax.default_backend() != "cpu"

@@ -47,9 +47,12 @@ def pallas_available() -> bool:
 
 
 def pallas_qn_enabled() -> bool:
-    """Use the fused Pallas quasi-Newton roll/dot kernel.  Same gate as the
-    quasi-def kernel (`ops/kkt.py::_pallas_qd_enabled`): default-on on a
+    """Use the fused Pallas quasi-Newton roll/dot kernel: DEFAULT-ON on a
     single accelerator chip, PAROPT_TPU_PALLAS=0 forces the jnp path.
+    (Unlike the quasi-def kernel, which is opt-in via
+    PAROPT_TPU_PALLAS_QD=1: the 4-way A/B in scripts/ab_matrix.py shows
+    the roll kernel wins in every combination while the quasi-def kernel
+    lost its edge once the zero-copy compact landed.)
     Single chip only — sharded S/Y would need a shard_map wrapper."""
     import os
     flag = os.environ.get("PAROPT_TPU_PALLAS")

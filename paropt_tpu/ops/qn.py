@@ -192,10 +192,10 @@ _PALLAS_QN = None
 
 
 def _use_pallas_qn(state: QNState) -> bool:
-    """Fused roll/select/dots kernel gate: same enablement as the quasi-def
-    kernel (single accelerator chip, PAROPT_TPU_PALLAS=0 disables, same
-    PAROPT_TPU_PALLAS_MAX_N size cutoff — custom-call outputs raise peak
-    HBM in the >6M-var regime, see kkt._pallas_max_n), plus a
+    """Fused roll/select/dots kernel gate: DEFAULT-ON on a single
+    accelerator chip (PAROPT_TPU_PALLAS=0 disables), with the shared
+    PAROPT_TPU_PALLAS_MAX_N size cutoff (custom-call outputs raise peak
+    HBM in the >6M-var regime, see kkt._pallas_max_n) plus a
     lane-alignment/size guard — tiny problems keep the jnp path."""
     global _PALLAS_QN
     from .kkt import _pallas_max_n
