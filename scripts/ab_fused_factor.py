@@ -16,6 +16,11 @@ from _ab_common import run_ab  # noqa: E402
 
 
 def toggle(on: bool):
+    # the fused factor is a pallas-qd variant: setup_kkt_factor also checks
+    # the quasi-def gate (opt-in since the zero-copy compact), so force it
+    # on for the ON variant or the two variants would be identical
+    from paropt_tpu.ops import kkt
+    kkt._PALLAS_QD = on
     os.environ["PAROPT_TPU_FUSED_FACTOR"] = "1" if on else "0"
 
 
