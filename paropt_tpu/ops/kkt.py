@@ -352,7 +352,10 @@ def _pallas_qd_enabled() -> bool:
       back to opt-in.
     Single chip only — sharded inputs would need a shard_map wrapper."""
     import os
-    if os.environ.get("PAROPT_TPU_PALLAS") in ("0", "false", "off"):
+    # same PAROPT_TPU_PALLAS truth table as pallas_qn_enabled: any value
+    # other than unset/"1"/"true"/"on" disables every kernel
+    flag = os.environ.get("PAROPT_TPU_PALLAS")
+    if flag is not None and flag not in ("1", "true", "on"):
         return False
     if os.environ.get("PAROPT_TPU_PALLAS_QD") not in ("1", "true", "on"):
         return False

@@ -181,10 +181,13 @@ def qn_mult(state: QNState, x: jnp.ndarray,
 
 def _new_b0(state: QNState, s, y, yTs, yTy, sTs):
     dt = state.diag_type
-    if dt in ("yty_over_yts", "inner_yty_over_yts"):
-        val = yTy / yTs
-    else:  # yts_over_sts, inner_yts_over_sts
+    # reference quirk preserved (`ParOptQuasiNewton.cpp:200-203`): ONLY the
+    # exact 'yts_over_sts' selects yTs/sTs — 'inner_yts_over_sts' falls
+    # through the else branch to yTy/yTs like the other two types
+    if dt == "yts_over_sts":
         val = yTs / sTs
+    else:  # yty_over_yts, inner_yty_over_yts, inner_yts_over_sts
+        val = yTy / yTs
     return jnp.where(yTs > 0.0, val, state.b0)
 
 

@@ -17,10 +17,12 @@ from _ab_common import run_ab  # noqa: E402
 
 def toggle(on: bool):
     # the fused factor is a pallas-qd variant: setup_kkt_factor also checks
-    # the quasi-def gate (opt-in since the zero-copy compact), so force it
-    # on for the ON variant or the two variants would be identical
+    # the quasi-def gate (opt-in since the zero-copy compact).  Force the
+    # qd kernel ON in BOTH variants so this A/B isolates the factor-setup
+    # strategy alone — flipping both at once would contaminate the verdict
+    # with the per-solve qd-apply delta (which ab_matrix measures).
     from paropt_tpu.ops import kkt
-    kkt._PALLAS_QD = on
+    kkt._PALLAS_QD = True
     os.environ["PAROPT_TPU_FUSED_FACTOR"] = "1" if on else "0"
 
 

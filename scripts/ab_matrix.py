@@ -49,6 +49,14 @@ def main():
         print(f"qd={key[0]!s:5} qn={key[1]!s:5}: "
               f"median {vals[len(vals)//2]:7.1f} it/s "
               f"(min {vals[0]:.1f}, max {vals[-1]:.1f})", flush=True)
+    # convergence sanity: all variants must compute the same trajectory —
+    # a plausible-looking it/s table means nothing if a kernel silently
+    # diverges at a new byte mix
+    for key, (rk, st, _, iters) in variants.items():
+        out = rk(st)
+        print(f"qd={key[0]!s:5} qn={key[1]!s:5}: after {iters} steps "
+              f"res {float(out.res_norm):.3e} fobj {float(out.fobj):.6e}",
+              flush=True)
 
 
 if __name__ == "__main__":

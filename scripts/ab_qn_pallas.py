@@ -1,7 +1,11 @@
 """Back-to-back A/B: fused step with the Pallas quasi-Newton roll kernel on
 vs off (one process, same device, interleaved windows — see _ab_common).
-The quasi-def Pallas kernel stays at its default (ON single-chip) in both
-variants, so this isolates the qn_update change.
+The quasi-def Pallas kernel stays at its DEFAULT in both variants, so this
+isolates the qn_update change.  NOTE: that default flipped to OFF
+(opt-in, PAROPT_TPU_PALLAS_QD) after the zero-copy compact — the
+historical 198.6-vs-188.5 BASELINE row was taken with the qd kernel ON,
+so new runs are not directly comparable to it; use scripts/ab_matrix.py
+for the full 4-way picture.
 """
 
 import os
