@@ -369,6 +369,15 @@ def _pallas_qd_enabled() -> bool:
 _PALLAS_QD = None
 
 
+def _pallas_min_batch() -> int:
+    """Minimum multi-RHS batch for the Pallas quasi-def apply (the [2m+1, n]
+    SMW Phi formation qualifies at the default; single-RHS solves stay in
+    XLA, which fuses them into their consumers).  Env-overridable for
+    experiments (PAROPT_TPU_PALLAS_MIN_BATCH)."""
+    import os
+    return int(os.environ.get("PAROPT_TPU_PALLAS_MIN_BATCH", 8))
+
+
 def _pallas_max_n() -> int:
     """Size cutoff for the Pallas quasi-def kernel: its batched output
     raises peak HBM, and a 16.7M-var whole-solve OOMs a 16GB v5e with the
@@ -388,8 +397,15 @@ def quasi_def_solve(f: "KKTFactor", d: ProblemData, bx, bw):
     global _PALLAS_QD
     if d.nwcon == 0:
         return f.Dinv * bx, bw
+    # batch size of this apply: the kernel only pays for LARGE multi-RHS
+    # batches (the [2m+ncon, n] SMW Phi formation); small applies fuse
+    # better in XLA (scripts/ab_matrix.py history)
+    batch = 1
+    for dim in bx.shape[:-1]:
+        batch *= dim
     if (d.Aw_layout == "blocked_t" and d.nwblock == 1
-            and f.csr_solver is None and d.n <= _pallas_max_n()):
+            and f.csr_solver is None and d.n <= _pallas_max_n()
+            and batch >= _pallas_min_batch()):
         if _PALLAS_QD is None:
             _PALLAS_QD = _pallas_qd_enabled()
         if _PALLAS_QD:
