@@ -271,3 +271,64 @@ def test_qn_update_scaled_accept_gates_z0():
     assert int(skip) == 1
     assert float(accepted.z0) == 5.0
     assert np.array_equal(np.asarray(accepted.buf), np.asarray(state.buf))
+
+
+def test_quasi_def_min_batch_threshold(monkeypatch):
+    """The opt-in Pallas quasi-def apply only engages for multi-RHS batches
+    >= PAROPT_TPU_PALLAS_MIN_BATCH; small solves stay in XLA, and both
+    paths agree where the kernel does engage."""
+    from paropt_tpu.ops import pallas_kernels as pk
+
+    monkeypatch.setattr(kkt, "_PALLAS_QD", True)
+    calls = []
+    orig = pk.quasi_def_apply_blocked_t
+
+    def spy(dinv, cwinv, vals, bx3, bw, interpret=False):
+        calls.append(bx3.shape[0])
+        return orig(dinv, cwinv, vals, bx3, bw, interpret=True)
+
+    monkeypatch.setattr(pk, "quasi_def_apply_blocked_t", spy)
+
+    rng = np.random.default_rng(3)
+    k, nwcon = 4, 128
+    n = k * nwcon
+    cols = (np.arange(nwcon, dtype=np.int32)[:, None]
+            + np.arange(k, dtype=np.int32)[None, :] * nwcon)
+    vals = jnp.asarray(rng.standard_normal((nwcon, k)))
+    d = kkt.ProblemData(
+        g=jnp.zeros(n), A=jnp.zeros((0, n)), c=jnp.zeros(0),
+        cw=jnp.zeros(nwcon), lb=jnp.full(n, -1.0), ub=jnp.full(n, 1.0),
+        lb_mask=jnp.ones(n), ub_mask=jnp.ones(n),
+        gamma_s=jnp.zeros(0), gamma_t=jnp.zeros(0),
+        gamma_sw=jnp.zeros(nwcon), gamma_tw=jnp.full(nwcon, 1e3),
+        Aw_cols=jnp.asarray(cols), Aw_vals=vals, nwblock=1,
+        Aw_layout="blocked_t")
+    Dinv = jnp.asarray(rng.uniform(0.5, 2.0, n))
+    C0 = jnp.asarray(rng.uniform(0.5, 1.5, nwcon))
+    Cw = C0.reshape(-1, 1, 1) + d.Aw_inner_blocks(Dinv)
+    f = kkt.KKTFactor(Dinv=Dinv, Gamma=None, C0=C0, Cw_chol=jnp.sqrt(Cw),
+                      Xa=None, Wa=None, G_lu=None, Zqn=None, Phi_x=None,
+                      Phi_z=None, Phi_w=None, Ce_inv=None)
+
+    # small batch: jnp path only
+    bx = jnp.asarray(rng.standard_normal((3, n)))
+    bw = jnp.asarray(rng.standard_normal((3, nwcon)))
+    kkt.quasi_def_solve(f, d, bx, bw)
+    assert calls == []
+
+    # large batch: kernel path, identical to jnp
+    bx = jnp.asarray(rng.standard_normal((12, n)))
+    bw = jnp.asarray(rng.standard_normal((12, nwcon)))
+    yx_pl, yw_pl = kkt.quasi_def_solve(f, d, bx, bw)
+    assert calls == [12]
+    monkeypatch.setattr(kkt, "_PALLAS_QD", False)
+    yx_ref, yw_ref = kkt.quasi_def_solve(f, d, bx, bw)
+    assert np.allclose(np.asarray(yx_pl), np.asarray(yx_ref), atol=1e-11)
+    assert np.allclose(np.asarray(yw_pl), np.asarray(yw_ref), atol=1e-11)
+
+    # env override recovers the all-batches behavior
+    monkeypatch.setattr(kkt, "_PALLAS_QD", True)
+    monkeypatch.setenv("PAROPT_TPU_PALLAS_MIN_BATCH", "1")
+    calls.clear()
+    kkt.quasi_def_solve(f, d, bx[:2], bw[:2])
+    assert calls == [2]
