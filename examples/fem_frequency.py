@@ -1,0 +1,65 @@
+"""Frequency-constrained SIMP topology optimization via the compact
+eigenvalue-approximation trust-region path (reference analogue:
+`examples/eigenvalue/eigenvalue_opt.py`, on the topology workload).
+
+    min   mass(x)
+    s.t.  KS min natural frequency >= freq_fraction * lam1(full material)
+
+Usage:  python examples/fem_frequency.py [--nex 32 --ney 16 --N 6]
+"""
+
+import argparse
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from paropt_tpu.models.fem_frequency import FrequencyTopology
+from paropt_tpu.eig import CompactEigenApprox, EigenQuasiNewton, \
+    EigenSubproblem
+from paropt_tpu.tr import TrustRegion
+from paropt_tpu.ops import qn as qnmod
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nex", type=int, default=32)
+    ap.add_argument("--ney", type=int, default=16)
+    ap.add_argument("--N", type=int, default=6)
+    ap.add_argument("--freq-fraction", type=float, default=0.5)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--cg-iters", type=int, default=300)
+    args = ap.parse_args()
+
+    prob = FrequencyTopology(nex=args.nex, ney=args.ney, N=args.N,
+                             freq_fraction=args.freq_fraction,
+                             cg_iters=args.cg_iters)
+    n = prob.nvars
+    eigh = CompactEigenApprox(nvars=n, N=prob.N)
+    eqn = EigenQuasiNewton(qnmod.qn_init(10, n), eigh, index=0)
+    sub = EigenSubproblem(prob, eqn)
+    sub.set_eigen_model_update(prob.update_eigen_model)
+
+    x0, _, _ = prob.get_vars_and_bounds()
+    _, c0 = prob.eval_obj_con(x0)
+    _, A0 = prob.eval_obj_con_gradient(x0)
+    eigh.set_approximation(c0=c0[0], g0=A0[0])
+    prob.update_eigen_model(x0, eigh)
+
+    opts = {"tr_output_file": "fem_frequency.tr", "output_file": None,
+            "tr_max_iterations": args.iters, "tr_init_size": 0.05,
+            "tr_max_size": 0.2, "tr_min_size": 1e-6, "abs_res_tol": 1e-8,
+            "tr_l1_tol": 1e-4, "tr_linfty_tol": 1e-4,
+            "tr_adaptive_gamma_update": True, "penalty_gamma": 10.0}
+    t0 = time.time()
+    res = TrustRegion(prob, opts, subproblem=sub).optimize()
+    x = res["x"]
+    freqs = prob.frequencies(x)
+    print("converged=%s  wall=%.1fs" % (res["converged"], time.time() - t0))
+    print("mass: %.4f (from 1.0)" % float(jnp.mean(prob.fem._filter(x))))
+    print("target freq: %.6e  achieved lowest: %s"
+          % (np.sqrt(prob.lam_target), freqs))
+
+
+if __name__ == "__main__":
+    main()

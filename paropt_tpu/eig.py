@@ -46,14 +46,23 @@ class CompactEigenApprox:
         self.Minv = jnp.eye(N, dtype=dtype)
         self.hvecs = jnp.zeros((N, nvars), dtype)
 
-    def set_approximation(self, c0=None, g0=None, M=None, hvecs=None):
+    def set_approximation(self, c0=None, g0=None, M=None, hvecs=None,
+                          Minv=None):
+        """Mirror of ``setApproximationValues(c0, M, Minv)``
+        (`ParOptCompactEigenvalueApprox.cpp:118-133`): the reference takes the
+        inverse explicitly because KS curvature matrices are singular (rank
+        N−1) and need a pseudo-inverse. When ``Minv`` is omitted it is derived
+        with ``pinv`` (which equals ``inv`` for nonsingular M)."""
         if c0 is not None:
             self.c0 = jnp.asarray(c0)
         if g0 is not None:
             self.g0 = jnp.asarray(g0)
         if M is not None:
             self.M = jnp.asarray(M)
-            self.Minv = jnp.linalg.inv(self.M)
+            self.Minv = (jnp.asarray(Minv) if Minv is not None
+                         else jnp.linalg.pinv(self.M))
+        elif Minv is not None:
+            self.Minv = jnp.asarray(Minv)
         if hvecs is not None:
             self.hvecs = jnp.asarray(hvecs)
 

@@ -1,0 +1,215 @@
+"""Frequency-constrained SIMP topology optimization — the compact
+eigenvalue-approximation path (`ParOptCompactEigenvalueApprox.{h,cpp}`,
+`examples/eigenvalue/eigenvalue_opt.py`) exercised on the reference's real
+workload class (continuum topology), TPU-first:
+
+    min   mass(x) = mean(xf)
+    s.t.  KS_min(lam(x)) >= lam_target            (one dense constraint)
+          lb <= x <= 1
+
+where lam are the N lowest natural-frequency eigenvalues of the generalized
+problem  K(x) phi = lam M(x) phi  on a 2-D plane-stress cantilever
+(K: SIMP-penalized stiffness, M: lumped diagonal mass), aggregated with a
+Kreisselmeier–Steinhauser minimum over the normalized gaps
+g_i = (lam_i - lam_target)/lam_target:
+
+    KS = min_i g_i - log(sum_i exp(-rho (g_i - min g))) / rho  >= 0.
+
+TPU-first implementation choices:
+
+- **Matrix-free shift-inverted LOBPCG**: the N lowest eigenpairs come from
+  the LARGEST eigenvalues of S = M^{1/2} K^{-1} M^{1/2} (lam = 1/mu,
+  v = M^{1/2} phi so unit v gives the M-normalization phi' M phi = 1).
+  S is applied as (sqrt-mass scale) ∘ (blocked diagonal-preconditioned CG)
+  ∘ (sqrt-mass scale) — each CG matvec is the same [ne, 8] batched element
+  matmul (MXU) as the static path; `lobpcg_standard` block iterations are
+  matmul-shaped. No matrix is ever assembled.
+- **Analytic eigenvalue sensitivities** (no differentiation through the
+  eigensolve): dlam_i/dxf_e = phi_e' dK_e phi_e - lam_i phi_e' dM_e phi_e,
+  both element-local batched contractions; the linear density filter is
+  chained by one vjp.
+- The per-point eigensolve is ONE jitted XLA computation returning
+  (lam[N], W[N, nvars]); the cheap KS reduction runs host-side in f64 so
+  the aggregate is overflow-safe at large rho.
+
+Use with the eigenvalue trust-region path (mirrors
+`eigenvalue_opt.py:281-306`):
+
+    prob = FrequencyTopology(...)
+    eigh = CompactEigenApprox(prob.nvars, N=prob.N)
+    eqn = EigenQuasiNewton(qn_init(10, prob.nvars), eigh, index=0)
+    sub = EigenSubproblem(prob, eqn)
+    sub.set_eigen_model_update(prob.update_eigen_model)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.sparse.linalg import lobpcg_standard
+
+from ..problem import Problem
+from .fem_topology import FEMTopology
+
+__all__ = ["FrequencyTopology"]
+
+
+class FrequencyTopology(Problem):
+    def __init__(self, nex: int = 32, ney: int = 16, N: int = 6,
+                 ks_rho: float = 30.0, freq_fraction: float = 0.5,
+                 rho_min: float = 0.025, lb: float = 0.05,
+                 cg_iters: int = 200, lobpcg_iters: int = 60,
+                 filter_radius: int = 1, dtype=None, seed: int = 0):
+        super().__init__(nvars=nex * ney, ncon=1)
+        from ..dtypes import resolve_dtype
+        dt = resolve_dtype(dtype)
+        self._dtype = dt
+        # reuse the static model's mesh/element/CG machinery (composition,
+        # like DMOFEMTopology)
+        self.fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg_iters,
+                               filter_radius=filter_radius, dtype=dt)
+        self.N = N
+        self.ks_rho = float(ks_rho)
+        self.rho_min = float(rho_min)
+        self.lb = float(lb)
+        self.lobpcg_iters = int(lobpcg_iters)
+
+        # deterministic LOBPCG start block, zeroed on fixed dofs
+        rng = np.random.default_rng(seed)
+        X0 = rng.standard_normal((self.fem.ndof, N))
+        X0[np.asarray(self.fem.fixed_mask) > 0, :] = 0.0
+        self._X0 = jnp.asarray(X0, dt)
+
+        self._eig_fn = jax.jit(self._make_eig_fn())
+        self._cache = {}
+
+        # frequency target: a fraction of the full-material fundamental
+        # eigenvalue, so x0 = 1 is strictly feasible and mass can be cut
+        # until the constraint activates
+        x0 = jnp.ones(self.nvars, dt)
+        lam_full, _ = self._eig_fn(x0)
+        self.lam_target = freq_fraction * float(lam_full[0])
+
+    # -- eigensolve ------------------------------------------------------
+    def _mass_diag(self, xf):
+        """Lumped mass diagonal: element mass rho_e (unit area) split over
+        its 4 nodes, applied to both dofs of each node."""
+        rho = self.rho_min + xf * (1.0 - self.rho_min)
+        contrib = jnp.repeat(rho / 4.0, 8)
+        m = jnp.zeros(self.fem.ndof, self._dtype).at[
+            self.fem.edofs.reshape(-1)].add(contrib)
+        return jnp.where(self.fem.fixed_mask > 0, 0.0, m)
+
+    def _make_eig_fn(self):
+        fem = self.fem
+        hi = jax.lax.Precision.HIGHEST
+
+        def simp(xf):
+            return fem.emin + xf ** fem.penal * (fem.e0 - fem.emin)
+
+        def eig_fn(x):
+            xf, filt_vjp = jax.vjp(fem._filter, x)
+            E = simp(xf)
+            m = self._mass_diag(xf)
+            msqrt = jnp.sqrt(m)
+
+            def S(vblock):                      # [ndof, k] -> [ndof, k]
+                b = msqrt[:, None] * vblock
+                u = jax.vmap(lambda col: fem._cg(E, col),
+                             in_axes=1, out_axes=1)(b)
+                return msqrt[:, None] * u
+
+            mu, V, _ = lobpcg_standard(S, self._X0, m=self.lobpcg_iters)
+            lam = 1.0 / mu                      # ascending: lam[0] smallest
+            # phi = M^{-1/2} v; unit v gives phi' M phi = 1
+            phi = jnp.where(msqrt[:, None] > 0, V / msqrt[:, None], 0.0)
+
+            # analytic sensitivities, element-local:
+            #   dlam/dxf_e = dE_e (phi_e' k0 phi_e) - lam (drho/4) sum phi_e^2
+            phie = phi.T[:, fem.edofs]          # [N, ne, 8]
+            kterm = jnp.sum(jnp.matmul(phie, fem.KE, precision=hi) * phie,
+                            axis=-1)            # [N, ne]
+            mterm = jnp.sum(phie * phie, axis=-1) / 4.0
+            dE = fem.penal * xf ** (fem.penal - 1.0) * (fem.e0 - fem.emin)
+            Wf = dE[None, :] * kterm \
+                - lam[:, None] * (1.0 - self.rho_min) * mterm
+            W = jax.vmap(lambda w: filt_vjp(w)[0])(Wf)   # chain the filter
+            return lam, W
+
+        return eig_fn
+
+    def _eval(self, x):
+        """Cached per-point eigensolve + host-side f64 KS reduction."""
+        x = jnp.asarray(x, self._dtype)
+        key = np.asarray(x).tobytes()
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        lam, W = self._eig_fn(x)
+        lam64 = np.asarray(lam, np.float64)
+        g = (lam64 - self.lam_target) / self.lam_target
+        gmin = g.min()
+        eta = np.exp(-self.ks_rho * (g - gmin))
+        beta = eta.sum()
+        eta /= beta
+        ks = gmin - np.log(beta) / self.ks_rho
+        dks = (eta @ np.asarray(W, np.float64)) / self.lam_target
+        out = {"lam": lam64, "W": np.asarray(W, np.float64),
+               "ks": ks, "dks": dks, "eta": eta}
+        # keep only the two live points (current + trial)
+        if len(self._cache) >= 2:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = out
+        return out
+
+    # -- Problem surface (reference-style overrides: the constraint is not
+    #    autodiff-able through the eigensolve) ---------------------------
+    def objective(self, x):
+        return jnp.mean(self.fem._filter(x))
+
+    def eval_obj_con(self, x):
+        ev = self._eval(x)
+        return self.objective(x), jnp.asarray([ev["ks"]], self._dtype)
+
+    def eval_obj_con_gradient(self, x):
+        ev = self._eval(x)
+        g = jax.grad(self.objective)(jnp.asarray(x, self._dtype))
+        A = jnp.asarray(ev["dks"], self._dtype)[None, :]
+        return g, A
+
+    def get_vars_and_bounds(self):
+        n = self.nvars
+        return (jnp.ones(n, self._dtype), jnp.full(n, self.lb, self._dtype),
+                jnp.ones(n, self._dtype))
+
+    # -- eigen-model refresh callback (`updateModel`,
+    #    eigenvalue_opt.py:269-306 analogue) -----------------------------
+    def update_eigen_model(self, x, eigh) -> None:
+        """Refresh the low-rank quadratic KS model at an accepted point:
+        hvecs = per-eigenvalue gradients W, M = KS curvature w.r.t. the
+        eigenvalues, rho/lam_t^2 (eta eta' - diag eta)  (rank N-1, NSD).
+
+        The inverse is REGULARIZED, not pinv'd: when one mode dominates,
+        eta collapses and M's entries underflow toward 0, so a raw
+        pinv produces ~1/eps entries that overflow the compact-form block
+        solves (observed: NaN objective model at x0). Clamping M's (all
+        non-positive) eigenvalues at -floor keeps Minv NSD and bounded, so
+        the merged Hessian contribution -z0 h'Mh stays PSD and finite —
+        the regularization only adds a negligible curvature floor in
+        directions where the KS aggregate is genuinely linear."""
+        ev = self._eval(x)
+        eta = ev["eta"]
+        scale = self.ks_rho / self.lam_target ** 2
+        M = scale * (np.outer(eta, eta) - np.diag(eta))
+        e, Q = np.linalg.eigh(0.5 * (M + M.T))
+        e = np.minimum(e, -1e-8 * scale)
+        Minv = (Q / e) @ Q.T
+        eigh.set_approximation(M=jnp.asarray(M, self._dtype),
+                               Minv=jnp.asarray(Minv, self._dtype),
+                               hvecs=jnp.asarray(ev["W"], self._dtype))
+
+    # -- reporting -------------------------------------------------------
+    def frequencies(self, x):
+        """The N lowest natural frequencies sqrt(lam) at x."""
+        return np.sqrt(np.maximum(self._eval(x)["lam"], 0.0))

@@ -140,11 +140,17 @@ class FEMTopology(Problem):
     def _solve(self, E):
         """Diagonal-preconditioned CG on K(E) u = f (fixed iteration count —
         jit/TPU friendly)."""
+        return self._cg(E, self.f)
+
+    def _cg(self, E, b, iters=None):
+        """Diagonal-preconditioned CG on K(E) u = b for a general RHS
+        (fixed dofs are zeroed). Reused by the frequency model's
+        shift-inverted eigensolve."""
         diag = jnp.zeros(self.ndof, self._dtype).at[
             self.edofs.reshape(-1)].add(
             (jnp.diag(self.KE)[None, :] * E[:, None]).reshape(-1))
         diag = jnp.where(self.fixed_mask > 0, 1.0, jnp.maximum(diag, 1e-12))
-        b = jnp.where(self.fixed_mask > 0, 0.0, self.f)
+        b = jnp.where(self.fixed_mask > 0, 0.0, b)
 
         # CG scalars need full-precision reductions: on TPU, default-precision
         # f32 dots take bf16 inputs, and on the ill-conditioned SIMP system
@@ -175,7 +181,8 @@ class FEMTopology(Problem):
         u0 = jnp.zeros(self.ndof, self._dtype)
         z0 = b / diag
         carry = (u0, b, z0, jnp.vdot(b, z0, precision=hi))
-        u, r, _, _ = jax.lax.fori_loop(0, self.cg_iters, body, carry)
+        niter = self.cg_iters if iters is None else iters
+        u, r, _, _ = jax.lax.fori_loop(0, niter, body, carry)
         return u
 
     def _make_compliance(self):
