@@ -50,7 +50,9 @@ def main():
     fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
                              prob.nwblock, opts, dtype=dtype)
     data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
-    qn0 = qnmod.qn_init(10, prob.nvars, dtype=dtype)
+    # shipping storage policy: bf16 ring buffer/Phi at f32 on accelerator
+    qn0 = qnmod.qn_init(10, prob.nvars, dtype=dtype,
+                        storage_dtype=qnmod.default_storage_dtype(dtype))
 
     t0 = time.time()
     state = fused.init(x0, data, (), qn0, None)

@@ -15,10 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from paropt_tpu.models.fem_frequency import FrequencyTopology
-from paropt_tpu.eig import CompactEigenApprox, EigenQuasiNewton, \
-    EigenSubproblem
 from paropt_tpu.tr import TrustRegion
-from paropt_tpu.ops import qn as qnmod
 
 
 def main():
@@ -34,17 +31,7 @@ def main():
     prob = FrequencyTopology(nex=args.nex, ney=args.ney, N=args.N,
                              freq_fraction=args.freq_fraction,
                              cg_iters=args.cg_iters)
-    n = prob.nvars
-    eigh = CompactEigenApprox(nvars=n, N=prob.N)
-    eqn = EigenQuasiNewton(qnmod.qn_init(10, n), eigh, index=0)
-    sub = EigenSubproblem(prob, eqn)
-    sub.set_eigen_model_update(prob.update_eigen_model)
-
-    x0, _, _ = prob.get_vars_and_bounds()
-    _, c0 = prob.eval_obj_con(x0)
-    _, A0 = prob.eval_obj_con_gradient(x0)
-    eigh.set_approximation(c0=c0[0], g0=A0[0])
-    prob.update_eigen_model(x0, eigh)
+    sub, eigh = prob.build_tr_subproblem(msub=10)
 
     opts = {"tr_output_file": "fem_frequency.tr", "output_file": None,
             "tr_max_iterations": args.iters, "tr_init_size": 0.05,

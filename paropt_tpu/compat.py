@@ -304,10 +304,12 @@ class CompactQuasiNewton:
                  update_type: str = SKIP_NEGATIVE_CURVATURE,
                  diag_type: str = YTY_OVER_YTS):
         from .ops.qn import qn_init
-        self.holder = {"state": qn_init(subspace, problem.nvars,
-                                        qn_type=self._qn_type,
-                                        update_type=update_type,
-                                        diag_type=diag_type)}
+        from .dtypes import resolve_dtype
+        from .ops.qn import default_storage_dtype
+        self.holder = {"state": qn_init(
+            subspace, problem.nvars, qn_type=self._qn_type,
+            update_type=update_type, diag_type=diag_type,
+            storage_dtype=default_storage_dtype(resolve_dtype(None)))}
 
     def reset(self):
         from .ops.qn import qn_reset

@@ -126,7 +126,9 @@ class EigenQuasiNewton:
         if self.qn is not None and self.use_quasi_newton_objective:
             b0, Zq, Mq = qnmod.qn_compact(self.qn)
             K = Zq.shape[0]
-            Z = jnp.concatenate([Zq, eigh.hvecs], axis=0)
+            # upcast narrow-storage QN buffers for the concat with the
+            # (full-precision) eigen hvecs — the merged stack is small-N
+            Z = jnp.concatenate([Zq.astype(dtype), eigh.hvecs], axis=0)
             M = jnp.zeros((K + N, K + N), dtype)
             M = M.at[:K, :K].set(Mq).at[K:, K:].set(Me)
         else:

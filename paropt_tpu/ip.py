@@ -40,6 +40,15 @@ from .ops import kkt
 from .ops.kkt import IPVars, ProblemData
 from .ops import qn as qnmod
 from .ops.veclib import multi_norm
+
+
+def _resolve_qn_storage(opt_value: str, compute_dtype):
+    """Map the `qn_storage_dtype` option to a qn_init storage dtype."""
+    if opt_value == "bfloat16":
+        return jnp.bfloat16
+    if opt_value == "auto":
+        return qnmod.default_storage_dtype(compute_dtype)
+    return None
 from .utils.logging import IPLogger
 from .utils.options import OptionRegistry, make_options
 
@@ -398,9 +407,10 @@ class InteriorPoint:
         if msub <= 0:
             self.qn = None
             return
+        storage = _resolve_qn_storage(o["qn_storage_dtype"], self.dtype)
         self.qn = qnmod.qn_init(
             msub, self.problem.nvars, dtype=self.dtype,
-            qn_type=qt,
+            qn_type=qt, storage_dtype=storage,
             update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])
 
     def set_quasi_newton_holder(self, holder: Dict[str, Any]):

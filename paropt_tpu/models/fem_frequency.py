@@ -209,6 +209,38 @@ class FrequencyTopology(Problem):
                                Minv=jnp.asarray(Minv, self._dtype),
                                hvecs=jnp.asarray(ev["W"], self._dtype))
 
+    # -- subproblem wiring -------------------------------------------------
+    def build_tr_subproblem(self, msub: int = 10):
+        """Wire the eigenvalue TR subproblem (`eigenvalue_opt.py:281-306`
+        boilerplate) with the model refreshed at x0.
+
+        The inner quasi-Newton starts from b0 = 1/nvars, NOT the default 1:
+        the mass objective is LINEAR with per-element gradient 1/nvars, so
+        while the frequency constraint is slack the Lagrangian gradient
+        change y is ~0, every curvature update is skipped, and b0 never
+        adapts — with b0 = 1 the inner QP then takes gradient-sized
+        (1/nvars) steps and the descent rate scales as 1/nvars (observed:
+        a 48x24 mesh crawling at 1e-3 mass per TR iteration).  Matching b0
+        to the gradient scale makes the early, constraint-slack phase take
+        trust-region-sized steps."""
+        from ..eig import CompactEigenApprox, EigenQuasiNewton, \
+            EigenSubproblem
+        from ..ops import qn as qnmod
+
+        eigh = CompactEigenApprox(nvars=self.nvars, N=self.N,
+                                  dtype=self._dtype)
+        qn0 = qnmod.qn_init(msub, self.nvars, dtype=self._dtype,
+                            b0=1.0 / self.nvars)
+        eqn = EigenQuasiNewton(qn0, eigh, index=0)
+        sub = EigenSubproblem(self, eqn)
+        sub.set_eigen_model_update(self.update_eigen_model)
+        x0, _, _ = self.get_vars_and_bounds()
+        _, c0 = self.eval_obj_con(x0)
+        _, A0 = self.eval_obj_con_gradient(x0)
+        eigh.set_approximation(c0=c0[0], g0=A0[0])
+        self.update_eigen_model(x0, eigh)
+        return sub, eigh
+
     # -- reporting -------------------------------------------------------
     def frequencies(self, x):
         """The N lowest natural frequencies sqrt(lam) at x."""

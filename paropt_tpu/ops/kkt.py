@@ -405,7 +405,8 @@ def quasi_def_solve(f: "KKTFactor", d: ProblemData, bx, bw):
         batch *= dim
     if (d.Aw_layout == "blocked_t" and d.nwblock == 1
             and f.csr_solver is None and d.n <= _pallas_max_n()
-            and batch >= _pallas_min_batch()):
+            and batch >= _pallas_min_batch()
+            and bx.dtype == f.Dinv.dtype):
         if _PALLAS_QD is None:
             _PALLAS_QD = _pallas_qd_enabled()
         if _PALLAS_QD:
@@ -497,7 +498,8 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
     if (os.environ.get("PAROPT_TPU_FUSED_FACTOR") in ("1", "true", "on")
             and d.nwcon > 0 and d.Aw_layout == "blocked_t"
             and d.nwblock == 1 and csr_mat is None and Zqn is not None
-            and Zqn.shape[0] > 0 and d.n <= _pallas_max_n()):
+            and Zqn.shape[0] > 0 and d.n <= _pallas_max_n()
+            and Zqn.dtype == dtype):
         global _PALLAS_QD
         if _PALLAS_QD is None:
             _PALLAS_QD = _pallas_qd_enabled()
@@ -542,6 +544,13 @@ def setup_kkt_factor(v: IPVars, d: ProblemData, qn_compact=None,
         Phi_x, Phi_z, Phi_w = _solve_diag3(f1, d, Zqn, zc, zw)
         Ce = Mqn - Zqn @ Phi_x.T
         Ce_inv = jnp.linalg.inv(Ce)
+        # narrow QN storage (qn_init storage_dtype): the Phi stacks carry
+        # the same bandwidth weight as Z — store them in Z's dtype too
+        # (Ce above is formed from the full-precision solve results first)
+        if Zqn.dtype != dtype:
+            Phi_x = Phi_x.astype(Zqn.dtype)
+            Phi_z = Phi_z.astype(Zqn.dtype)
+            Phi_w = Phi_w.astype(Zqn.dtype)
         return dataclasses.replace(f1, Zqn=Zqn, Phi_x=Phi_x, Phi_z=Phi_z,
                                    Phi_w=Phi_w, Ce_inv=Ce_inv)
     return f1

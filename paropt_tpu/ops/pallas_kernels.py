@@ -88,7 +88,13 @@ def qn_roll_update(buf: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
     against the pre-roll buffer, separate [2m, n] @ [n, 2] matmul) as
     ~5 full passes over the buffer; this kernel is the 2-pass minimum.
 
-    Returns (buf_out [2m, n], dots [2m, 2])."""
+    Narrow (e.g. bfloat16) storage: ``s``/``y`` are quantized to
+    ``buf.dtype`` for the roll write, while the dots accumulate in f32
+    FROM THE QUANTIZED values — the Gram matrices stay exactly consistent
+    with the stored history (same contract as the jnp path in
+    `qn.qn_update`).
+
+    Returns (buf_out [2m, n], dots [2m, 2] in the accumulation dtype)."""
     from jax.experimental import pallas as pl
 
     K, n = buf.shape
@@ -98,17 +104,20 @@ def qn_roll_update(buf: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
         tile //= 2
     grid = (n // tile,)
     upd2 = jnp.asarray(upd).astype(jnp.int32).reshape(1, 1)
+    acc_dtype = (jnp.float32 if jnp.finfo(buf.dtype).bits < 32
+                 else buf.dtype)
 
     def kernel(upd_ref, s_ref, y_ref, buf_ref, out_ref, dots_ref):
         do = upd_ref[0, 0] > 0
-        sv = s_ref[...]                # [1, T]
+        sv = s_ref[...]                # [1, T] (buf dtype)
         yv = y_ref[...]                # [1, T]
         B = buf_ref[...]               # [2m, T]
         rolled = jnp.concatenate([B[1:m], sv, B[m + 1:], yv], axis=0)
         out_ref[...] = jnp.where(do, rolled, B)
+        acc = rolled.astype(acc_dtype)
         contrib = jnp.stack([
-            jnp.sum(rolled * sv, axis=1),
-            jnp.sum(rolled * yv, axis=1),
+            jnp.sum(acc * sv.astype(acc_dtype), axis=1),
+            jnp.sum(acc * yv.astype(acc_dtype), axis=1),
         ], axis=1)                     # [2m, 2]
 
         @pl.when(pl.program_id(0) == 0)
@@ -119,7 +128,7 @@ def qn_roll_update(buf: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
 
     out_shape = (
         jax.ShapeDtypeStruct((K, n), buf.dtype),
-        jax.ShapeDtypeStruct((K, 2), buf.dtype),
+        jax.ShapeDtypeStruct((K, 2), acc_dtype),
     )
     return pl.pallas_call(
         kernel,
@@ -136,7 +145,8 @@ def qn_roll_update(buf: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(upd2, s.reshape(1, n), y.reshape(1, n), buf)
+    )(upd2, s.astype(buf.dtype).reshape(1, n),
+      y.astype(buf.dtype).reshape(1, n), buf)
 
 
 def _qd_kernel(dinv_ref, cwinv_ref, vals_ref, bx_ref, bw_ref,

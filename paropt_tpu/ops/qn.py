@@ -54,7 +54,14 @@ class QNState:
     of the state (the b0 scaling is absorbed into the small M matrix, see
     `_assemble_M`), so `qn_compact` touches no [*, n] memory at all.
 
-    Rows [m-count:m] / [2m-count:] are active; inactive rows are zero."""
+    Rows [m-count:m] / [2m-count:] are active; inactive rows are zero.
+
+    ``buf`` may be stored in a NARROWER dtype than the small-matrix /
+    scalar state (``storage_dtype='bfloat16'`` in `qn_init`, a TPU
+    bandwidth knob): the Gram matrices are then computed from the
+    QUANTIZED pairs (so the compact form stays exactly consistent with
+    the stored Z and B stays PSD) while all small algebra runs in the
+    compute dtype (`SS.dtype`)."""
     buf: jnp.ndarray        # [2m, n] stacked S/Y ring buffers
     SS: jnp.ndarray         # [m, m] Gram S·Sᵀ, maintained incrementally
     SY: jnp.ndarray         # [m, m] SY[i, j] = s_i · y_j, incremental
@@ -87,14 +94,36 @@ class QNState:
         return self.buf.shape[1]
 
 
+def default_storage_dtype(compute_dtype):
+    """The shipping QN-storage policy: bfloat16 ring buffers when computing
+    in f32 on an accelerator (A/B on the v5e @1M vars, tol=1e-6: identical
+    22-iteration convergence and final objective, 237 vs 210 it/s —
+    scripts/solve_qn_bf16.py / scripts/ab_qn_bf16.py), native storage
+    otherwise (f64 hosts keep full-precision history)."""
+    try:
+        on_accel = jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        on_accel = False
+    if on_accel and jnp.dtype(compute_dtype) == jnp.float32:
+        return jnp.bfloat16
+    return None
+
+
 def qn_init(msub: int, nvars: int, dtype=None, qn_type: str = "bfgs",
             update_type: str = "skip_negative_curvature",
-            diag_type: str = "yty_over_yts", b0: float = 1.0) -> QNState:
+            diag_type: str = "yty_over_yts", b0: float = 1.0,
+            storage_dtype=None) -> QNState:
+    """``storage_dtype`` (e.g. ``jnp.bfloat16``): dtype of the [2m, n] ring
+    buffer only — small matrices/scalars stay in ``dtype``.  Halves the QN
+    machinery's HBM traffic on TPU at the cost of quantizing the stored
+    (s, y) pairs (the approximation B changes smoothly; steps stay exact
+    Newton steps of the quantized model)."""
     from ..dtypes import resolve_dtype
     dtype = resolve_dtype(dtype)
+    sdtype = dtype if storage_dtype is None else jnp.dtype(storage_dtype)
     scaled = qn_type == "scaled_bfgs"
     return QNState(
-        buf=jnp.zeros((2 * msub, nvars), dtype=dtype),
+        buf=jnp.zeros((2 * msub, nvars), dtype=sdtype),
         SS=jnp.zeros((msub, msub), dtype=dtype),
         SY=jnp.zeros((msub, msub), dtype=dtype),
         count=jnp.zeros((), dtype=jnp.int32),
@@ -114,7 +143,7 @@ def qn_reset(state: QNState) -> QNState:
 def _active_mask(state: QNState) -> jnp.ndarray:
     m = state.msub
     idx = jnp.arange(m)
-    return (idx >= m - state.count).astype(state.S.dtype)
+    return (idx >= m - state.count).astype(state.SS.dtype)
 
 
 def _assemble_M(state: QNState, b0) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -203,7 +232,14 @@ def _use_pallas_qn(state: QNState) -> bool:
     global _PALLAS_QN
     from .kkt import _pallas_max_n
     if (state.nvars % 256 != 0 or state.nvars < 4096
-            or state.nvars > _pallas_max_n()):
+            or state.nvars > _pallas_max_n()
+            # narrow (bf16) storage keeps the jnp roll: the bf16-capable
+            # kernel is a measured WASH there (238.9 jnp vs 236.3 kernel
+            # it/s interleaved @1M, visible bytes 3.07 vs 2.73+hidden —
+            # scripts/ab_qn_pallas_bf16.py 2026-08-18); XLA fuses the
+            # half-width roll as well as the custom call, without the
+            # call-boundary cost.  Force with qnmod._PALLAS_QN = True.
+            or state.buf.dtype != state.SS.dtype):
         return False
     if _PALLAS_QN is None:
         from .pallas_kernels import pallas_qn_enabled
@@ -230,7 +266,7 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
     callers don't pay a second full pass over the [m, n] buffers.  The
     returned flags still report the curvature skip/damp decisions.
     """
-    dtype = state.S.dtype
+    dtype = state.SS.dtype
     s = s.astype(dtype)
     y = y.astype(dtype)
     z0_old = state.z0
@@ -291,23 +327,56 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
     if _use_pallas_qn(state):
         # fused roll + select + Gram dots in one memory sweep; the dots
         # rows m-1 / 2m-1 carry (s·s, s·y_use) / (y_use·s, y_use·y_use) so
-        # the b0 update needs no extra vector pass
+        # the b0 update needs no extra vector pass.  Narrow storage: the
+        # kernel quantizes (s, y) for the write and accumulates the dots
+        # in f32 from the quantized values (same contract as the jnp
+        # branch below).
         from .pallas_kernels import qn_roll_update
+        if (state.buf.dtype != dtype
+                and state.qn_type in ("bfgs", "scaled_bfgs")
+                and state.update_type != "damped_update"):
+            # quantized curvature gate (see the jnp branch): decided from
+            # one cheap pre-dot over the QUANTIZED pair so the gate can
+            # fold into the kernel's select instead of costing a second
+            # full [2m, n] pass afterwards
+            s_q = s.astype(state.buf.dtype).astype(dtype)
+            y_q = y_use.astype(state.buf.dtype).astype(dtype)
+            upd = upd & (jnp.vdot(y_q, s_q)
+                         > 1e-8 * jnp.vdot(y_q, y_q))
         buf_sel, dots = qn_roll_update(state.buf, s, y_use, upd)
+        dots = dots.astype(dtype)
         # the dots rows m-1 / 2m-1 carry every scalar the b0 update needs
         sTs_u, yTs_use, yTy_use = dots[m - 1, 0], dots[m - 1, 1], dots[-1, 1]
     else:
+        # narrow storage: quantize the pair BEFORE the Gram dots so the
+        # small matrices stay exactly consistent with the stored Z (the
+        # compact form is then the exact BNS form of the quantized
+        # history — B stays PSD)
+        if state.buf.dtype != dtype:
+            s_st = s.astype(state.buf.dtype)
+            y_st = y_use.astype(state.buf.dtype)
+            s_g = s_st.astype(dtype)
+            y_g = y_st.astype(dtype)
+        else:
+            s_st, y_st, s_g, y_g = s, y_use, s, y_use
         # ring-buffer shift within each half: newest pair in rows m-1/2m-1
         buf_new = jnp.concatenate(
-            [state.buf[1:m], s[None, :],
-             state.buf[m + 1:], y_use[None, :]], axis=0)
+            [state.buf[1:m], s_st[None, :],
+             state.buf[m + 1:], y_st[None, :]], axis=0)
         # incremental Gram update: fill the new last row/col with ONE
         # stacked matvec (the mdot pattern)
-        dots = buf_new @ jnp.stack([s, y_use]).T           # [2m, 2]
+        dots = buf_new @ jnp.stack([s_g, y_g]).T           # [2m, 2]
+        sTs_u = sTs if s_g is s else jnp.vdot(s_g, s_g)
+        yTs_use = jnp.vdot(y_g, s_g)
+        yTy_use = jnp.vdot(y_g, y_g)
+        if (state.buf.dtype != dtype
+                and state.qn_type in ("bfgs", "scaled_bfgs")
+                and state.update_type != "damped_update"):
+            # quantization can flip a marginal y's > 0: re-apply the
+            # curvature gate to the QUANTIZED scalars so the stored D
+            # stays positive (B PSD)
+            upd = upd & (yTs_use > 1e-8 * yTy_use)
         buf_sel = jnp.where(upd, buf_new, state.buf)
-        sTs_u = sTs
-        yTs_use = jnp.vdot(y_use, s)
-        yTy_use = jnp.vdot(y_use, y_use)
     Ss = dots[:m, 0]          # S_new · s
     Sy = dots[:m, 1]          # S_new · y_use  (new SY column)
     Ys = dots[m:, 0]          # Y_new · s      (new SY row)

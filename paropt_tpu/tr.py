@@ -505,10 +505,13 @@ class TrustRegion:
         o = self.options
         qt = o["qn_type"]
         if qt != "none" and o["qn_subspace_size"] > 0:
+            from .ip import _resolve_qn_storage
+            storage = _resolve_qn_storage(o["qn_storage_dtype"],
+                                          self.ip.dtype)
             self.qn_holder["state"] = qnmod.qn_init(
                 o["qn_subspace_size"], self.problem.nvars,
                 dtype=self.ip.dtype,
-                qn_type=qt,
+                qn_type=qt, storage_dtype=storage,
                 update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])
         else:
             self.qn_holder["state"] = None

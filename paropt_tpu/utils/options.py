@@ -293,6 +293,11 @@ def add_ip_options(opts: OptionRegistry) -> OptionRegistry:
     # TPU-specific extensions (not in the reference):
     o.add_enum("dtype", "float64", ("float64", "float32"),
                "Floating-point precision of the optimizer state and KKT solves")
+    o.add_enum("qn_storage_dtype", "auto", ("auto", "native", "bfloat16"),
+               "Storage dtype of the quasi-Newton ring buffer and the factor's "
+               "Phi stacks (TPU HBM-bandwidth knob). 'auto' = bfloat16 when "
+               "computing in float32 on an accelerator, otherwise native; "
+               "'native' = optimizer dtype")
     return o
 
 

@@ -20,18 +20,21 @@ def build_step(toggle, variant: bool, n=1 << 20, msub=10, iters=20):
     """Build one fused-IP step variant at the bench operating point.
 
     ``toggle(variant)`` flips the implementation under test (a module
-    global or env var read at trace time) before the variant is traced.
-    Returns (run_k, state, step_gb, qn_update_gb, iters)."""
+    global or env var read at trace time) before the variant is traced;
+    it may also RETURN a dict of build overrides (currently
+    ``qn_storage_dtype``). Returns (run_k, state, step_gb, qn_update_gb,
+    iters)."""
     from paropt_tpu import ip_fused
     from paropt_tpu.models.topology import SyntheticTopology
     from paropt_tpu.ops import qn as qnmod
 
-    toggle(variant)
+    overrides = toggle(variant) or {}
     dtype = jnp.float32
     prob = SyntheticTopology(n=n, block=8, dtype=dtype)
     model = ip_fused.model_from_problem(prob)
     data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
-    qn0 = qnmod.qn_init(msub, prob.nvars, dtype=dtype)
+    qn0 = qnmod.qn_init(msub, prob.nvars, dtype=dtype,
+                        storage_dtype=overrides.get("qn_storage_dtype"))
     opts = ip_fused.FusedIPOptions(use_quasi_newton_update=True,
                                    abs_res_tol=1e-6,
                                    iterative_refinement_steps=0)

@@ -332,3 +332,49 @@ def test_quasi_def_min_batch_threshold(monkeypatch):
     calls.clear()
     kkt.quasi_def_solve(f, d, bx[:2], bw[:2])
     assert calls == [2]
+
+
+def test_qn_update_pallas_bf16_storage(monkeypatch):
+    """Narrow-storage qn_update through the Pallas branch (interpret mode):
+    the rolled buffer holds the QUANTIZED pairs, the Gram rows accumulate
+    in f32 from the quantized values, and flags/counters match the jnp
+    narrow-storage branch (values to f32 accumulation accuracy)."""
+    from functools import partial
+    from paropt_tpu.ops import qn as qnmod
+    from paropt_tpu.ops import pallas_kernels as pk
+
+    m, n = 4, 4096
+
+    def run(pallas):
+        # bypass the whole gate: narrow storage defaults to the jnp roll
+        # (kernel is a measured wash on the TPU), so force the branch
+        monkeypatch.setattr(qnmod, "_use_pallas_qn", lambda st: pallas)
+        if pallas:
+            monkeypatch.setattr(pk, "qn_roll_update",
+                                partial(pk.qn_roll_update, interpret=True))
+        state = qnmod.qn_init(m, n, dtype=jnp.float64,
+                              storage_dtype=jnp.bfloat16)
+        rng = np.random.default_rng(11)
+        flags = []
+        for i in range(m + 2):
+            s = jnp.asarray(rng.standard_normal(n))
+            y = 1.5 * s + 0.2 * jnp.asarray(rng.standard_normal(n))
+            if i == 2:
+                y = -y
+            accept = None if i % 2 == 0 else jnp.asarray(i != 3)
+            state, skip, damp = qnmod.qn_update(state, s, y, accept=accept)
+            flags.append((int(skip), int(damp)))
+        return state, flags
+
+    st_jnp, fl_jnp = run(False)
+    st_pl, fl_pl = run(True)
+    assert st_pl.buf.dtype == jnp.bfloat16
+    assert fl_jnp == fl_pl
+    assert int(st_jnp.count) == int(st_pl.count)
+    # buffers hold identical quantized values
+    assert np.array_equal(np.asarray(st_jnp.buf, np.float32),
+                          np.asarray(st_pl.buf, np.float32))
+    for name in ("SS", "SY", "b0"):
+        a = np.asarray(getattr(st_jnp, name))
+        b = np.asarray(getattr(st_pl, name))
+        assert np.allclose(a, b, rtol=1e-5, atol=1e-6), name
