@@ -302,14 +302,20 @@ class CompactQuasiNewton:
 
     def __init__(self, problem, subspace: int = 10,
                  update_type: str = SKIP_NEGATIVE_CURVATURE,
-                 diag_type: str = YTY_OVER_YTS):
+                 diag_type: str = YTY_OVER_YTS,
+                 storage_dtype: str = "auto"):
+        """``storage_dtype``: 'auto' (the shipping policy — bfloat16 ring
+        buffers at f32-on-accelerator), 'native', or 'bfloat16' — the
+        TPU-extension `qn_storage_dtype` option for this reference-API
+        surface."""
         from .ops.qn import qn_init
         from .dtypes import resolve_dtype
-        from .ops.qn import default_storage_dtype
+        from .ip import _resolve_qn_storage
         self.holder = {"state": qn_init(
             subspace, problem.nvars, qn_type=self._qn_type,
             update_type=update_type, diag_type=diag_type,
-            storage_dtype=default_storage_dtype(resolve_dtype(None)))}
+            storage_dtype=_resolve_qn_storage(storage_dtype,
+                                              resolve_dtype(None)))}
 
     def reset(self):
         from .ops.qn import qn_reset

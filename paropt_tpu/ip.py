@@ -40,6 +40,10 @@ from .ops import kkt
 from .ops.kkt import IPVars, ProblemData
 from .ops import qn as qnmod
 from .ops.veclib import multi_norm
+from .utils.logging import IPLogger
+from .utils.options import OptionRegistry, make_options
+
+__all__ = ["InteriorPoint"]
 
 
 def _resolve_qn_storage(opt_value: str, compute_dtype):
@@ -49,10 +53,6 @@ def _resolve_qn_storage(opt_value: str, compute_dtype):
     if opt_value == "auto":
         return qnmod.default_storage_dtype(compute_dtype)
     return None
-from .utils.logging import IPLogger
-from .utils.options import OptionRegistry, make_options
-
-__all__ = ["InteriorPoint"]
 
 
 # line search status flags (bitmask, mirroring the reference's enum)

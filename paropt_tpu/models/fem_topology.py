@@ -142,7 +142,7 @@ class FEMTopology(Problem):
         jit/TPU friendly)."""
         return self._cg(E, self.f)
 
-    def _cg(self, E, b, iters=None):
+    def _cg(self, E, b):
         """Diagonal-preconditioned CG on K(E) u = b for a general RHS
         (fixed dofs are zeroed). Reused by the frequency model's
         shift-inverted eigensolve."""
@@ -181,8 +181,7 @@ class FEMTopology(Problem):
         u0 = jnp.zeros(self.ndof, self._dtype)
         z0 = b / diag
         carry = (u0, b, z0, jnp.vdot(b, z0, precision=hi))
-        niter = self.cg_iters if iters is None else iters
-        u, r, _, _ = jax.lax.fori_loop(0, niter, body, carry)
+        u, r, _, _ = jax.lax.fori_loop(0, self.cg_iters, body, carry)
         return u
 
     def _make_compliance(self):

@@ -221,6 +221,9 @@ def _new_b0(state: QNState, s, y, yTs, yTy, sTs):
 
 
 _PALLAS_QN = None
+# experiment override: run the (measured-wash) Pallas roll kernel even for
+# narrow-storage buffers — see scripts/ab_qn_pallas_bf16.py
+_FORCE_PALLAS_QN_NARROW = False
 
 
 def _use_pallas_qn(state: QNState) -> bool:
@@ -238,8 +241,10 @@ def _use_pallas_qn(state: QNState) -> bool:
             # it/s interleaved @1M, visible bytes 3.07 vs 2.73+hidden —
             # scripts/ab_qn_pallas_bf16.py 2026-08-18); XLA fuses the
             # half-width roll as well as the custom call, without the
-            # call-boundary cost.  Force with qnmod._PALLAS_QN = True.
-            or state.buf.dtype != state.SS.dtype):
+            # call-boundary cost.  _FORCE_PALLAS_QN_NARROW re-enables it
+            # (the A/B script's toggle).
+            or (state.buf.dtype != state.SS.dtype
+                and not _FORCE_PALLAS_QN_NARROW)):
         return False
     if _PALLAS_QN is None:
         from .pallas_kernels import pallas_qn_enabled
@@ -324,6 +329,15 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
         (~skip) & jnp.asarray(accept).astype(bool)
 
     m = state.msub
+    # narrow storage: quantization can flip a marginal (possibly damped)
+    # y's > 0, which would put a nonpositive entry on the compact form's
+    # D diagonal — re-apply the curvature gate to the QUANTIZED scalars
+    # (BFGS forms only; SR1's M is allowed to be indefinite).  The
+    # rejection is reported through the returned `skip` flag so logs and
+    # counters reflect that no update was stored.
+    q_narrow = (state.buf.dtype != dtype
+                and state.qn_type in ("bfgs", "scaled_bfgs"))
+    q_reject = jnp.zeros((), dtype=bool)
     if _use_pallas_qn(state):
         # fused roll + select + Gram dots in one memory sweep; the dots
         # rows m-1 / 2m-1 carry (s·s, s·y_use) / (y_use·s, y_use·y_use) so
@@ -332,17 +346,14 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
         # in f32 from the quantized values (same contract as the jnp
         # branch below).
         from .pallas_kernels import qn_roll_update
-        if (state.buf.dtype != dtype
-                and state.qn_type in ("bfgs", "scaled_bfgs")
-                and state.update_type != "damped_update"):
-            # quantized curvature gate (see the jnp branch): decided from
-            # one cheap pre-dot over the QUANTIZED pair so the gate can
-            # fold into the kernel's select instead of costing a second
-            # full [2m, n] pass afterwards
+        if q_narrow:
+            # decided from one cheap pre-dot over the QUANTIZED pair so
+            # the gate folds into the kernel's select instead of costing
+            # a second full [2m, n] pass afterwards
             s_q = s.astype(state.buf.dtype).astype(dtype)
             y_q = y_use.astype(state.buf.dtype).astype(dtype)
-            upd = upd & (jnp.vdot(y_q, s_q)
-                         > 1e-8 * jnp.vdot(y_q, y_q))
+            q_reject = jnp.vdot(y_q, s_q) <= 1e-8 * jnp.vdot(y_q, y_q)
+            upd = upd & ~q_reject
         buf_sel, dots = qn_roll_update(state.buf, s, y_use, upd)
         dots = dots.astype(dtype)
         # the dots rows m-1 / 2m-1 carry every scalar the b0 update needs
@@ -369,13 +380,9 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
         sTs_u = sTs if s_g is s else jnp.vdot(s_g, s_g)
         yTs_use = jnp.vdot(y_g, s_g)
         yTy_use = jnp.vdot(y_g, y_g)
-        if (state.buf.dtype != dtype
-                and state.qn_type in ("bfgs", "scaled_bfgs")
-                and state.update_type != "damped_update"):
-            # quantization can flip a marginal y's > 0: re-apply the
-            # curvature gate to the QUANTIZED scalars so the stored D
-            # stays positive (B PSD)
-            upd = upd & (yTs_use > 1e-8 * yTy_use)
+        if q_narrow:
+            q_reject = yTs_use <= 1e-8 * yTy_use
+            upd = upd & ~q_reject
         buf_sel = jnp.where(upd, buf_new, state.buf)
     Ss = dots[:m, 0]          # S_new · s
     Sy = dots[:m, 1]          # S_new · y_use  (new SY column)
@@ -405,4 +412,6 @@ def qn_update(state: QNState, s: jnp.ndarray, y: jnp.ndarray,
         new_state = dataclasses.replace(
             new_state, z0=jnp.where(jnp.asarray(accept).astype(bool),
                                     new_state.z0, z0_old))
+    skip = skip | q_reject
+    damped = damped & ~q_reject
     return new_state, skip.astype(jnp.int32), damped.astype(jnp.int32)

@@ -19,6 +19,9 @@ from _ab_common import run_ab  # noqa: E402
 def toggle(on: bool):
     from paropt_tpu.ops import qn as qnmod
     qnmod._PALLAS_QN = on
+    # narrow storage defaults to the jnp roll — the ON variant must force
+    # the kernel past the dtype gate
+    qnmod._FORCE_PALLAS_QN_NARROW = on
     return {"qn_storage_dtype": jnp.bfloat16}
 
 

@@ -71,7 +71,8 @@ def main():
     prob = SyntheticTopology(n=n, block=8, dtype=dtype)
     model = ip_fused.model_from_problem(prob)
     data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
-    qn0 = qnmod.qn_init(msub, prob.nvars, dtype=dtype)
+    qn0 = qnmod.qn_init(msub, prob.nvars, dtype=dtype,
+                    storage_dtype=qnmod.default_storage_dtype(dtype))
     print(f"backend={jax.default_backend()} n={n} msub={msub} "
           f"dtype={jnp.dtype(dtype).name}", flush=True)
 
@@ -129,7 +130,8 @@ def kernels():
     prob = SyntheticTopology(n=n, block=8, dtype=dtype)
     model = ip_fused.model_from_problem(prob)
     data, x0 = ip_fused.data_template_from_problem(prob, dtype=dtype)
-    qn0 = qnmod.qn_init(msub, prob.nvars, dtype=dtype)
+    qn0 = qnmod.qn_init(msub, prob.nvars, dtype=dtype,
+                    storage_dtype=qnmod.default_storage_dtype(dtype))
     opts = ip_fused.FusedIPOptions(use_quasi_newton_update=True,
                                    abs_res_tol=1e-6)
     fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,

@@ -127,3 +127,27 @@ def test_fused_ip_converges_with_bf16_storage():
     # a few extra iterations are acceptable; wild inflation is not
     assert int(res["bf16"].k) <= int(res["full"].k) + 15, \
         (int(res["full"].k), int(res["bf16"].k))
+
+
+def test_bf16_quantization_curvature_gate_reports_skip():
+    """A pair whose y's > 0 survives the raw curvature ladder but flips
+    nonpositive after bf16 quantization (cancellation across components)
+    must be rejected AND reported as skipped — storing it would put a
+    nonpositive entry on the compact form's D diagonal."""
+    n = 256
+    s = jnp.zeros(n).at[0].set(1.0).at[1].set(1.0)
+    y = jnp.zeros(n).at[0].set(1.0).at[1].set(-1.0 + 1e-4)
+
+    # full precision accepts (yTs = 1e-4 > 0, above the 1e-8*yTy floor)
+    st_f = qnmod.qn_init(3, n, dtype=jnp.float64)
+    st_f2, skip_f, _ = qnmod.qn_update(st_f, s, y)
+    assert int(skip_f) == 0 and int(st_f2.count) == 1
+
+    # bf16 storage: quantized y[1] rounds to -1.0 exactly -> yTs_q = 0
+    st_b = qnmod.qn_init(3, n, dtype=jnp.float64,
+                         storage_dtype=jnp.bfloat16)
+    st_b2, skip_b, damped_b = qnmod.qn_update(st_b, s, y)
+    assert int(skip_b) == 1 and int(damped_b) == 0
+    assert int(st_b2.count) == 0
+    assert np.array_equal(np.asarray(st_b2.buf, np.float32),
+                          np.asarray(st_b.buf, np.float32))
