@@ -75,12 +75,11 @@ def test_eigen_model_update_regularized():
 def test_frequency_constrained_mass_min():
     """End-to-end: minimize mass s.t. KS min-frequency >= target through
     the EigenSubproblem TR path (`eigenvalue_opt.py:281-306` workflow)."""
-    p = FrequencyTopology(nex=12, ney=6, N=4, cg_iters=400,
-                          lobpcg_iters=100, dtype=jnp.float64)
-    sub, eigh = p.build_tr_subproblem(msub=10)
+    p = _small()          # 10x5: the 12x6/40-iter variant passes too but
+    sub, eigh = p.build_tr_subproblem(msub=10)   # costs 52s vs 20s
 
     opts = {"tr_output_file": None, "output_file": None,
-            "tr_max_iterations": 40, "tr_init_size": 0.05,
+            "tr_max_iterations": 30, "tr_init_size": 0.05,
             "tr_max_size": 0.2, "tr_min_size": 1e-6, "abs_res_tol": 1e-8,
             "tr_l1_tol": 1e-4, "tr_linfty_tol": 1e-4,
             "tr_adaptive_gamma_update": True, "penalty_gamma": 10.0}
