@@ -10,6 +10,10 @@ Usage:  python examples/fem_frequency.py [--nex 32 --ney 16 --N 6]
 
 import argparse
 import time
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax.numpy as jnp
 import numpy as np
