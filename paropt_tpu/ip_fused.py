@@ -176,6 +176,7 @@ class FusedIP:
         self._step_jit = jax.jit(partial(_fused_step, model, opts))
         self._init_jit = jax.jit(partial(_fused_init, model, opts))
         self._solve_jit = jax.jit(partial(_fused_solve_loop, model, opts))
+        self._batched_jit = {}  # (data_axes, params_axes) -> jitted vmap
 
     def init(self, x0, data: ProblemData, model_params,
              qn_state: Optional[qnmod.QNState], compact) -> FusedState:
@@ -203,6 +204,49 @@ class FusedIP:
             if bool(state.converged):
                 break
         return state
+
+    def solve_batched(self, x0_batch, data: ProblemData, model_params=(),
+                      qn_state: Optional[qnmod.QNState] = None, compact=None,
+                      data_axes=None, model_params_axes=None) -> FusedState:
+        """Run MANY whole solves as ONE XLA computation (`jax.vmap` over the
+        fused `lax.while_loop`).
+
+        A TPU-native capability with no reference analogue (in the reference
+        every solve is a separate MPI job, `ParOptInteriorPoint.cpp:4399`):
+        k multi-start solves — or a parameter sweep over problem data —
+        batch onto the same device program, turning the per-variable work
+        into [k, n]-shaped kernels that keep the VPU/MXU fed at sizes where
+        a single instance is latency-bound.  Instances that converge first
+        are frozen by the while_loop batching rule (their carry is masked)
+        while the rest keep iterating, so the batch costs max-iterations,
+        not sum.
+
+        Parameters
+        ----------
+        x0_batch : [k, n] array of starting points (leading batch axis).
+        data, model_params : shared across the batch by default; to sweep a
+            field, pass it with a leading batch axis and give the matching
+            vmap ``in_axes`` prefix pytree via ``data_axes`` /
+            ``model_params_axes`` (e.g. ``dataclasses.replace`` the data
+            with a [k, ...] field and an axes pytree with 0 at that leaf).
+        qn_state : shared initial quasi-Newton state (e.g. ``qn_init``);
+            its in-loop history is batched automatically by the vmap.
+
+        Returns a FusedState whose every leaf has a leading k axis; index
+        with ``jax.tree_util.tree_map(lambda a: a[i], state)`` or inspect
+        ``state.converged`` / ``state.fobj`` per instance directly.
+        """
+        key = (repr(data_axes), repr(model_params_axes))
+        fn = self._batched_jit.get(key)
+        if fn is None:
+            def one(x0, d, p, q, c):
+                st = _fused_init(self.model, self.opts, x0, d, p, q, c)
+                return _fused_solve_loop(self.model, self.opts, st, d, p, c)
+
+            fn = jax.jit(jax.vmap(
+                one, in_axes=(0, data_axes, model_params_axes, None, None)))
+            self._batched_jit[key] = fn
+        return fn(x0_batch, data, model_params, qn_state, compact)
 
 
 # ---------------------------------------------------------------------------
