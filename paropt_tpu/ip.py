@@ -375,7 +375,10 @@ class InteriorPoint:
         if problem.nwcon > 0 and self._csr_mat is None:
             try:
                 problem.sparse_jacobian(self.x0)
-            except (NotImplementedError, Exception):
+            except NotImplementedError:
+                # only the "not provided" signal demotes to the (much
+                # slower) callback path; real bugs in a user's structured
+                # Jacobian must propagate, not silently degrade
                 self._callback_sparse = True
         self._eager = self._csr_mat is not None or self._callback_sparse
 

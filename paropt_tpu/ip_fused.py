@@ -236,7 +236,14 @@ class FusedIP:
         with ``jax.tree_util.tree_map(lambda a: a[i], state)`` or inspect
         ``state.converged`` / ``state.fobj`` per instance directly.
         """
-        key = (repr(data_axes), repr(model_params_axes))
+        # cache key: the axes pytrees' structure + leaves (hashable ints /
+        # None), not repr — semantically identical trees share one entry
+        def _axes_key(axes):
+            leaves, treedef = jax.tree_util.tree_flatten(
+                axes, is_leaf=lambda x: x is None)
+            return (treedef, tuple(leaves))
+
+        key = (_axes_key(data_axes), _axes_key(model_params_axes))
         fn = self._batched_jit.get(key)
         if fn is None:
             def one(x0, d, p, q, c):

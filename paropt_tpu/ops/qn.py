@@ -234,6 +234,12 @@ def _use_pallas_qn(state: QNState) -> bool:
     lane-alignment/size guard — tiny problems keep the jnp path."""
     global _PALLAS_QN
     from .kkt import _pallas_max_n
+    # under a vmap batch (solve_batched's vmapped while_loop) keep the jnp
+    # roll: pallas_call's vmap batching rule on this kernel is unverified,
+    # and the batched sizes are latency-bound anyway.  (Type-name check:
+    # the BatchTracer class moved into jax._src in jax 0.9.)
+    if type(state.buf).__name__ == "BatchTracer":
+        return False
     if (state.nvars % 256 != 0 or state.nvars < 4096
             or state.nvars > _pallas_max_n()
             # narrow (bf16) storage keeps the jnp roll: the bf16-capable

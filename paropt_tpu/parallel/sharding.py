@@ -85,10 +85,20 @@ def hybrid_design_mesh(n_hosts: Optional[int] = None,
         local_devices = len(devices) // n_hosts
     assert n_hosts * local_devices == len(devices), \
         (n_hosts, local_devices, len(devices))
-    if jax.process_count() > 1:  # pragma: no cover - needs real multi-host
-        from jax.experimental import mesh_utils
-        dev_mesh = mesh_utils.create_hybrid_device_mesh(
-            (1, local_devices), (n_hosts, 1), devices=devices)
+    if jax.process_count() > 1:
+        n_slices = len({getattr(d, "slice_index", 0) or 0 for d in devices})
+        if n_slices == n_hosts:
+            # real TPU pod slices: let jax align the outer axis with the
+            # physical DCN topology
+            from jax.experimental import mesh_utils  # pragma: no cover
+            dev_mesh = mesh_utils.create_hybrid_device_mesh(  # pragma: no cover
+                (1, local_devices), (n_hosts, 1), devices=devices)
+        else:
+            # multi-process CPU/GPU: group the outer axis by owning process
+            # (each row of the mesh = one process's local devices, so the
+            # inner-axis collectives stay process-local)
+            devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+            dev_mesh = np.asarray(devs).reshape(n_hosts, local_devices)
     else:
         dev_mesh = np.asarray(devices).reshape(n_hosts, local_devices)
     return Mesh(dev_mesh, (HOST_AXIS, DESIGN_AXIS))

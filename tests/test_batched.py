@@ -42,9 +42,11 @@ def test_solve_batched_multistart_matches_single_solves():
     for i in range(k):
         single = fused.solve(x0s[i], data, (), qn0, jit_loop=True)
         assert bool(single.converged)
-        # identical algorithm, batched shapes: same iterate count and a
-        # matching optimum (fp association differs under vmap)
-        assert int(st.k[i]) == int(single.k)
+        # identical algorithm, batched shapes: near-identical iterate count
+        # and a matching optimum (fp association differs under vmap, so a
+        # near-tolerance instance may legitimately converge one iteration
+        # earlier/later on another backend/XLA version)
+        assert abs(int(st.k[i]) - int(single.k)) <= 1
         np.testing.assert_allclose(float(st.fobj[i]), float(single.fobj),
                                    rtol=1e-9)
         np.testing.assert_allclose(np.asarray(st.vars.x[i]),

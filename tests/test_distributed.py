@@ -1,0 +1,132 @@
+"""REAL multi-process execution: 2 `jax.distributed` CPU processes run the
+fused IP solve over the hybrid (process x local-device) mesh and must
+reproduce the single-process trajectory.
+
+This is the analogue of the reference's `mpirun -np N` deployment mode —
+every vector op rank-distributed, all coupling collective
+(`ParOptVec.cpp:63-143`; 124 MPI call sites in `ParOptInteriorPoint.cpp`).
+Here each process owns 2 virtual CPU devices; cross-process collectives run
+over gloo (the DCN stand-in), exercising `parallel/sharding.init_distributed`
+and `hybrid_design_mesh` end-to-end."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "scripts", "distributed_solve.py")
+
+N = 16384
+TOL = 1e-6
+MAX_ITERS = 120
+MSUB = 10
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env(local_devices):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
+    # share the suite's persistent compilation cache
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, "tests", ".jax_cache"))
+    return env
+
+
+def _single_process_trajectory():
+    """The same solve, in-process, over a 1-D 4-device mesh (the same
+    4-block design-axis layout the 2x2 hybrid mesh produces)."""
+    from paropt_tpu import ip_fused
+    from paropt_tpu.models.topology import SyntheticTopology
+    from paropt_tpu.ops import qn as qnmod
+    from paropt_tpu.parallel import sharding as shlib
+
+    prob = SyntheticTopology(n=N, block=8, dtype=jnp.float64)
+    model = ip_fused.model_from_problem(prob)
+    opts = ip_fused.FusedIPOptions(use_quasi_newton_update=True,
+                                   abs_res_tol=TOL,
+                                   max_major_iters=MAX_ITERS)
+    fused = ip_fused.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                             prob.nwblock, opts, dtype=jnp.float64)
+    data, x0 = ip_fused.data_template_from_problem(prob, dtype=jnp.float64)
+    qn0 = qnmod.qn_init(MSUB, prob.nvars, dtype=jnp.float64)
+
+    mesh = shlib.design_mesh(devices=jax.devices()[:4])
+
+    def place(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[-1] == N:
+            sh = (shlib.design_sharding(mesh) if leaf.ndim == 1
+                  else shlib.row_sharding(mesh))
+            return jax.device_put(leaf, sh)
+        return jax.device_put(leaf, shlib.replicated_sharding(mesh))
+
+    state = jax.tree_util.tree_map(place, fused.init(x0, data, (), qn0,
+                                                     None))
+    data = jax.tree_util.tree_map(place, data)
+    traj = []
+    for _ in range(MAX_ITERS):
+        state = fused.step(state, data, (), None)
+        traj.append({"k": int(state.k), "fobj": float(state.fobj),
+                     "res": float(state.res_norm), "mu": float(state.mu)})
+        if bool(state.converged):
+            break
+    return traj, bool(state.converged)
+
+
+def test_two_process_solve_matches_single_process(tmp_path):
+    nproc, local = 2, 2
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(nproc):
+        out = tmp_path / f"rank{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER,
+             "--process-id", str(pid), "--num-processes", str(nproc),
+             "--port", str(port), "--local-devices", str(local),
+             "--n", str(N), "--tol", str(TOL),
+             "--max-iters", str(MAX_ITERS), "--msub", str(MSUB),
+             "--out", str(out)],
+            env=_worker_env(local), stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE, text=True))
+
+    single_traj, single_conv = _single_process_trajectory()
+    assert single_conv
+
+    for p in procs:
+        _, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-4000:]
+
+    ranks = [json.loads(out.read_text()) for out in outs]
+    # the multi-process run used the FULL global device view
+    assert ranks[0]["num_processes"] == nproc
+    assert ranks[0]["global_devices"] == nproc * local
+
+    # (a) SPMD determinism: every process observed the identical trajectory
+    # (the analogue of the reference's root-broadcast branch discipline)
+    assert ranks[0]["trajectory"] == ranks[1]["trajectory"]
+    assert ranks[0]["converged"] and ranks[1]["converged"]
+
+    # (b) trajectory identity with the single-process run, iteration by
+    # iteration (same reduction structure; only fp association may differ
+    # between gloo cross-process all-reduce and in-process all-reduce)
+    mp = ranks[0]["trajectory"]
+    assert len(mp) == len(single_traj)
+    for a, b in zip(mp, single_traj):
+        assert a["k"] == b["k"]
+        np.testing.assert_allclose(a["fobj"], b["fobj"], rtol=1e-10)
+        np.testing.assert_allclose(a["res"], b["res"], rtol=1e-7)
+        np.testing.assert_allclose(a["mu"], b["mu"], rtol=1e-10)

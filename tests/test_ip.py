@@ -47,6 +47,42 @@ def test_rosenbrock_sparse_constraint():
     assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-4)
 
 
+def test_sparse_jacobian_bug_propagates():
+    """A RAISING sparse_jacobian must surface, not silently demote the
+    problem to the ~100x-slower callback path (the probe catches only
+    NotImplementedError — the 'not provided' signal)."""
+    class BuggyJacobian(SparseRosenbrock):
+        def sparse_jacobian(self, x):
+            raise ValueError("bug in user Jacobian")
+
+    with pytest.raises(ValueError, match="bug in user Jacobian"):
+        InteriorPoint(BuggyJacobian(), {"output_file": None})
+
+
+def test_missing_sparse_jacobian_demotes_to_callback_path():
+    """NotImplementedError (no structured Jacobian provided) still takes
+    the eager callback path and converges.  Like the reference, a
+    callback-only problem must supply the block inner product
+    (`addSparseInnerProduct`, ParOptProblem.h:225-266); the Jacobian
+    products fall back to jvp/vjp of sparse_constraints."""
+    import jax
+
+    class CallbackOnly(SparseRosenbrock):
+        def sparse_jacobian(self, x):
+            raise NotImplementedError
+
+        def sparse_inner_product(self, x, cvec):
+            Aw = jax.jacrev(self.sparse_constraints)(x)
+            return ((Aw * cvec) @ Aw.T).reshape(-1, 1, 1)
+
+    ip = InteriorPoint(CallbackOnly(), {"output_file": None,
+                                        "abs_res_tol": 1e-7})
+    assert ip._callback_sparse and ip._eager
+    res = ip.optimize()
+    assert res["converged"], res
+    assert np.allclose(np.asarray(res["x"]), [1.0, 1.0], atol=1e-4)
+
+
 def test_random_convex_qp_matches_reference_solver():
     prob = RandomConvexQP(n=24, ncon=3, seed=1)
     ip = InteriorPoint(prob, {"output_file": None, "abs_res_tol": 1e-8,
