@@ -1003,27 +1003,38 @@ class InteriorPoint:
                        zip(jax.tree_util.tree_leaves(a),
                            jax.tree_util.tree_leaves(c)))
 
-        def taxpy(alpha, a, c):
-            return jax.tree_util.tree_map(lambda x, y: alpha * x + y, a, c)
-
-        def tscale(alpha, a):
-            return jax.tree_util.tree_map(lambda x: alpha * x, a)
-
         def precon(w):
             neg_w = jax.tree_util.tree_map(jnp.negative, w)
             return kkt.solve_kkt(v, d, f, neg_w, qn_compact=cq)
 
-        def op(p):
-            hvp = self.problem.eval_hvec_product(v.x, v.z, v.zw, p.x)
-            self.nhvec += 1
-            return kkt.apply_kkt_matrix(v, d, p, qn_sigma=o["qn_sigma"],
-                                        hvp=jnp.asarray(hvp, self.dtype))
+        def bmult(px):
+            b0c, Zc, Mc = cq
+            out = b0c * px
+            if Zc is not None and Zc.shape[0] > 0:
+                out = out - Zc.T @ jnp.linalg.solve(Mc, Zc @ px)
+            return out
 
-        bnorm = float(jnp.sqrt(tdot(b, b)))
+        # MEMORY-SAVING SUBSPACE (`docs/ParOpt_theory_manual.tex:437-438`,
+        # the (W[i], alpha[i]) pairs at `ParOptInteriorPoint.cpp:
+        # 5884-5999`): the right-preconditioned operator K·K_B⁻¹ changes
+        # only x-components, so every Krylov vector's non-x part is a
+        # scalar multiple of b's — store (x-vector w, scalar a) with the
+        # full vector N·w + (a/bnorm)·(I-NNᵀ)·b, dot products
+        # wᵢᵀwⱼ + β·aᵢaⱼ, and recover the step with ONE final
+        # preconditioner solve of the subspace combination.
+        bsq = float(tdot(b, b))
+        bnorm = float(np.sqrt(bsq))
         if bnorm == 0.0:
             return None, 0
-        V = [tscale(1.0 / bnorm, b)]
-        Z = []
+        beta_n = (bsq - float(jnp.vdot(b.x, b.x))) / (bnorm * bnorm)
+
+        def embed(wx, a):
+            scale = a / bnorm
+            out = jax.tree_util.tree_map(lambda leaf: scale * leaf, b)
+            return dataclasses.replace(out, x=wx)
+
+        W = [b.x / bnorm]
+        al = [1.0]
         H = np.zeros((m + 1, m))
         g_vec = np.zeros(m + 1)
         g_vec[0] = bnorm
@@ -1031,16 +1042,22 @@ class InteriorPoint:
         sn = np.zeros(m)
         iters = 0
         for j in range(m):
-            zj = precon(V[j])
-            Z.append(zj)
-            w = op(zj)
+            # z_j = K_B⁻¹ v̂_j (transient); K z_j = v̂_j + N(H-B)z_j.x
+            zj = precon(embed(W[j], al[j]))
+            hvp = self.problem.eval_hvec_product(v.x, v.z, v.zw, zj.x)
+            self.nhvec += 1
+            w = W[j] + (jnp.asarray(hvp, self.dtype) - bmult(zj.x))
+            a = al[j]
             for i in range(j + 1):
-                H[i, j] = float(tdot(w, V[i]))
-                w = taxpy(-H[i, j], V[i], w)
-            wnorm = float(jnp.sqrt(tdot(w, w)))
+                H[i, j] = float(jnp.vdot(w, W[i])) + beta_n * a * al[i]
+                w = w - H[i, j] * W[i]
+                a = a - H[i, j] * al[i]
+            wnorm = float(np.sqrt(max(
+                float(jnp.vdot(w, w)) + beta_n * a * a, 0.0)))
             H[j + 1, j] = wnorm
             if j + 1 < m and wnorm > 0.0:
-                V.append(tscale(1.0 / wnorm, w))
+                W.append(w / wnorm)
+                al.append(a / wnorm)
             # Givens rotations to maintain the QR of H
             for i in range(j):
                 t = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
@@ -1064,12 +1081,14 @@ class InteriorPoint:
         y = np.zeros(k)
         for i in range(k - 1, -1, -1):
             y[i] = (g_vec[i] - H[i, i + 1:k] @ y[i + 1:k]) / H[i, i]
-        p = tscale(0.0, b)
-        for i in range(k):
-            p = taxpy(float(y[i]), Z[i], p)
         final_res = abs(g_vec[k])
         if not np.isfinite(final_res) or final_res > bnorm:
             return None, iters
+        # p = K_B⁻¹ Σ yᵢ v̂ᵢ — equals the old Σ yᵢ Zᵢ by linearity
+        u_w = sum((float(y[i]) * W[i] for i in range(k)),
+                  jnp.zeros_like(b.x))
+        u_a = float(sum(y[i] * al[i] for i in range(k)))
+        p = precon(embed(u_w, u_a))
         return p, iters
 
     # -- checkpointing (`writeSolutionFile`/`readSolutionFile`,

@@ -412,16 +412,29 @@ def _fused_gmres(model: ModelFns, opts: FusedIPOptions, model_params,
     to static length inside the fused step (the TPU-native form of
     `computeKKTGMRESStep`, `ParOptInteriorPoint.cpp:5774-6195`).
 
-    - operator: `apply_kkt_matrix` with the exact Lagrangian Hessian-vector
-      product from `model.hvp` (autodiff — no hand-coded Hessians);
+    - operator: the exact Lagrangian Hessian-vector product from
+      `model.hvp` (autodiff — no hand-coded Hessians);
     - preconditioner: the diagonal+SMW KKT factorization `f` (one
       `solve_kkt` per Krylov vector);
     - all subspace indices are STATIC (python-level unroll) — no dynamic
       slicing in the hot loop; early convergence freezes the recurrence
       with masks, so extra arms are algebraically inert;
-    - fallback: the first preconditioned vector satisfies
-      bnorm * Z[0] == solve_kkt(b), i.e. the ordinary quasi-Newton step —
-      returned when GMRES fails to reduce the residual.
+    - MEMORY-SAVING SUBSPACE (the reference's scheme, theory manual
+      `docs/ParOpt_theory_manual.tex:437-438` and the (W[i], alpha[i])
+      pairs in `ParOptInteriorPoint.cpp:5884-5999`): the preconditioned
+      operator A = -K·K_B⁻¹ modifies only the x-components, so every
+      Krylov basis vector's non-x components are a scalar multiple of the
+      initial residual's.  Each basis vector is stored as an x-vector w
+      plus ONE scalar a — full vector = N·w + (a/bnorm)·(I-NNᵀ)·b — and
+      dots become wᵢᵀwⱼ + β·aᵢ·aⱼ with β = ‖b_nonx‖²/bnorm².  The
+      preconditioned vectors Z are never stored at all: the solution is
+      recovered with one extra `solve_kkt` of the subspace combination.
+      Basis memory drops from ~6n to n+1 floats per arm (at n=16.7M f32,
+      msub=25: ~10 GB → 1.7 GB);
+    - fallback: embed(b.x, bnorm) reconstructs b exactly, so the fallback
+      solve_kkt(b) — the ordinary quasi-Newton step — shares the single
+      final preconditioner application via a select on the subspace
+      combination.
 
     Returns (step pytree, iterations used)."""
     tmap = jax.tree_util.tree_map
@@ -431,29 +444,35 @@ def _fused_gmres(model: ModelFns, opts: FusedIPOptions, model_params,
                    zip(jax.tree_util.tree_leaves(a),
                        jax.tree_util.tree_leaves(c)))
 
-    def taxpy(alpha, a, c):
-        return tmap(lambda x, y: alpha * x + y, a, c)
-
-    def tscale(alpha, a):
-        return tmap(lambda x: alpha * x, a)
-
     def precon(w):
         return kkt.solve_kkt(v, d, f, w, qn_compact=cq)
 
-    def op(p):
-        hv = model.hvp(model_params, v.x, v.z, v.zw, p.x)
-        return kkt.apply_kkt_matrix(v, d, p, qn_sigma=opts.qn_sigma,
-                                    hvp=hv)
+    def bmult(px):
+        """B @ px for the preconditioner's Hessian approximation (the
+        compact QN / diagonal / scalar b0 in `cq`)."""
+        b0c, Zc, Mc = cq
+        out = b0c * px
+        if Zc is not None and Zc.shape[0] > 0:
+            out = out - Zc.T @ jnp.linalg.solve(Mc, Zc @ px)
+        return out
 
     msub = opts.gmres_subspace_size
-    b = r  # solve_kkt solves K p = b with b = the residual form used here
+    b = r  # solve_kkt solves K p = -b; GMRES runs on A = -K·K_B⁻¹
     bnorm = jnp.sqrt(tdot(b, b))
     bsafe = jnp.maximum(bnorm, 1e-300)
     atol = opts.gmres_atol
+    # β: non-x energy of b, normalized (the reference's beta factor)
+    beta_n = (tdot(b, b) - jnp.vdot(b.x, b.x)) / (bsafe * bsafe)
+
+    def embed(wx, a):
+        """Reconstruct the full tree N·wx + (a/bnorm)·(I-NNᵀ)·b."""
+        scale = a / bsafe
+        out = tmap(lambda leaf: scale * leaf, b)
+        return dataclasses.replace(out, x=wx)
 
     dt = v.x.dtype
-    V = [tscale(1.0 / bsafe, b)]
-    Z = []
+    W = [b.x / bsafe]                     # x-components of the basis
+    al = [jnp.ones((), dt)]               # non-x scalars
     H = [[jnp.zeros((), dt) for _ in range(msub)] for _ in range(msub + 1)]
     cs = [jnp.zeros((), dt) for _ in range(msub)]
     sn = [jnp.zeros((), dt) for _ in range(msub)]
@@ -465,20 +484,25 @@ def _fused_gmres(model: ModelFns, opts: FusedIPOptions, model_params,
 
     for j in range(msub):
         was_done = done
-        zj = precon(V[j])
-        Z.append(zj)
-        w = op(zj)
+        # z_j = -K_B⁻¹ v̂_j (transient — consumed by the hvp below);
+        # A v̂_j = K z_j = -v̂_j + N(H-B)z_j.x, so only the x-component
+        # needs fresh storage and the scalar simply flips sign
+        zj = precon(embed(W[j], al[j]))
+        hv = model.hvp(model_params, v.x, v.z, v.zw, zj.x)
+        w = -W[j] + (hv - bmult(zj.x))
+        a = -al[j]
         for i in range(j + 1):
-            hij = tdot(w, V[i])
+            hij = jnp.vdot(w, W[i]) + beta_n * a * al[i]
             H[i][j] = jnp.where(was_done, 0.0, hij)
-            w = taxpy(-H[i][j], V[i], w)
-        wnorm = jnp.sqrt(jnp.maximum(tdot(w, w), 0.0))
+            w = w - H[i][j] * W[i]
+            a = a - H[i][j] * al[i]
+        wnorm = jnp.sqrt(jnp.maximum(
+            jnp.vdot(w, w) + beta_n * a * a, 0.0))
         wsafe = jnp.maximum(wnorm, 1e-300)
         hsub = jnp.where(was_done, 0.0, wnorm)
-        if j + 1 < msub + 1:
-            V.append(tscale(1.0 / wsafe, w))
+        W.append(w / wsafe)
+        al.append(a / wsafe)
         # Givens rotations maintaining the QR of H
-        hjj = H[j][j]
         for i in range(j):
             t = cs[i] * H[i][j] + sn[i] * H[i + 1][j]
             H[i + 1][j] = -sn[i] * H[i][j] + cs[i] * H[i + 1][j]
@@ -504,16 +528,23 @@ def _fused_gmres(model: ModelFns, opts: FusedIPOptions, model_params,
         for t in range(i + 1, msub):
             acc = acc - H[i][t] * y[t]
         y[i] = acc / jnp.where(H[i][i] != 0.0, H[i][i], 1.0)
-    p = tscale(y[0], Z[0])
+    # subspace combination u = Σ yᵢ v̂ᵢ in (w, a) form; the step is
+    # p = -K_B⁻¹ u = precon(u) — ONE final preconditioner application
+    # (by linearity it equals the old Σ yᵢ Zᵢ)
+    u_w = y[0] * W[0]
+    u_a = y[0] * al[0]
     for i in range(1, msub):
-        p = taxpy(y[i], Z[i], p)
+        u_w = u_w + y[i] * W[i]
+        u_a = u_a + y[i] * al[i]
 
     final_res = last_res  # residual after the final ACTIVE arm
     ok = (jnp.isfinite(final_res) & (final_res <= bnorm) & (iters > 0)
-          & jnp.isfinite(tdot(p, p)))
-    # fallback: bnorm * Z[0] IS solve_kkt(b) — the ordinary step
-    p_fallback = tscale(bsafe, Z[0])
-    p_out = tmap(lambda a, c: jnp.where(ok, a, c), p, p_fallback)
+          & jnp.isfinite(jnp.vdot(u_w, u_w) + beta_n * u_a * u_a))
+    # fallback: embed(b.x, bnorm) == b, so precon of it IS the ordinary
+    # quasi-Newton step solve_kkt(b)
+    u_w = jnp.where(ok, u_w, b.x)
+    u_a = jnp.where(ok, u_a, bsafe)
+    p_out = precon(embed(u_w, u_a))
     return p_out, iters
 
 
