@@ -129,12 +129,90 @@ def main():
         f"iters={int(out.k)} res={float(out.res_norm):.2e} "
         f"wall={solve_wall:.2f}s (first incl. compile {compile_plus:.1f}s)\n")
 
+    extra = []
+    if not os.environ.get("PAROPT_TPU_BENCH_IP_ONLY"):
+        extra = _flagship_benchmarks(on_cpu)
+
     print(json.dumps({
         "metric": f"ip_iterations_per_s_n{n}",
         "value": round(its_per_s, 3),
         "unit": "iter/s",
         "vs_baseline": round(its_per_s / TARGET_ITERS_PER_S, 3),
+        "extra": extra,
     }))
+
+
+def _flagship_benchmarks(on_cpu):
+    """The reference's PRODUCT surface — TR (the default algorithm,
+    `ParOptOptimizer.cpp:108-183`) and MMA on a SIMP FEM compliance
+    topology problem (its target workload).  Both are measured on the
+    SECOND run with compiled solvers reused, so the numbers are steady
+    throughput, and the reuse itself demonstrates the build-once/no-retrace
+    contract."""
+    import time as _time
+    from paropt_tpu.models.fem_topology import FEMTopology
+    from paropt_tpu.mma import FusedMMA
+    from paropt_tpu.tr import TrustRegion
+
+    extra = []
+
+    # --- MMA outer-iterations/s on the 96x48 SIMP mesh ---------------------
+    nex, ney, cg = (24, 12, 200) if on_cpu else (96, 48, 700)
+    mma_iters = 20 if on_cpu else 60
+    fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg)
+    x0, _, _ = fem.get_vars_and_bounds()
+    f0 = float(fem.objective(x0))
+    mma_opts = {"mma_max_iterations": mma_iters, "mma_output_file": None,
+                "dtype": "float64" if on_cpu else "float32"}
+    solver = FusedMMA(fem, mma_opts)
+    t0 = _time.time()
+    r1, _ = solver.solve(chunk=4)
+    wall1 = _time.time() - t0
+    t0 = _time.time()
+    r2, _ = solver.solve(chunk=4)
+    wall2 = _time.time() - t0
+    mma_per_s = r2["niter"] / wall2
+    sys.stderr.write(
+        f"[bench] MMA FEM {nex}x{ney} cg{cg}: {r2['niter']} outer iters in "
+        f"{wall2:.2f}s ({mma_per_s:.2f} it/s; first run incl. compile "
+        f"{wall1:.1f}s), compliance {f0:.4f} -> {r2['fobj']:.4f}, "
+        f"infeas {r2['infeas']:.1e}\n")
+    extra.append({"metric": f"mma_fem{nex}x{ney}_outer_iterations_per_s",
+                  "value": round(mma_per_s, 3), "unit": "iter/s",
+                  "vs_baseline": None})
+
+    # --- TR (SL1QP) outer-iterations/s on the 48x24 SIMP mesh --------------
+    nex, ney, cg = (12, 6, 300) if on_cpu else (48, 24, 500)
+    tr_iters = 10 if on_cpu else 20
+    fem_tr = FEMTopology(nex=nex, ney=ney, cg_iters=cg)
+    x0, _, _ = fem_tr.get_vars_and_bounds()
+    f0 = float(fem_tr.objective(x0))
+    tr_opts = {"tr_output_file": None, "output_file": None,
+               "tr_max_iterations": tr_iters,
+               "abs_res_tol": 1e-7 if on_cpu else 1e-6,
+               "tr_infeas_tol": 1e-5, "tr_l1_tol": 0.0,
+               "tr_linfty_tol": 1e-5,
+               "dtype": "float64" if on_cpu else "float32"}
+    t0 = _time.time()
+    trA = TrustRegion(fem_tr, dict(tr_opts))
+    resA = trA.optimize()
+    wall1 = _time.time() - t0
+    t0 = _time.time()
+    trB = TrustRegion(fem_tr, dict(tr_opts))
+    trB._fused_qp = trA._fused_qp          # reuse the compiled QP solvers
+    trB._fused_infeas = trA._fused_infeas
+    resB = trB.optimize()
+    wall2 = _time.time() - t0
+    tr_per_s = max(resB["niter"], 1) / wall2
+    sys.stderr.write(
+        f"[bench] TR FEM {nex}x{ney} cg{cg}: {resB['niter']} outer iters in "
+        f"{wall2:.2f}s ({tr_per_s:.2f} it/s; first run incl. compile "
+        f"{wall1:.1f}s), compliance {f0:.4f} -> {resB['fobj']:.4f}, "
+        f"infeas {resB['infeas']:.1e} linf {resB['linfty']:.1e}\n")
+    extra.append({"metric": f"tr_fem{nex}x{ney}_outer_iterations_per_s",
+                  "value": round(tr_per_s, 3), "unit": "iter/s",
+                  "vs_baseline": None})
+    return extra
 
 
 if __name__ == "__main__":

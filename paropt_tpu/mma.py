@@ -240,21 +240,44 @@ class MMA(Problem):
         linf_tol = o["mma_linfty_tol"]
         self._logger = MMALogger(o["mma_output_file"])
 
+        scaling = o["mma_kkt_error_scaling"]
+        max_no_improve = o["mma_max_no_improvement"]
+
         self.initialize_subproblem(self.x)
-        converged = False
+        converged = stalled = False
         infeas = l1 = linf = float("inf")
+        best_l1 = float("inf")
+        no_improve = 0
         for i in range(max_iters):
             x, z, zw, zl, zu = self._solve_subproblem_fused()
             # set multipliers + re-linearize about the new point
             self.z, self.zw, self.zl, self.zu = z, zw, zl, zu
             self.initialize_subproblem(x)
             infeas, l1, linf = self.compute_kkt_error()
-            if infeas < infeas_tol and (l1 < l1_tol or linf < linf_tol):
+            # 'gradient' scaling: relative stationarity (TPU extension for
+            # f32 / large n — see mma_kkt_error_scaling in the registry)
+            s1 = sinf = 1.0
+            if scaling == "gradient":
+                s1 = max(1.0, float(jnp.sum(jnp.abs(self.g))))
+                sinf = max(1.0, float(jnp.max(jnp.abs(self.g))))
+            if infeas < infeas_tol and (l1 < l1_tol * s1
+                                        or linf < linf_tol * sinf):
                 converged = True
+                break
+            # no-improvement window (mma_max_no_improvement, TPU
+            # extension): stop at the arithmetic-noise stationarity floor
+            if l1 < best_l1:
+                best_l1, no_improve = l1, 0
+            else:
+                no_improve += 1
+            if (max_no_improve > 0 and no_improve >= max_no_improve
+                    and infeas < infeas_tol):
+                converged = stalled = True
                 break
         self._logger.close()
         return {"x": self.x, "fobj": float(self.fobj),
-                "converged": converged, "niter": self.mma_iter,
+                "converged": converged, "stalled": stalled,
+                "niter": self.mma_iter,
                 "infeas": infeas, "l1": l1, "linfty": linf}
 
     def get_optimized_point(self):
@@ -465,6 +488,11 @@ class FusedMMAOptions(NamedTuple):
     use_true_mma: bool = True
     ninequality: int = 0
     nwinequality: int = 0
+    # 'none' (reference absolute test) | 'gradient' (relative to ||g||,
+    # the dtype/n-aware criterion — see mma_kkt_error_scaling)
+    kkt_error_scaling: str = "none"
+    # no-improvement window (mma_max_no_improvement; 0 = disabled)
+    max_no_improvement: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -487,6 +515,9 @@ class FusedMMAState:
     infeas: jnp.ndarray
     l1: jnp.ndarray
     linf: jnp.ndarray
+    best_l1: jnp.ndarray      # best stationarity seen (stall detection)
+    no_improve: jnp.ndarray   # int32 consecutive non-improving iterations
+    stalled: jnp.ndarray      # bool: converged via the no-improvement exit
 
 
 def _fused_mma_step(user_model: ModelFns, mma_model: ModelFns,
@@ -567,8 +598,30 @@ def _fused_mma_step(user_model: ModelFns, mma_model: ModelFns,
         infeas = infeas + jnp.sum(
             jnp.where(idxw < mo.nwinequality,
                       jnp.maximum(0.0, -cw), jnp.abs(cw)))
+    if mo.kkt_error_scaling == "gradient":
+        # relative stationarity: scale the tolerances by the objective
+        # gradient norms (dtype/n-aware; TPU extension)
+        s1 = jnp.maximum(1.0, jnp.sum(jnp.abs(g)))
+        sinf = jnp.maximum(1.0, jnp.max(jnp.abs(g)))
+    else:
+        s1 = sinf = jnp.ones((), dt)
+    tol_met = (l1 < mo.l1_tol * s1) | (linf < mo.linf_tol * sinf)
+    # no-improvement window (TPU extension, mma_max_no_improvement):
+    # terminate at the arithmetic-noise stationarity floor.  Frozen once
+    # converged so the while_loop carries stable values.
+    active = (state.k > 0) & ~state.converged
+    improved = l1 < state.best_l1
+    best_new = jnp.where(active & improved, l1, state.best_l1)
+    no_imp_new = jnp.where(active,
+                           jnp.where(improved, 0, state.no_improve + 1),
+                           state.no_improve)
+    stall_exit = jnp.asarray(False)
+    if mo.max_no_improvement > 0:
+        stall_exit = no_imp_new >= mo.max_no_improvement
     converged = ((state.k > 0) & (infeas < mo.infeas_tol)
-                 & ((l1 < mo.l1_tol) | (linf < mo.linf_tol)))
+                 & (tol_met | stall_exit))
+    stalled = state.stalled | (converged & ~state.converged & stall_exit
+                               & ~tol_met)
 
     # -- inner fused IP solve (skipped at runtime once converged) -----------
     params = MMAParams(L=L, U=U, p0=p0, q0=q0, pi=pi, qi=qi, b=b,
@@ -592,7 +645,8 @@ def _fused_mma_step(user_model: ModelFns, mma_model: ModelFns,
         L=L, U=U, z=zn, zw=zwn, zl=zln, zu=zun, fobj=jnp.asarray(fobj, dt),
         k=state.k + jnp.where(converged, 0, 1),
         subiters=state.subiters + kin, converged=converged,
-        infeas=infeas, l1=l1, linf=linf)
+        infeas=infeas, l1=l1, linf=linf,
+        best_l1=best_new, no_improve=no_imp_new, stalled=stalled)
 
 
 class FusedMMA:
@@ -605,11 +659,12 @@ class FusedMMA:
 
     def __init__(self, problem, options: Optional[Dict[str, Any]] = None):
         from .utils.options import make_options
-        from .dtypes import default_float
 
         o = options if hasattr(options, "descriptors") else \
             make_options(options or {}, which="facade")
-        dt = default_float()
+        from .dtypes import resolve_dtype
+        dt = resolve_dtype(
+            jnp.float64 if o["dtype"] == "float64" else jnp.float32)
         x0, lb, ub = problem.get_vars_and_bounds()
         x0 = jnp.asarray(x0, dt)
         lbv = jnp.asarray(lb, dt)
@@ -674,7 +729,9 @@ class FusedMMA:
             delta_regularization=o["mma_delta_regularization"],
             bound_relax=o["mma_bound_relax"], use_true_mma=use_true,
             ninequality=problem.ninequality,
-            nwinequality=problem.nwinequality)
+            nwinequality=problem.nwinequality,
+            kkt_error_scaling=o["mma_kkt_error_scaling"],
+            max_no_improvement=o["mma_max_no_improvement"])
 
         zero = jnp.zeros((), dt)
         state0 = FusedMMAState(
@@ -682,7 +739,9 @@ class FusedMMA:
             z=jnp.zeros(ncon, dt), zw=jnp.zeros(nwcon, dt),
             zl=jnp.zeros(n, dt), zu=jnp.zeros(n, dt), fobj=zero,
             k=jnp.zeros((), jnp.int32), subiters=jnp.zeros((), jnp.int32),
-            converged=jnp.asarray(False), infeas=zero, l1=zero, linf=zero)
+            converged=jnp.asarray(False), infeas=zero, l1=zero, linf=zero,
+            best_l1=zero + jnp.inf, no_improve=jnp.zeros((), jnp.int32),
+            stalled=jnp.asarray(False))
 
         from functools import partial
         step = partial(_fused_mma_step, user_model, mma_model, ip_opts, mo,
@@ -737,7 +796,8 @@ class FusedMMA:
         # when the loop exits at the iteration cap, x has advanced once
         fobj_final, _, _ = self._ev((), state.x)
         result = {"x": state.x, "fobj": float(fobj_final),
-                  "converged": bool(state.converged), "niter": int(state.k),
+                  "converged": bool(state.converged),
+                  "stalled": bool(state.stalled), "niter": int(state.k),
                   "infeas": float(state.infeas), "l1": float(state.l1),
                   "linfty": float(state.linf)}
         return result, state

@@ -397,6 +397,31 @@ def add_mma_options(opts: OptionRegistry) -> OptionRegistry:
                 "Regularization term applied in the MMA approximation")
     o.add_float("mma_move_limit", 0.2, 0.0, 1e20,
                 "Move limit for design variables to prevent oscillation")
+    # TPU-specific extension (not in the reference): the reference's
+    # absolute l1/linfty stationarity tests (`ParOptMMA.cpp:406-488`) sit
+    # at dtype-noise level for float32 at 10^6+ variables (the projected
+    # gradient cannot cancel below ~eps*|g|); 'gradient' scales the
+    # tolerances by max(1, ||g||_1) / max(1, ||g||_inf) of the objective
+    # gradient, making the criterion dtype- and n-aware (a RELATIVE
+    # stationarity measure).
+    o.add_enum("mma_kkt_error_scaling", "none", ("none", "gradient"),
+               "Scaling of the MMA KKT stationarity tolerances: 'none' = "
+               "absolute (reference behavior); 'gradient' = relative to the "
+               "objective gradient norms (use for float32 / large n)")
+    # TPU-specific extension (not in the reference): in float32 the MMA
+    # outer loop stalls at an arithmetic-noise stationarity floor well
+    # above the double-precision tolerances (the inner-solve accuracy
+    # limits the multiplier quality, so l1 saw-tooths instead of
+    # converging).  A no-improvement window — the analogue of the
+    # reference IP's own no-improvement exit
+    # (`ParOptInteriorPoint.cpp:4649-4684`) — terminates at the achievable
+    # floor whatever the dtype/n: stop (converged, stalled=True) when the
+    # best l1 stationarity has not improved for this many consecutive
+    # outer iterations AND the iterate is feasible.  0 disables.
+    o.add_int("mma_max_no_improvement", 0, 0, 1000000,
+              "Terminate MMA when the best l1 stationarity has not improved "
+              "for this many consecutive feasible outer iterations "
+              "(0 = disabled; dtype/n-robust stopping for float32)")
     return o
 
 

@@ -127,6 +127,42 @@ def test_fused_mma_chunked_matches_single_execution():
     assert int(st_one.subiters) == int(st_chk.subiters)
 
 
+def test_mma_f32_stall_criterion_terminates():
+    """The dtype/n-robust MMA stopping criterion (mma_max_no_improvement, a
+    TPU extension mirroring the reference IP's no-improvement exit,
+    `ParOptInteriorPoint.cpp:4649-4684`): in float32 the outer loop
+    saw-tooths at an arithmetic-noise stationarity floor far above the
+    double-precision tolerances (measured: rel l1 ~7e-4 at n=2^14 — the
+    inner-solve accuracy limits multiplier quality), so the reference's
+    absolute tests never fire.  The no-improvement window terminates at
+    the achievable floor, converged + stalled flagged, feasible."""
+    import jax.numpy as jnp
+    from paropt_tpu.models.topology import SyntheticTopology
+    from paropt_tpu.mma import FusedMMA
+
+    opts = {"mma_max_iterations": 150, "mma_output_file": None,
+            "dtype": "float32", "mma_max_no_improvement": 10}
+    prob = SyntheticTopology(n=4096, block=8, dtype=jnp.float32)
+    r, st = FusedMMA(prob, dict(opts)).solve()
+    assert r["converged"], r
+    assert r["stalled"], r          # the absolute tests never fired
+    assert r["niter"] < 150         # terminated by the window, not the cap
+    assert r["infeas"] < 1e-5
+    # the floor it stopped at is genuinely stationary RELATIVE to the
+    # problem scale (||g||_1 is O(n*|g_i|))
+    g, _ = prob.eval_obj_con_gradient(jnp.asarray(r["x"], jnp.float32))
+    assert r["l1"] < 1e-2 * float(jnp.sum(jnp.abs(g)))
+
+    # the host MMA loop honors the same window
+    from paropt_tpu.mma import MMA
+    host = MMA(SyntheticTopology(n=1024, block=8, dtype=jnp.float32),
+               {"mma_output_file": None, "output_file": None,
+                "dtype": "float32", "mma_max_iterations": 150,
+                "mma_max_no_improvement": 10})
+    res = host.optimize()
+    assert res["converged"] and res["stalled"], res
+
+
 def test_fused_mma_solve_reuses_build():
     """Back-to-back fused_mma_solve calls with the same (problem, options)
     reuse one compiled solver (no rebuild/retrace)."""

@@ -66,7 +66,8 @@ def test_option_registry_name_parity():
     # (`ParOptInteriorPoint.cpp:536-727`, `ParOptTrustRegion.cpp:739-847`,
     # `ParOptMMA.cpp:234-289`, `ParOptOptimizer.cpp:39-50`)
     expected_absent = {"soc_rank_gamma"}          # commented out upstream
-    extensions = {"dtype", "qn_storage_dtype"}   # TPU-native extensions
+    extensions = {"dtype", "qn_storage_dtype", "mma_kkt_error_scaling",
+                  "mma_max_no_improvement"}      # TPU-native extensions
     assert extensions <= ours
     assert not (expected_absent & ours)
     # spot-check a few from each group
@@ -103,7 +104,8 @@ def test_full_option_table_parity():
             ref[name] = desc
 
     ours = make_options()
-    extensions = {"dtype", "qn_storage_dtype"}  # documented TPU-native extensions
+    extensions = {"dtype", "qn_storage_dtype", "mma_kkt_error_scaling",
+                  "mma_max_no_improvement"}  # documented TPU-native extensions
     assert set(ref) - set(ours) == set(), "missing reference options"
     assert set(ours) - set(ref) == extensions, "undocumented extra options"
 
