@@ -28,6 +28,7 @@ ladder — but structured TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import os
 import warnings
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -84,7 +85,9 @@ def _residual_and_norms(v: IPVars, d: ProblemData, mu, rel_bound_barrier,
     else:
         res_norm = jnp.sqrt(prime ** 2 + dual ** 2 + infeas ** 2)
     comp = kkt.average_complementarity(v, d)
-    return r, prime, dual, infeas, res_norm, comp
+    # scalars ONLY: returning the residual tree would materialize three
+    # n-length leaves per call that no caller consumes
+    return prime, dual, infeas, res_norm, comp
 
 
 @partial(jax.jit, static_argnames=("refine_steps", "use_qn"))
@@ -228,6 +231,32 @@ def _merit_parts(v: IPVars, d: ProblemData, p: IPVars, fobj, mu,
     else:
         pTBp = jnp.zeros_like(fobj)
     return merit0, pmerit0, infeas, infeas_proj, pTBp
+
+
+@partial(jax.jit, static_argnames=("refine_steps", "use_qn", "norm_type"))
+def _step_scale_merit(v: IPVars, d: ProblemData, compact, fobj, mu, comp,
+                      rel_bound_barrier, qn_sigma, tau_min,
+                      refine_steps: int, use_qn: bool, norm_type: str):
+    """Fused iteration head: KKT step + fraction-to-boundary scaling +
+    merit parts as ONE XLA computation.
+
+    The host loop's per-phase jit boundaries each materialize full IPVars
+    trees (3 n-length leaves); measured at n=1M f64 the split phases cost
+    ~9x the fused-IP per-iteration time at identical numerical work
+    (scripts/bench_callback_overhead.py).  Fusing the three phases keeps
+    every intermediate (residual tree, unscaled step) inside one program,
+    the analogue of the reference running its whole iteration in-process
+    (no materialization boundaries at all)."""
+    r = kkt.kkt_residual(v, d, mu, rel_bound_barrier)
+    cq = compact if use_qn else (compact[0], None, None)
+    f = kkt.setup_kkt_factor(v, d, qn_compact=cq, qn_sigma=qn_sigma)
+    p = kkt.solve_kkt(v, d, f, r, refine_steps=refine_steps, qn_compact=cq)
+    ps, ax, az, ceq = _scale_step.__wrapped__(
+        v, d, p, mu, comp, jnp.asarray(False), tau_min)
+    mp = _merit_parts.__wrapped__(v, d, ps, fobj, mu, rel_bound_barrier,
+                                  compact, use_qn=use_qn)
+    px_norm = multi_norm([p.x], norm_type)   # unscaled (abs_step_tol test)
+    return ps, ax, az, ceq, mp, px_norm
 
 
 @jax.jit
@@ -1094,7 +1123,23 @@ class InteriorPoint:
     # -- checkpointing (`writeSolutionFile`/`readSolutionFile`,
     #    ParOptInteriorPoint.cpp:883-1110) ----------------------------------
 
+    def _state_is_sharded(self) -> bool:
+        """True when any state leaf lives sharded across >1 device."""
+        for leaf in jax.tree_util.tree_leaves(self.vars):
+            sh = getattr(leaf, "sharding", None)
+            if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+                return True
+        return False
+
     def write_solution_file(self, path: str) -> None:
+        """Sharded state goes through the Orbax/TensorStore path (each
+        shard written in parallel — the MPI-IO collective-write role);
+        plain single-device arrays keep the simple npz format."""
+        if self._state_is_sharded():
+            from .utils.checkpoint import save_state
+            save_state(path, {"vars": self.vars,
+                              "mu": jnp.asarray(self.mu, self.dtype)})
+            return
         v = self.vars
         arrays = {f.name: np.asarray(getattr(v, f.name))
                   for f in dataclasses.fields(IPVars)}
@@ -1102,6 +1147,14 @@ class InteriorPoint:
         np.savez(path, **arrays)
 
     def read_solution_file(self, path: str) -> None:
+        if os.path.isdir(path):   # Orbax checkpoints are directories
+            from .utils.checkpoint import restore_state
+            template = {"vars": self.vars,
+                        "mu": jnp.asarray(self.mu, self.dtype)}
+            restored = restore_state(path, template)
+            self.vars = restored["vars"]
+            self.mu = float(restored["mu"])
+            return
         if not path.endswith(".npz"):
             path = path + ".npz"
         dat = np.load(path)
@@ -1246,8 +1299,9 @@ class InteriorPoint:
 
             # barrier strategy (ParOptInteriorPoint.cpp:4656-4764)
             mu_j = jnp.asarray(self.mu, self.dtype)
-            r, prime, dual, infeas_n, res_norm, comp = self._fn(_residual_and_norms)(
-                self.vars, d, mu_j, rbb, norm_type)
+            prime, dual, infeas_n, res_norm, comp = (
+                self._fn(_residual_and_norms)(self.vars, d, mu_j, rbb,
+                                              norm_type))
             prime, dual, infeas_n = float(prime), float(dual), float(infeas_n)
             res_norm = float(res_norm)
             comp = float(comp)
@@ -1268,9 +1322,9 @@ class InteriorPoint:
                         new_mu = 0.09999 * abs_res_tol
                     self.mu = new_mu
                     mu_j = jnp.asarray(self.mu, self.dtype)
-                    r, prime, dual, infeas_n, res_norm, comp = (
+                    prime, dual, infeas_n, res_norm, comp = (
                         self._fn(_residual_and_norms)(self.vars, d, mu_j, rbb,
-                                            norm_type))
+                                                      norm_type))
                     prime, dual = float(prime), float(dual)
                     infeas_n, res_norm = float(infeas_n), float(res_norm)
                     comp = float(comp)
@@ -1279,8 +1333,9 @@ class InteriorPoint:
                 self.mu = max(o["monotone_barrier_fraction"] * comp,
                               0.1 * abs_res_tol)
                 mu_j = jnp.asarray(self.mu, self.dtype)
-                r, prime, dual, infeas_n, res_norm, comp = (
-                    self._fn(_residual_and_norms)(self.vars, d, mu_j, rbb, norm_type))
+                prime, dual, infeas_n, res_norm, comp = (
+                    self._fn(_residual_and_norms)(self.vars, d, mu_j, rbb,
+                                                  norm_type))
                 prime, dual = float(prime), float(dual)
                 infeas_n, res_norm = float(infeas_n), float(res_norm)
                 comp = float(comp)
@@ -1353,7 +1408,31 @@ class InteriorPoint:
             else:
                 compact = self._qn_compact()
                 use_qn = use_qn_default
-            if inexact_step is not None:
+            sv_freq = o["step_verification_frequency"]
+            sv_check_iter = sv_freq > 0 and k % sv_freq == 0
+            # fused iteration head (step + scale + merit in ONE program —
+            # see _step_scale_merit): the default monotone /
+            # complementarity-fraction line-search path with no host
+            # decision between the three phases
+            fuse_head = (inexact_step is None and not self._eager
+                         and use_line_search and not sv_check_iter
+                         and barrier_strategy in ("monotone",
+                                                  "complementarity_fraction"))
+            mp = None
+            if fuse_head:
+                p = None
+                p_s, axj, azj, ceq, mp, pxn = _step_scale_merit(
+                    self.vars, d, compact,
+                    jnp.asarray(self.fobj, self.dtype), mu_j,
+                    jnp.asarray(comp, self.dtype), rbb, o["qn_sigma"],
+                    o["min_fraction_to_boundary"],
+                    refine_steps=refine_steps, use_qn=use_qn,
+                    norm_type=norm_type)
+                ax, az = float(axj), float(azj)
+                res_norm_prev = max(res_norm, 1e-30)
+                if abs_step_tol > 0.0:
+                    step_norm_prev = float(pxn)
+            elif inexact_step is not None:
                 p = inexact_step
             elif self._eager:
                 p = _compute_step_eager(self.vars, d, compact, mu_j, rbb,
@@ -1364,8 +1443,8 @@ class InteriorPoint:
                                   o["qn_sigma"], refine_steps=refine_steps,
                                   use_qn=use_qn)
 
-            if inexact_step is None and barrier_strategy in (
-                    "mehrotra", "mehrotra_predictor_corrector"):
+            if not fuse_head and inexact_step is None and barrier_strategy \
+                    in ("mehrotra", "mehrotra_predictor_corrector"):
                 # affine probe: step toward μ = 0 from the same factorization
                 if self._eager:
                     p_aff = _compute_step_eager(
@@ -1410,27 +1489,27 @@ class InteriorPoint:
                                       refine_steps=refine_steps,
                                       use_qn=use_qn)
 
-            res_norm_prev = max(res_norm, 1e-30)
-            if abs_step_tol > 0.0:
-                from .ops.veclib import norm as _vnorm
-                step_norm_prev = float(_vnorm(p.x, norm_type))
+            if not fuse_head:
+                res_norm_prev = max(res_norm, 1e-30)
+                if abs_step_tol > 0.0:
+                    from .ops.veclib import norm as _vnorm
+                    step_norm_prev = float(_vnorm(p.x, norm_type))
 
-            sv_freq = o["step_verification_frequency"]
-            if (sv_freq > 0 and k % sv_freq == 0 and inexact_step is None
-                    and barrier_strategy not in
-                    ("mehrotra", "mehrotra_predictor_corrector")):
-                err = float(self._fn(_check_kkt_step)(self.vars, d, p, compact, mu_j,
-                                            rbb, o["qn_sigma"],
-                                            use_qn=use_qn))
-                self._logger.write(
-                    f"KKT step check: max |K*p + r| = {err:.6e}\n")
+                if (sv_check_iter and inexact_step is None
+                        and barrier_strategy not in
+                        ("mehrotra", "mehrotra_predictor_corrector")):
+                    err = float(self._fn(_check_kkt_step)(
+                        self.vars, d, p, compact, mu_j, rbb, o["qn_sigma"],
+                        use_qn=use_qn))
+                    self._logger.write(
+                        f"KKT step check: max |K*p + r| = {err:.6e}\n")
 
-            # fraction-to-boundary scaling (equal steps for Newton steps)
-            p_s, ax, az, ceq = self._fn(_scale_step)(
-                self.vars, d, p, mu_j, jnp.asarray(comp, self.dtype),
-                jnp.asarray(inexact_step is not None),
-                o["min_fraction_to_boundary"])
-            ax, az = float(ax), float(az)
+                # fraction-to-boundary scaling (equal steps: Newton steps)
+                p_s, ax, az, ceq = self._fn(_scale_step)(
+                    self.vars, d, p, mu_j, jnp.asarray(comp, self.dtype),
+                    jnp.asarray(inexact_step is not None),
+                    o["min_fraction_to_boundary"])
+                ax, az = float(ax), float(az)
             if bool(ceq):
                 info += "cmpEq "
 
@@ -1439,8 +1518,10 @@ class InteriorPoint:
             no_merit_improvement = False
 
             if use_line_search:
-                mp = self._fn(_merit_parts)(self.vars, d, p_s, self.fobj, mu_j, rbb,
-                                  compact, use_qn=use_qn)
+                if mp is None:
+                    mp = self._fn(_merit_parts)(self.vars, d, p_s, self.fobj,
+                                                mu_j, rbb, compact,
+                                                use_qn=use_qn)
                 m0, dm0 = self._rho_update(*(float(x) for x in mp), ax)
                 dm0_prev = dm0
                 # FD-verify the merit derivative along the ACTUAL step

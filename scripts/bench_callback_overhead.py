@@ -121,10 +121,16 @@ def main():
 
     jprob = JaxQP()
     model = ip_fused.model_from_problem(jprob)
+    # SAME numerical work as the host loop: in-loop L-BFGS updates at the
+    # default subspace size (the host loop runs the full QN machinery)
+    from paropt_tpu.ops import qn as qnmod
     fused = ip_fused.FusedIP(model, n, m, 0, 1,
-                             ip_fused.FusedIPOptions(max_major_iters=args.iters))
+                             ip_fused.FusedIPOptions(
+                                 max_major_iters=args.iters,
+                                 use_quasi_newton_update=True))
     data, x0 = ip_fused.data_template_from_problem(jprob)
-    st = fused.init(x0, data, (), None, None)
+    qn0 = qnmod.qn_init(10, n)
+    st = fused.init(x0, data, (), qn0, None)
     st = fused.step(st, data, (), None)          # compile
     jax.block_until_ready(st)
     k = 20

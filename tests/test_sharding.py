@@ -211,6 +211,45 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert _tree_maxdiff(a, b) == 0.0
 
 
+def test_host_loop_ip_sharded_checkpoint_roundtrip(tmp_path):
+    """The host-loop InteriorPoint's write/read_solution_file routes
+    sharded state through Orbax (the MPI-IO collective-checkpoint role,
+    `ParOptInteriorPoint.cpp:883-972`), preserving shardings on restore;
+    single-device state keeps the npz format."""
+    from paropt_tpu import InteriorPoint
+    from paropt_tpu.models.topology import SyntheticTopology
+
+    n = 512
+    prob = SyntheticTopology(n=n, block=8, dtype=jnp.float64)
+    ip = InteriorPoint(prob, {"output_file": None, "max_major_iters": 3})
+    ip.optimize()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    ip.vars = _shard_tree(ip.vars, mesh, n)
+    assert ip._state_is_sharded()
+
+    path = str(tmp_path / "ipckpt")
+    ip.write_solution_file(path)
+    import os
+    assert os.path.isdir(path)    # Orbax directory, not an npz
+
+    ip2 = InteriorPoint(SyntheticTopology(n=n, block=8, dtype=jnp.float64),
+                        {"output_file": None})
+    ip2.vars = _shard_tree(ip2.vars, mesh, n)
+    ip2.read_solution_file(path)
+    assert _tree_maxdiff(ip.vars, ip2.vars) == 0.0
+    assert ip2.vars.x.sharding == ip.vars.x.sharding
+    assert ip2.mu == pytest.approx(float(ip.mu))
+
+    # unsharded state keeps the npz path
+    ip3 = InteriorPoint(SyntheticTopology(n=n, block=8, dtype=jnp.float64),
+                        {"output_file": None, "max_major_iters": 2})
+    ip3.optimize()
+    assert not ip3._state_is_sharded()
+    npz_path = str(tmp_path / "ipckpt_plain")
+    ip3.write_solution_file(npz_path)
+    assert os.path.exists(npz_path + ".npz") or os.path.exists(npz_path)
+
+
 def test_fused_mehrotra_strategies():
     """Fused solver with Mehrotra and predictor-corrector barriers reaches
     the same solution as monotone."""
