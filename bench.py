@@ -152,7 +152,7 @@ def _flagship_benchmarks(on_cpu):
     import time as _time
     from paropt_tpu.models.fem_topology import FEMTopology
     from paropt_tpu.mma import FusedMMA
-    from paropt_tpu.tr import TrustRegion
+    from paropt_tpu.tr import FusedTR
 
     extra = []
 
@@ -166,10 +166,10 @@ def _flagship_benchmarks(on_cpu):
                 "dtype": "float64" if on_cpu else "float32"}
     solver = FusedMMA(fem, mma_opts)
     t0 = _time.time()
-    r1, _ = solver.solve(chunk=4)
+    r1, _ = solver.solve()
     wall1 = _time.time() - t0
     t0 = _time.time()
-    r2, _ = solver.solve(chunk=4)
+    r2, _ = solver.solve()
     wall2 = _time.time() - t0
     mma_per_s = r2["niter"] / wall2
     sys.stderr.write(
@@ -182,6 +182,9 @@ def _flagship_benchmarks(on_cpu):
                   "vs_baseline": None})
 
     # --- TR (SL1QP) outer-iterations/s on the 48x24 SIMP mesh --------------
+    # FusedTR: the reference's DEFAULT algorithm with the WHOLE outer loop
+    # (steering + QP solves + trial eval + QN update + radius/penalty
+    # logic) on-device
     nex, ney, cg = (12, 6, 300) if on_cpu else (48, 24, 500)
     tr_iters = 10 if on_cpu else 20
     fem_tr = FEMTopology(nex=nex, ney=ney, cg_iters=cg)
@@ -193,21 +196,18 @@ def _flagship_benchmarks(on_cpu):
                "tr_infeas_tol": 1e-5, "tr_l1_tol": 0.0,
                "tr_linfty_tol": 1e-5,
                "dtype": "float64" if on_cpu else "float32"}
+    tr = FusedTR(fem_tr, dict(tr_opts))
     t0 = _time.time()
-    trA = TrustRegion(fem_tr, dict(tr_opts))
-    resA = trA.optimize()
+    resA, _ = tr.solve()
     wall1 = _time.time() - t0
     t0 = _time.time()
-    trB = TrustRegion(fem_tr, dict(tr_opts))
-    trB._fused_qp = trA._fused_qp          # reuse the compiled QP solvers
-    trB._fused_infeas = trA._fused_infeas
-    resB = trB.optimize()
+    resB, _ = tr.solve()
     wall2 = _time.time() - t0
     tr_per_s = max(resB["niter"], 1) / wall2
     sys.stderr.write(
-        f"[bench] TR FEM {nex}x{ney} cg{cg}: {resB['niter']} outer iters in "
-        f"{wall2:.2f}s ({tr_per_s:.2f} it/s; first run incl. compile "
-        f"{wall1:.1f}s), compliance {f0:.4f} -> {resB['fobj']:.4f}, "
+        f"[bench] TR(fused) FEM {nex}x{ney} cg{cg}: {resB['niter']} outer "
+        f"iters in {wall2:.2f}s ({tr_per_s:.2f} it/s; first run incl. "
+        f"compile {wall1:.1f}s), compliance {f0:.4f} -> {resB['fobj']:.4f}, "
         f"infeas {resB['infeas']:.1e} linf {resB['linfty']:.1e}\n")
     extra.append({"metric": f"tr_fem{nex}x{ney}_outer_iterations_per_s",
                   "value": round(tr_per_s, 3), "unit": "iter/s",

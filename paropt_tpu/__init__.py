@@ -62,6 +62,9 @@ def __getattr__(name):
     if name == "FusedMMA":
         from .mma import FusedMMA
         return FusedMMA
+    if name == "FusedTR":
+        from .tr import FusedTR
+        return FusedTR
     if name == "FusedIP":
         from .ip_fused import FusedIP
         return FusedIP

@@ -759,13 +759,6 @@ class FusedMMA:
 
         self._run_jit = run
 
-    # target seconds per device execution when chunk='auto': long enough
-    # that dispatch is negligible, far below the runtime watchdogs that a
-    # minutes-long single execution trips (observed: crashed TPU worker on
-    # a 192x96 FEM topology with cg_iters=800 in ONE while_loop call)
-    AUTO_CHUNK_TARGET_S = 10.0
-    AUTO_CHUNK_MAX = 64
-
     def solve(self, state0: Optional[FusedMMAState] = None,
               jit_loop: bool = True, chunk="auto"):
         """Run the fused outer loop.  Returns (result dict, final state).
@@ -773,52 +766,20 @@ class FusedMMA:
 
         ``chunk`` bounds how many outer iterations run inside ONE device
         execution (host-paced between chunks, same compiled program each
-        time).  A single execution spanning the whole optimization can run
-        for minutes on a large problem (mesh size × cg_iters) and trip
-        runtime watchdogs — observed as a crashed TPU worker on a 192×96
-        FEM topology with cg_iters=800.  Chunking adds one dispatch per
-        ``chunk`` outer iterations (negligible) and stops early on
-        convergence.
-
-        ``chunk='auto'`` (default) MEASURES one outer iteration and sizes
-        the device calls to ~AUTO_CHUNK_TARGET_S seconds each, so no
+        time).  ``chunk='auto'`` (default) MEASURES one outer iteration and
+        sizes the device calls to ~10 s each (utils/chunked.py), so no
         problem/cg_iters combination can compile a watchdog-killing
-        program.  Pass an int to pin the chunk, or ``None`` to run the
+        program — a 192x96 FEM @ cg800 in ONE while_loop call crashed the
+        TPU worker.  Pass an int to pin the chunk, or ``None`` to run the
         whole loop in one device call (at your own risk at scale).
 
         ``jit_loop=False`` steps one jitted outer iteration at a time from
         python — use it to inspect/log per-iteration state."""
-        import time as _time
+        from .utils.chunked import run_chunked
         state = state0 if state0 is not None else self._state0
         if jit_loop:
-            max_it = self._mo.max_iterations
-            if chunk == "auto":
-                # run (and time) ONE outer iteration through the same
-                # compiled program; derive the chunk from its wall time.
-                # The first call pays the compile, so time a second
-                # single-iteration call when one is available.
-                k0 = int(state.k)
-                if k0 < max_it and not bool(state.converged):
-                    state = self._run_jit(state, k0 + 1)
-                    jax.block_until_ready(state)
-                k1 = int(state.k)
-                if k1 < max_it and not bool(state.converged):
-                    t0 = _time.time()
-                    state = self._run_jit(state, k1 + 1)
-                    jax.block_until_ready(state)
-                    dt = max(_time.time() - t0, 1e-6)
-                    chunk = int(max(1, min(self.AUTO_CHUNK_MAX,
-                                           self.AUTO_CHUNK_TARGET_S / dt)))
-                else:
-                    chunk = 1
-            if chunk is None or chunk >= max_it:
-                state = self._run_jit(state, max_it)
-            else:
-                while True:
-                    k_stop = min(int(state.k) + chunk, max_it)
-                    state = self._run_jit(state, k_stop)
-                    if bool(state.converged) or int(state.k) >= max_it:
-                        break
+            state = run_chunked(self._run_jit, state,
+                                self._mo.max_iterations, chunk)
         else:
             for _ in range(self._mo.max_iterations):
                 state = self._step_jit(state)

@@ -142,3 +142,64 @@ def test_tr_maratos_soc_beats_no_soc():
         return res["niter"]
 
     assert solve(True) <= solve(False)
+
+
+def test_fused_tr_matches_host_loop():
+    """The fully-fused SL1QP trust-region outer loop (one XLA computation,
+    `FusedTR`) reproduces the host outer-loop trajectory on the synthetic
+    topology problem: identical iterate, objective, and KKT errors."""
+    import jax.numpy as jnp
+    from paropt_tpu.models.topology import SyntheticTopology
+    from paropt_tpu.tr import TrustRegion, FusedTR
+
+    opts = {"tr_output_file": None, "output_file": None,
+            "tr_max_iterations": 20, "abs_res_tol": 1e-8,
+            "tr_infeas_tol": 1e-5, "tr_l1_tol": 1e-6, "tr_linfty_tol": 1e-6}
+    host = TrustRegion(SyntheticTopology(n=256, block=8, dtype=jnp.float64),
+                       dict(opts))
+    rh = host.optimize()
+    fus = FusedTR(SyntheticTopology(n=256, block=8, dtype=jnp.float64),
+                  dict(opts))
+    rf, st = fus.solve()
+    assert rf["niter"] == rh["niter"]
+    assert abs(rf["fobj"] - rh["fobj"]) < 1e-10
+    assert np.max(np.abs(np.asarray(rf["x"]) - np.asarray(rh["x"]))) < 1e-9
+    assert rf["linfty"] == pytest.approx(rh["linfty"], rel=1e-6, abs=1e-12)
+    assert int(st.subiters) > 0
+
+
+def test_fused_tr_converges_and_python_loop_mode():
+    """FusedTR terminates on the normalized KKT criterion; the python-loop
+    stepping mode gives the same trajectory."""
+    import jax.numpy as jnp
+    from paropt_tpu.models.topology import SyntheticTopology
+    from paropt_tpu.tr import FusedTR
+
+    opts = {"tr_output_file": None, "output_file": None,
+            "tr_max_iterations": 60, "abs_res_tol": 1e-8,
+            "tr_infeas_tol": 1e-5, "tr_l1_tol": 0.0, "tr_linfty_tol": 1e-4}
+    fus = FusedTR(SyntheticTopology(n=512, block=8, dtype=jnp.float64),
+                  dict(opts))
+    r1, _ = fus.solve()
+    assert r1["converged"], r1
+    assert r1["infeas"] < 1e-5 and r1["linfty"] < 1e-4
+    r2, _ = fus.solve(jit_loop=False)
+    assert r2["niter"] == r1["niter"]
+    assert np.allclose(np.asarray(r1["x"]), np.asarray(r2["x"]), atol=1e-12)
+
+
+def test_fused_tr_fem_matches_host():
+    """FusedTR on the SIMP FEM compliance problem (the flagship workload)
+    matches the host TR trajectory through 15 outer iterations."""
+    from paropt_tpu.models.fem_topology import FEMTopology
+    from paropt_tpu.tr import TrustRegion, FusedTR
+
+    opts = {"tr_output_file": None, "output_file": None,
+            "tr_max_iterations": 15, "abs_res_tol": 1e-7,
+            "tr_infeas_tol": 1e-5, "tr_l1_tol": 0.0, "tr_linfty_tol": 1e-5}
+    prob = FEMTopology(nex=12, ney=6, cg_iters=300)
+    rh = TrustRegion(prob, dict(opts)).optimize()
+    rf, _ = FusedTR(prob, dict(opts)).solve()
+    assert rf["niter"] == rh["niter"]
+    assert abs(rf["fobj"] - rh["fobj"]) < 1e-8
+    assert np.max(np.abs(np.asarray(rf["x"]) - np.asarray(rh["x"]))) < 1e-8
