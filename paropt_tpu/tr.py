@@ -1154,11 +1154,9 @@ def _fused_tr_step(user_model: ModelFns, qp_model: ModelFns,
     sel = lambda a, b: jnp.where(accepted, a, b)  # noqa: E731
     xk_n, fk_n, ck_n = sel(xt, xk), sel(ft, fk), sel(ct, ck)
     gk_n, Ak_n = sel(gt, gk), sel(At, Ak)
-    if d_tmpl.nwcon > 0:
-        _, _, cwt_full = user_model.eval_obj_con(params_user, xk_n)
-        cwk_n = cwt_full
-    else:
-        cwk_n = cwk
+    # cw at the accepted point comes from the trial evaluation — no extra
+    # model eval (accepted: xk_n == xt; rejected: xk_n == xk)
+    cwk_n = sel(cwt, cwk) if d_tmpl.nwcon > 0 else cwk
     tr_n = jnp.where(rho < 0.25,
                      jnp.maximum(0.25 * state.tr_size, to.tr_min),
                      jnp.where(rho > 0.75,
