@@ -318,6 +318,45 @@ class InfeasSubproblem(Problem):
         pass
 
 
+def _fused_ip_options(o, barrier: str, start: str,
+                      slm: bool) -> FusedIPOptions:
+    """Map the registry's IP options onto the inner fused-IP solver's
+    static options — the SINGLE mapping shared by the host TrustRegion's
+    fused subproblem solves and FusedTR (forced overrides per
+    `sl1qpOptimize`, `ParOptTrustRegion.cpp:1490-1500`:
+    use_quasi_newton_update off — the outer loop owns the QN update)."""
+    if start == "default":
+        start = "affine_step"
+    if barrier == "default":
+        # Resolve the steering 'default' the same way the host-loop
+        # ip_infeas path does: fall back to the main barrier strategy.
+        barrier = o["barrier_strategy"]
+    return FusedIPOptions(
+        abs_res_tol=o["abs_res_tol"],
+        init_barrier_param=o["init_barrier_param"],
+        monotone_barrier_fraction=o["monotone_barrier_fraction"],
+        monotone_barrier_power=o["monotone_barrier_power"],
+        rel_bound_barrier=o["rel_bound_barrier"],
+        min_fraction_to_boundary=o["min_fraction_to_boundary"],
+        penalty_descent_fraction=o["penalty_descent_fraction"],
+        min_rho_penalty_search=o["min_rho_penalty_search"],
+        armijo_constant=o["armijo_constant"],
+        function_precision=o["function_precision"],
+        design_precision=o["design_precision"],
+        max_line_iters=o["max_line_iters"],
+        use_backtracking_alpha=o["use_backtracking_alpha"],
+        max_major_iters=o["max_major_iters"],
+        iterative_refinement_steps=o["iterative_refinement_steps"],
+        qn_sigma=o["qn_sigma"],
+        barrier_strategy=barrier,
+        starting_point_strategy=start,
+        start_affine_multiplier_min=o["start_affine_multiplier_min"],
+        use_line_search=o["use_line_search"],
+        use_quasi_newton_update=False,
+        sequential_linear_method=slm,
+        norm_type=o["norm_type"])
+
+
 def _l1_violation(c, nineq, gamma=None):
     """Σ γ_i · viol_i with viol = max(0, -c) for inequalities, |c| for
     equalities."""
@@ -401,37 +440,7 @@ class TrustRegion:
 
     def _fused_opts(self, barrier: str, start: str,
                     slm: bool) -> FusedIPOptions:
-        o = self.options
-        if start == "default":
-            start = "affine_step"
-        if barrier == "default":
-            # Resolve the steering 'default' the same way the host-loop
-            # ip_infeas path does: fall back to the main barrier strategy.
-            barrier = o["barrier_strategy"]
-        return FusedIPOptions(
-            abs_res_tol=o["abs_res_tol"],
-            init_barrier_param=o["init_barrier_param"],
-            monotone_barrier_fraction=o["monotone_barrier_fraction"],
-            monotone_barrier_power=o["monotone_barrier_power"],
-            rel_bound_barrier=o["rel_bound_barrier"],
-            min_fraction_to_boundary=o["min_fraction_to_boundary"],
-            penalty_descent_fraction=o["penalty_descent_fraction"],
-            min_rho_penalty_search=o["min_rho_penalty_search"],
-            armijo_constant=o["armijo_constant"],
-            function_precision=o["function_precision"],
-            design_precision=o["design_precision"],
-            max_line_iters=o["max_line_iters"],
-            use_backtracking_alpha=o["use_backtracking_alpha"],
-            max_major_iters=o["max_major_iters"],
-            iterative_refinement_steps=o["iterative_refinement_steps"],
-            qn_sigma=o["qn_sigma"],
-            barrier_strategy=barrier,
-            starting_point_strategy=start,
-            start_affine_multiplier_min=o["start_affine_multiplier_min"],
-            use_line_search=o["use_line_search"],
-            use_quasi_newton_update=False,
-            sequential_linear_method=slm,
-            norm_type=o["norm_type"])
+        return _fused_ip_options(self.options, barrier, start, slm)
 
     def _build_fused(self):
         o = self.options
@@ -1130,6 +1139,13 @@ def _fused_tr_step(user_model: ModelFns, qp_model: ModelFns,
     ft = jnp.asarray(ft, dt)
     ct = jnp.asarray(ct).reshape(ncon)
     gt, At = user_model.eval_grad(params_user, xt)
+    # FAIL-STOP on non-finite trial data (the FusedIP freeze's analogue,
+    # and the host loop's eval-failure shrink-retry, `ParOptInteriorPoint.
+    # cpp:4019-4026`): a NaN/Inf trial — e.g. a diverged f32 CG solve in a
+    # SIMP objective — must never be accepted, never reach the QN state,
+    # and must shrink the radius so the next trial is tamer
+    trial_finite = (jnp.isfinite(ft) & jnp.all(jnp.isfinite(ct))
+                    & jnp.all(jnp.isfinite(gt)) & jnp.all(jnp.isfinite(p)))
     skipped = damped = jnp.zeros((), jnp.int32)
     qn_new = state.qn
     if state.qn is not None:
@@ -1137,7 +1153,8 @@ def _fused_tr_step(user_model: ModelFns, qp_model: ModelFns,
         # Jacobian's Aw^T zw term is identical at both points and cancels
         y = (gt - (At.T @ z if ncon else 0.0)) \
             - (gk - (Ak.T @ z if ncon else 0.0))
-        qn_new, skipped, damped = qnmod.qn_update(state.qn, p, y)
+        qn_new, skipped, damped = qnmod.qn_update(state.qn, p, y,
+                                                  accept=trial_finite)
 
     infeas_t = jnp.sum(gam * _viol(ct, nineq)) if ncon else jnp.zeros((), dt)
     actual_reduc = (fk - ft) + (infeas_k - infeas_t)
@@ -1148,9 +1165,12 @@ def _fused_tr_step(user_model: ModelFns, qp_model: ModelFns,
     rho = jnp.where(both_tiny | (model_reduc == 0.0), 1.0,
                     actual_reduc / jnp.where(model_reduc == 0.0, 1.0,
                                              model_reduc))
+    # a non-finite trial counts as maximal disagreement: reject + shrink
+    rho = jnp.where(trial_finite, rho, -jnp.inf)
 
     # -- accept / reject + radius update (`:1353-1372`) ----------------------
-    accepted = (rho >= to.eta) | (state.tr_size <= to.tr_min)
+    accepted = ((rho >= to.eta)
+                | ((state.tr_size <= to.tr_min) & trial_finite))
     sel = lambda a, b: jnp.where(accepted, a, b)  # noqa: E731
     xk_n, fk_n, ck_n = sel(xt, xk), sel(ft, fk), sel(ct, ck)
     gk_n, Ak_n = sel(gt, gk), sel(At, Ak)
@@ -1271,31 +1291,16 @@ class FusedTR:
             Aw_cols=cols, Aw_vals=vals, nwblock=problem.nwblock,
             Aw_layout=layout)
 
-        def ip_opts(barrier, start, slm):
-            if barrier == "default":
-                barrier = o["barrier_strategy"]
-            if start == "default":
-                start = "affine_step"
-            return FusedIPOptions(
-                abs_res_tol=o["abs_res_tol"],
-                init_barrier_param=o["init_barrier_param"],
-                max_major_iters=o["max_major_iters"],
-                iterative_refinement_steps=o["iterative_refinement_steps"],
-                function_precision=o["function_precision"],
-                design_precision=o["design_precision"],
-                barrier_strategy=barrier, starting_point_strategy=start,
-                use_line_search=o["use_line_search"],
-                use_quasi_newton_update=False,
-                sequential_linear_method=slm,
-                norm_type=o["norm_type"])
-
         slm = (o["tr_adaptive_objective"] in ("linear_objective",
                                               "constant_objective")
                and o["tr_adaptive_constraint"] == "linear_constraint")
-        qp_opts = ip_opts(o["barrier_strategy"],
-                          o["starting_point_strategy"], False)
-        inf_opts = ip_opts(o["tr_steering_barrier_strategy"],
-                           o["tr_steering_starting_point_strategy"], slm)
+        # the SAME registry->FusedIPOptions mapping the host TrustRegion
+        # uses for its fused subproblem solves
+        qp_opts = _fused_ip_options(o, o["barrier_strategy"],
+                                    o["starting_point_strategy"], False)
+        inf_opts = _fused_ip_options(
+            o, o["tr_steering_barrier_strategy"],
+            o["tr_steering_starting_point_strategy"], slm)
         to = FusedTROptions(
             max_iterations=o["tr_max_iterations"],
             infeas_tol=o["tr_infeas_tol"], l1_tol=o["tr_l1_tol"],

@@ -27,6 +27,9 @@ def run_chunked(run_jit, state, max_it: int, chunk="auto",
     cond is ``~converged & (k < k_stop)``) to ``max_it`` outer iterations in
     bounded device executions.  ``state`` must expose integer ``.k`` and
     boolean ``.converged`` fields."""
+    if chunk is not None and chunk != "auto" and int(chunk) < 1:
+        raise ValueError(f"chunk must be a positive int, 'auto', or None; "
+                         f"got {chunk!r}")
     if chunk == "auto":
         k0 = int(state.k)
         if k0 < max_it and not bool(state.converged):

@@ -419,8 +419,9 @@ def add_mma_options(opts: OptionRegistry) -> OptionRegistry:
     # best l1 stationarity has not improved for this many consecutive
     # outer iterations AND the iterate is feasible.  0 disables.
     o.add_int("mma_max_no_improvement", 0, 0, 1000000,
-              "Terminate MMA when the best l1 stationarity has not improved "
-              "for this many consecutive feasible outer iterations "
+              "Terminate MMA (converged, stalled flagged) when the best l1 "
+              "stationarity has not improved for this many consecutive "
+              "outer iterations AND the current iterate is feasible "
               "(0 = disabled; dtype/n-robust stopping for float32)")
     return o
 

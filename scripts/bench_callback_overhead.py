@@ -77,7 +77,6 @@ def main():
                               "max_major_iters": args.iters})
     # warm-up solve: compile every jitted kernel once
     ip.optimize()
-    compile_evals = prob.neval + prob.ngeval
 
     prob2 = NumpyQP()
     ip2 = InteriorPoint(prob2, {"output_file": None, "abs_res_tol": 1e-10,

@@ -203,3 +203,65 @@ def test_fused_tr_fem_matches_host():
     assert rf["niter"] == rh["niter"]
     assert abs(rf["fobj"] - rh["fobj"]) < 1e-8
     assert np.max(np.abs(np.asarray(rf["x"]) - np.asarray(rh["x"]))) < 1e-8
+
+
+def test_fused_tr_nan_trial_fail_stop():
+    """A non-finite trial evaluation (e.g. a diverged f32 CG solve) must be
+    REJECTED — never accepted even at tr_min — must not poison the QN
+    state, and must shrink the radius so the loop recovers (the FusedIP
+    freeze's analogue; host ladder at ParOptInteriorPoint.cpp:4019-4026)."""
+    import jax.numpy as jnp
+    from paropt_tpu.problem import Problem
+    from paropt_tpu.tr import FusedTR
+
+    class LogBarrierBowl(Problem):
+        """Quadratic pulling toward x=1.6 with a -0.01*log(1.3 - max(x))
+        term: any trial beyond 1.3 evaluates to NaN."""
+
+        def __init__(self):
+            super().__init__(nvars=4, ncon=0)
+
+        def objective(self, x):
+            return (jnp.sum((x - 1.6) ** 2)
+                    - 0.01 * jnp.log(1.3 - jnp.max(x)))
+
+        def get_vars_and_bounds(self):
+            return (jnp.full(4, 0.5), jnp.full(4, -2.0), jnp.full(4, 2.0))
+
+    opts = {"tr_output_file": None, "output_file": None,
+            "tr_max_iterations": 40, "tr_init_size": 0.5,
+            "tr_adaptive_gamma_update": False,
+            "abs_res_tol": 1e-8, "tr_infeas_tol": 1e-5,
+            "tr_l1_tol": 0.0, "tr_linfty_tol": 1e-5}
+    r, st = FusedTR(LogBarrierBowl(), dict(opts)).solve()
+    x = np.asarray(r["x"])
+    assert np.all(np.isfinite(x)), x
+    assert np.isfinite(r["fobj"])
+    assert np.all(x < 1.3)                     # never accepted a NaN trial
+    assert x[0] > 1.0                          # and still made real progress
+    assert np.all(np.isfinite(np.asarray(st.gk)))
+    if st.qn is not None:
+        assert bool(jnp.all(jnp.isfinite(st.qn.buf)))
+
+
+def test_fused_tr_honors_inner_ip_options():
+    """FusedTR maps the full registry->FusedIPOptions set the host
+    TrustRegion does (shared _fused_ip_options): a non-default
+    max_line_iters/barrier fraction must reach the inner QP solver."""
+    from paropt_tpu.models.topology import SyntheticTopology
+    from paropt_tpu.tr import FusedTR
+
+    prob = SyntheticTopology(n=128, block=8)
+    # constructing must succeed with non-default inner options...
+    FusedTR(prob, {"tr_output_file": None, "output_file": None,
+                   "max_line_iters": 7, "monotone_barrier_fraction": 0.1})
+    # ...and the shared mapping (used by BOTH FusedTR and the host
+    # TrustRegion's fused subproblem solves) must carry them through
+    from paropt_tpu.tr import _fused_ip_options
+    from paropt_tpu.utils.options import make_options
+    o = make_options({"max_line_iters": 7,
+                      "monotone_barrier_fraction": 0.1}, which="facade")
+    mapped = _fused_ip_options(o, o["barrier_strategy"],
+                               o["starting_point_strategy"], False)
+    assert mapped.max_line_iters == 7
+    assert mapped.monotone_barrier_fraction == 0.1
