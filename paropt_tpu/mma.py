@@ -749,7 +749,9 @@ class FusedMMA:
         self._mo = mo
         self._ev = ev
         self._state0 = state0
+        self._step = step
         self._step_jit = jax.jit(step)
+        self._batched_run = None
 
         @jax.jit
         def run(s, k_stop):
@@ -794,6 +796,65 @@ class FusedMMA:
                   "infeas": float(state.infeas), "l1": float(state.l1),
                   "linfty": float(state.linf)}
         return result, state
+
+    def solve_batched(self, x0_batch, chunk="auto"):
+        """k multi-start fused MMA solves as ONE vmapped `lax.while_loop`
+        XLA computation — the natural attack on SIMP nonconvexity (distinct
+        local optima from distinct seeds), batching the per-voxel work into
+        [k, n]-shaped kernels (the `FusedIP.solve_batched` pattern; no
+        reference analogue — there every solve is a separate MPI job).
+
+        ``x0_batch``: [k, n] starting designs.  Early-converged instances
+        freeze while the rest iterate.  Returns (results, states) where
+        ``results`` holds per-instance arrays (fobj, converged, niter, ...)
+        and ``states`` is the FusedMMAState with a leading k axis."""
+        x0_batch = jnp.asarray(x0_batch, self._state0.x.dtype)
+
+        def batch_state(x0):
+            return dataclasses.replace(self._state0, x=x0, x1=x0, x2=x0)
+
+        state = jax.vmap(batch_state)(x0_batch)
+        if self._batched_run is None:
+            step = self._step
+
+            @jax.jit
+            def runb(s, k_stop):
+                def one(si):
+                    def cond(st):
+                        return (~st.converged) & (st.k < k_stop)
+                    return jax.lax.while_loop(cond, step, si)
+                return jax.vmap(one)(s)
+
+            self._batched_run = runb
+        # chunked driver over the batch: advance until every instance is
+        # converged or at the cap (frozen instances cost nothing extra)
+        from .utils.chunked import run_chunked
+
+        class _BatchView:
+            """Scalar k/converged view over the batch for run_chunked."""
+            def __init__(self, st):
+                self.st = st
+            @property
+            def k(self):
+                return jnp.min(self.st.k)
+            @property
+            def converged(self):
+                return jnp.all(self.st.converged)
+
+        run = lambda view, k_stop: _BatchView(  # noqa: E731
+            self._batched_run(view.st, k_stop))
+        state = run_chunked(run, _BatchView(state),
+                            self._mo.max_iterations, chunk).st
+        fobj_final = jax.vmap(lambda x: self._ev((), x)[0])(state.x)
+        results = {"x": state.x, "fobj": np.asarray(fobj_final),
+                   "converged": np.asarray(state.converged),
+                   "stalled": np.asarray(state.stalled),
+                   "niter": np.asarray(state.k),
+                   "infeas": np.asarray(state.infeas),
+                   "l1": np.asarray(state.l1),
+                   "linfty": np.asarray(state.linf)}
+        return results, state
+
 
 
 # bounded STRONG-reference LRU: a weak-value cache would evict the solver

@@ -177,3 +177,34 @@ def test_fused_mma_solve_reuses_build():
     r2, _ = mma_mod.fused_mma_solve(prob, dict(opts))
     assert len(mma_mod._FUSED_MMA_CACHE) == n_solvers  # no second build
     assert np.allclose(np.asarray(r1["x"]), np.asarray(r2["x"]))
+
+
+def test_fused_mma_solve_batched_multistart():
+    """k multi-start fused MMA solves as ONE vmapped while_loop: each
+    instance matches its own single solve, and the batch explores distinct
+    SIMP local optima (no reference analogue — separate MPI jobs there)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from paropt_tpu.models.fem_topology import FEMTopology
+    from paropt_tpu.mma import FusedMMA
+
+    prob = FEMTopology(nex=8, ney=4, cg_iters=200)
+    solver = FusedMMA(prob, {"mma_max_iterations": 15,
+                             "mma_output_file": None})
+    x0, _, _ = prob.get_vars_and_bounds()
+    rng = np.random.default_rng(0)
+    x0s = np.clip(np.asarray(x0)[None, :]
+                  * rng.uniform(0.6, 1.4, size=(3, prob.nvars)), 0.05, 0.95)
+    res, states = solver.solve_batched(jnp.asarray(x0s))
+    assert res["fobj"].shape == (3,)
+    assert np.all(np.isfinite(res["fobj"]))
+    assert np.all(res["infeas"] < 1e-5)
+
+    # instance 1 must match its own single fused solve exactly
+    s0 = dataclasses.replace(solver._state0, x=jnp.asarray(x0s[1]),
+                             x1=jnp.asarray(x0s[1]), x2=jnp.asarray(x0s[1]))
+    r1, _ = solver.solve(s0)
+    assert res["niter"][1] == r1["niter"]
+    np.testing.assert_allclose(res["fobj"][1], r1["fobj"], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(states.x[1]),
+                               np.asarray(r1["x"]), atol=1e-9)
