@@ -826,25 +826,9 @@ class FusedMMA:
                 return jax.vmap(one)(s)
 
             self._batched_run = runb
-        # chunked driver over the batch: advance until every instance is
-        # converged or at the cap (frozen instances cost nothing extra)
-        from .utils.chunked import run_chunked
-
-        class _BatchView:
-            """Scalar k/converged view over the batch for run_chunked."""
-            def __init__(self, st):
-                self.st = st
-            @property
-            def k(self):
-                return jnp.min(self.st.k)
-            @property
-            def converged(self):
-                return jnp.all(self.st.converged)
-
-        run = lambda view, k_stop: _BatchView(  # noqa: E731
-            self._batched_run(view.st, k_stop))
-        state = run_chunked(run, _BatchView(state),
-                            self._mo.max_iterations, chunk).st
+        from .utils.chunked import run_chunked_batched
+        state = run_chunked_batched(self._batched_run, state,
+                                    self._mo.max_iterations, chunk)
         fobj_final = jax.vmap(lambda x: self._ev((), x)[0])(state.x)
         results = {"x": state.x, "fobj": np.asarray(fobj_final),
                    "converged": np.asarray(state.converged),

@@ -1342,8 +1342,11 @@ class FusedTR:
                        qp_opts, inf_opts, to, lbv, ubv, d_tmpl, ())
         self._to = to
         self._ev = ev
+        self._gr = gr
         self._state0 = state0
+        self._step = step
         self._step_jit = jax.jit(step)
+        self._batched_run = None
 
         @jax.jit
         def run(s, k_stop):
@@ -1374,3 +1377,40 @@ class FusedTR:
                   "tr_size": float(state.tr_size),
                   "subiters": int(state.subiters)}
         return result, state
+
+    def solve_batched(self, x0_batch, chunk="auto"):
+        """k multi-start fused TR solves as ONE vmapped `lax.while_loop`
+        (the `FusedMMA.solve_batched` pattern).  The per-instance initial
+        linearization (f, c, g, A, cw at each x0) is built under the same
+        vmap.  Returns (results, states) with leading-k-axis arrays."""
+        x0_batch = jnp.asarray(x0_batch, self._state0.xk.dtype)
+
+        def batch_state(x0):
+            f0, c0, cw0 = self._ev((), x0)
+            g0, A0 = self._gr((), x0)
+            return dataclasses.replace(self._state0, xk=x0, fk=f0, ck=c0,
+                                       gk=g0, Ak=A0, cwk=cw0)
+
+        state = jax.vmap(batch_state)(x0_batch)
+        if self._batched_run is None:
+            step = self._step
+
+            @jax.jit
+            def runb(s, k_stop):
+                def one(si):
+                    def cond(st):
+                        return (~st.converged) & (st.k < k_stop)
+                    return jax.lax.while_loop(cond, step, si)
+                return jax.vmap(one)(s)
+
+            self._batched_run = runb
+        from .utils.chunked import run_chunked_batched
+        state = run_chunked_batched(self._batched_run, state,
+                                    self._to.max_iterations, chunk)
+        results = {"x": state.xk, "fobj": np.asarray(state.fk),
+                   "converged": np.asarray(state.converged),
+                   "niter": np.asarray(state.k),
+                   "infeas": np.asarray(state.infeas),
+                   "l1": np.asarray(state.l1),
+                   "linfty": np.asarray(state.linf)}
+        return results, state

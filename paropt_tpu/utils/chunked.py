@@ -52,3 +52,30 @@ def run_chunked(run_jit, state, max_it: int, chunk="auto",
         state = run_jit(state, k_stop)
         if bool(state.converged) or int(state.k) >= max_it:
             return state
+
+
+class _BatchView:
+    """Scalar k/converged view over a batched (leading-axis) state so the
+    chunked driver can pace a vmapped while_loop: advance until EVERY
+    instance is converged or at the cap (frozen instances cost nothing)."""
+
+    def __init__(self, st):
+        self.st = st
+
+    @property
+    def k(self):
+        import jax.numpy as jnp
+        return jnp.min(self.st.k)
+
+    @property
+    def converged(self):
+        import jax.numpy as jnp
+        return jnp.all(self.st.converged)
+
+
+def run_chunked_batched(run_jit, state, max_it: int, chunk="auto"):
+    """`run_chunked` over a batched state (every leaf has a leading k
+    axis); ``run_jit(state, k_stop) -> state`` is the vmapped loop."""
+    view = run_chunked(lambda v, k_stop: _BatchView(run_jit(v.st, k_stop)),
+                       _BatchView(state), max_it, chunk)
+    return view.st

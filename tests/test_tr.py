@@ -265,3 +265,38 @@ def test_fused_tr_honors_inner_ip_options():
                                o["starting_point_strategy"], False)
     assert mapped.max_line_iters == 7
     assert mapped.monotone_barrier_fraction == 0.1
+
+
+def test_fused_tr_solve_batched_multistart():
+    """k multi-start fused TR solves as ONE vmapped while_loop: each
+    instance matches its own single solve (the FusedMMA.solve_batched
+    pattern)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from paropt_tpu.models.fem_topology import FEMTopology
+    from paropt_tpu.tr import FusedTR
+
+    prob = FEMTopology(nex=8, ney=4, cg_iters=200)
+    fus = FusedTR(prob, {"tr_output_file": None, "output_file": None,
+                         "tr_max_iterations": 10, "abs_res_tol": 1e-7,
+                         "tr_infeas_tol": 1e-5, "tr_l1_tol": 0.0,
+                         "tr_linfty_tol": 1e-5})
+    x0, _, _ = prob.get_vars_and_bounds()
+    rng = np.random.default_rng(1)
+    x0s = np.clip(np.asarray(x0)[None, :]
+                  * rng.uniform(0.6, 1.4, (3, prob.nvars)), 0.05, 0.95)
+    res, states = fus.solve_batched(jnp.asarray(x0s))
+    assert res["fobj"].shape == (3,)
+    assert np.all(np.isfinite(res["fobj"]))
+    assert np.all(res["infeas"] < 1e-5)
+
+    xv = jnp.asarray(x0s[2])
+    f0, c0, cw0 = fus._ev((), xv)
+    g0, A0 = fus._gr((), xv)
+    s0 = dataclasses.replace(fus._state0, xk=xv, fk=f0, ck=c0, gk=g0,
+                             Ak=A0, cwk=cw0)
+    r2, _ = fus.solve(s0)
+    assert res["niter"][2] == r2["niter"]
+    np.testing.assert_allclose(res["fobj"][2], r2["fobj"], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(states.xk[2]),
+                               np.asarray(r2["x"]), atol=1e-9)
