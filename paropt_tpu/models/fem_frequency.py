@@ -96,9 +96,8 @@ class FrequencyTopology(Problem):
         """Lumped mass diagonal: element mass rho_e (unit area) split over
         its 4 nodes, applied to both dofs of each node."""
         rho = self.rho_min + xf * (1.0 - self.rho_min)
-        contrib = jnp.repeat(rho / 4.0, 8)
-        m = jnp.zeros(self.fem.ndof, self._dtype).at[
-            self.fem.edofs.reshape(-1)].add(contrib)
+        m = self.fem._scatter_elem(
+            jnp.broadcast_to((rho / 4.0)[:, None], (rho.shape[0], 8)))
         return jnp.where(self.fem.fixed_mask > 0, 0.0, m)
 
     def _make_eig_fn(self):
@@ -127,7 +126,7 @@ class FrequencyTopology(Problem):
 
             # analytic sensitivities, element-local:
             #   dlam/dxf_e = dE_e (phi_e' k0 phi_e) - lam (drho/4) sum phi_e^2
-            phie = phi.T[:, fem.edofs]          # [N, ne, 8]
+            phie = jax.vmap(fem._gather_elem)(phi.T)   # [N, ne, 8]
             kterm = jnp.sum(jnp.matmul(phie, fem.KE, precision=hi) * phie,
                             axis=-1)            # [N, ne]
             mterm = jnp.sum(phie * phie, axis=-1) / 4.0

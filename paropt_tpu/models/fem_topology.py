@@ -48,13 +48,57 @@ def _element_stiffness(nu: float = 0.3) -> np.ndarray:
     return KE / (1.0 - nu ** 2)
 
 
+# Element corner order (matches _element_stiffness): ll, lr, ur, ul.
+_CORNERS2D = ((0, 0), (1, 0), (1, 1), (0, 1))
+
+
+def _gather2d(u, nex, ney):
+    """[ne, 8] element dof values via corner SLICES of the node grid
+    (== u[edofs], but with no TPU gather op)."""
+    ug = u.reshape(nex + 1, ney + 1, 2)
+    ue = jnp.concatenate(
+        [ug[:-1, :-1], ug[1:, :-1], ug[1:, 1:], ug[:-1, 1:]], axis=-1)
+    return ue.reshape(nex * ney, 8)
+
+
+def _scatter2d(fe, nex, ney):
+    """Adjoint of _gather2d: sum [ne, 8] element-corner values into the
+    [ndof] node vector via four static pads (XLA fuses them)."""
+    fe = fe.reshape(nex, ney, 8)
+    out = 0.0
+    for i, (a, b) in enumerate(_CORNERS2D):
+        out = out + jnp.pad(fe[..., 2 * i:2 * i + 2],
+                            ((a, 1 - a), (b, 1 - b), (0, 0)))
+    return out.reshape(-1)
+
+
+def _prolong2d(nexc, neyc):
+    """Bilinear node-grid prolongation [(nexc+1)(neyc+1)*2] ->
+    [(2nexc+1)(2neyc+1)*2], built from interleave reshapes (no gather)."""
+
+    def prolong(c_flat):
+        c = c_flat.reshape(nexc + 1, neyc + 1, 2)
+        mid = 0.5 * (c[:-1] + c[1:])
+        r = jnp.stack([c[:-1], mid], axis=1).reshape(
+            2 * nexc, neyc + 1, 2)
+        r = jnp.concatenate([r, c[-1:]], axis=0)
+        midy = 0.5 * (r[:, :-1] + r[:, 1:])
+        f = jnp.stack([r[:, :-1], midy], axis=2).reshape(
+            2 * nexc + 1, 2 * neyc, 2)
+        f = jnp.concatenate([f, r[:, -1:]], axis=1)
+        return f.reshape(-1)
+
+    return prolong
+
+
 class FEMTopology(Problem):
     def __init__(self, nex: int = 32, ney: int = 16,
                  volume_fraction: float = 0.4, penal: float = 3.0,
                  emin: float = 1e-3, e0: float = 1.0,
                  region: int = 0, region_cap: float = 0.8,
                  filter_radius: int = 1, cg_iters: int = 200,
-                 dtype=None, seed: int = 0):
+                 solver: str = "jacobi", mg_smooth: int = 2,
+                 mg_omega: float = 0.5, dtype=None, seed: int = 0):
         ne = nex * ney
         nwcon = 0
         if region > 0:
@@ -105,6 +149,24 @@ class FEMTopology(Problem):
             self._jac = SparseJacobian(ne, jnp.asarray(cols),
                                        jnp.asarray(vals, dt), nwblock=1)
 
+        # geometric-multigrid hierarchy (static: level dims, fixed masks,
+        # prolongators); coarsen 2x while both element counts stay even
+        assert solver in ("jacobi", "mgcg"), solver
+        self.solver = solver
+        self.mg_smooth = mg_smooth
+        self.mg_omega = mg_omega
+        dims = [(nex, ney)]
+        while (dims[-1][0] % 2 == 0 and dims[-1][1] % 2 == 0
+               and dims[-1][0] >= 4 and dims[-1][1] >= 4):
+            dims.append((dims[-1][0] // 2, dims[-1][1] // 2))
+        self._mg_dims = dims
+        self._mg_fixed = []
+        for cx, cy in dims:
+            m = np.zeros(2 * (cx + 1) * (cy + 1))
+            m[:2 * (cy + 1)] = 1.0          # left-edge (i == 0) nodes
+            self._mg_fixed.append(jnp.asarray(m, dt))
+        self._mg_prolong = [_prolong2d(cx, cy) for cx, cy in dims[1:]]
+
         # build the matrix-free operators once
         self._compliance = self._make_compliance()
         # normalize the objective by the initial compliance so the volume
@@ -124,32 +186,119 @@ class FEMTopology(Problem):
             cnt = cnt + 1.0
         return (acc / cnt).reshape(-1)
 
+    # -- element gather/scatter ------------------------------------------
+    # On the regular grid the element-node incidence is four corner SLICES
+    # of the node grid, so both directions are pure slicing/padding — the
+    # equivalent u[self.edofs] gather / .at[...].add scatter are
+    # pathologically slow on TPU (CLAUDE.md perf rules).
+
+    def _gather_elem(self, u):
+        """[ne, 8] element dof values via corner slices (== u[self.edofs])."""
+        return _gather2d(u, self.nex, self.ney)
+
+    def _scatter_elem(self, fe):
+        """Adjoint of _gather_elem: sum [ne, 8] element-corner values into
+        the [ndof] node vector via four static pads (XLA fuses them)."""
+        return _scatter2d(fe, self.nex, self.ney)
+
     # -- FEM ------------------------------------------------------------
     def _kmul(self, E, u):
-        """K(E) @ u, matrix-free: gather element dofs, batch 8x8 matmul,
-        scatter-add; fixed dofs carry identity."""
-        ue = u[self.edofs]                          # [ne, 8]
+        """K(E) @ u, matrix-free: slice element dofs off the node grid,
+        batch 8x8 matmul, pad-add back; fixed dofs carry identity."""
+        ue = self._gather_elem(u)                   # [ne, 8]
         # full f32 accumulation: the TPU's default bf16 matmul inputs make
         # CG diverge on the ill-conditioned SIMP system
         fe = jnp.matmul(ue, self.KE,
                         precision=jax.lax.Precision.HIGHEST) * E[:, None]
-        out = jnp.zeros_like(u).at[self.edofs.reshape(-1)].add(
-            fe.reshape(-1))
+        out = self._scatter_elem(fe)
         return jnp.where(self.fixed_mask > 0, u, out)
 
     def _solve(self, E):
-        """Diagonal-preconditioned CG on K(E) u = f (fixed iteration count —
+        """Preconditioned CG on K(E) u = f (fixed iteration count —
         jit/TPU friendly)."""
         return self._cg(E, self.f)
 
+    # -- geometric multigrid ----------------------------------------------
+    def _kmul_level(self, El, u, cx, cy, fixed):
+        """K(E_l) @ u on MG level (cx, cy) with symmetric Dirichlet
+        handling: zero on entry, identity on exit (so the assembled coarse
+        matrix is SPD)."""
+        u0 = jnp.where(fixed > 0, 0.0, u)
+        ue = _gather2d(u0, cx, cy)
+        fe = jnp.matmul(ue, self.KE,
+                        precision=jax.lax.Precision.HIGHEST) * El[:, None]
+        return jnp.where(fixed > 0, u, _scatter2d(fe, cx, cy))
+
+    def _mg_setup(self, E):
+        """Per-level (E_l, diag_l) from the fine element moduli (2x2 mean
+        pooling — plane-stress K is element-size-invariant, so the
+        rediscretized coarse operator needs no h scaling) + the dense
+        Cholesky factor of the coarsest-level matrix."""
+        Eg = E.reshape(self.nex, self.ney)
+        levels = []
+        for li, (cx, cy) in enumerate(self._mg_dims):
+            El = Eg.reshape(-1)
+            fixed = self._mg_fixed[li]
+            diag = _scatter2d(jnp.diag(self.KE)[None, :] * El[:, None],
+                              cx, cy)
+            diag = jnp.where(fixed > 0, 1.0, jnp.maximum(diag, 1e-12))
+            levels.append((El, diag, fixed, cx, cy))
+            if li + 1 < len(self._mg_dims):
+                Eg = Eg.reshape(cx // 2, 2, cy // 2, 2).mean(axis=(1, 3))
+        El, _, fixed, cx, cy = levels[-1]
+        ndc = 2 * (cx + 1) * (cy + 1)
+        Kc = jax.vmap(self._kmul_level, in_axes=(None, 1, None, None, None),
+                      out_axes=1)(El, jnp.eye(ndc, dtype=E.dtype), cx, cy,
+                                  fixed)
+        chol = jax.scipy.linalg.cho_factor(Kc)
+        return levels, chol
+
+    def _mg_vcycle(self, levels, chol, r):
+        """One symmetric V-cycle (weighted-Jacobi smoothing, bilinear
+        transfer, dense coarse solve); SPD for fixed smoothing counts, so
+        plain CG accepts it as preconditioner."""
+        nu, om = self.mg_smooth, self.mg_omega
+
+        def cycle(l, r):
+            El, diag, fixed, cx, cy = levels[l]
+            if l == len(levels) - 1:
+                e = jax.scipy.linalg.cho_solve(chol, r)
+                return jnp.where(fixed > 0, 0.0, e)
+
+            def kmul(v):
+                return self._kmul_level(El, v, cx, cy, fixed)
+
+            e = (om / diag) * r
+            for _ in range(nu - 1):
+                e = e + (om / diag) * (r - kmul(e))
+            prolong = self._mg_prolong[l]
+            ndc = 2 * (levels[l + 1][3] + 1) * (levels[l + 1][4] + 1)
+            restrict = jax.linear_transpose(
+                prolong, jax.ShapeDtypeStruct((ndc,), r.dtype))
+            rc, = restrict(r - kmul(e))
+            rc = jnp.where(levels[l + 1][2] > 0, 0.0, rc)
+            e = e + jnp.where(fixed > 0, 0.0, prolong(cycle(l + 1, rc)))
+            for _ in range(nu):
+                e = e + (om / diag) * (r - kmul(e))
+            return e
+
+        return cycle(0, r)
+
     def _cg(self, E, b):
-        """Diagonal-preconditioned CG on K(E) u = b for a general RHS
-        (fixed dofs are zeroed). Reused by the frequency model's
+        """Preconditioned CG on K(E) u = b for a general RHS (fixed dofs
+        are zeroed): Jacobi (solver='jacobi') or a geometric-multigrid
+        V-cycle (solver='mgcg'). Reused by the frequency model's
         shift-inverted eigensolve."""
-        diag = jnp.zeros(self.ndof, self._dtype).at[
-            self.edofs.reshape(-1)].add(
-            (jnp.diag(self.KE)[None, :] * E[:, None]).reshape(-1))
+        diag = self._scatter_elem(jnp.diag(self.KE)[None, :] * E[:, None])
         diag = jnp.where(self.fixed_mask > 0, 1.0, jnp.maximum(diag, 1e-12))
+        if self.solver == "mgcg" and len(self._mg_dims) > 1:
+            levels, chol = self._mg_setup(E)
+
+            def precond(r):
+                return self._mg_vcycle(levels, chol, r)
+        else:
+            def precond(r):
+                return r / diag
         b = jnp.where(self.fixed_mask > 0, 0.0, b)
 
         # CG scalars need full-precision reductions: on TPU, default-precision
@@ -170,7 +319,7 @@ class FEMTopology(Problem):
                                                          1.0), 0.0)
             u = u + alpha * p
             r = r - alpha * Kp
-            z = r / diag
+            z = precond(r)
             rz_new = jnp.vdot(r, z, precision=hi)
             # degenerate rz: restart with the steepest-descent direction
             beta = jnp.where(rz > tiny, rz_new / jnp.where(rz > tiny, rz,
@@ -179,7 +328,7 @@ class FEMTopology(Problem):
             return (u, r, p, rz_new)
 
         u0 = jnp.zeros(self.ndof, self._dtype)
-        z0 = b / diag
+        z0 = precond(b)
         carry = (u0, b, z0, jnp.vdot(b, z0, precision=hi))
         u, r, _, _ = jax.lax.fori_loop(0, self.cg_iters, body, carry)
         return u
@@ -202,7 +351,7 @@ class FEMTopology(Problem):
 
         def bwd(res, ct):
             xf, u = res
-            ue = u[self.edofs]
+            ue = self._gather_elem(u)
             energies = jnp.sum(
                 jnp.matmul(ue, self.KE,
                            precision=jax.lax.Precision.HIGHEST) * ue,
@@ -300,7 +449,7 @@ class DMOFEMTopology(Problem):
 
         def bwd(res, ct):
             x, u = res
-            ue = u[fem.edofs]
+            ue = fem._gather_elem(u)
             energies = jnp.sum(
                 jnp.matmul(ue, fem.KE,
                            precision=jax.lax.Precision.HIGHEST) * ue,

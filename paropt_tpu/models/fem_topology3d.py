@@ -77,6 +77,60 @@ def hex_element_stiffness(nu: float = 0.3) -> np.ndarray:
     return KE
 
 
+# Corner order matches hex_element_stiffness's local node ordering.
+_CORNERS3D = ((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+              (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1))
+
+
+def _sl(a):
+    return slice(1, None) if a else slice(None, -1)
+
+
+def _gather3d(u, nex, ney, nez):
+    """[ne, 24] element dof values via corner SLICES of the node grid."""
+    ug = u.reshape(nex + 1, ney + 1, nez + 1, 3)
+    ue = jnp.concatenate(
+        [ug[_sl(a), _sl(b), _sl(c)] for a, b, c in _CORNERS3D], axis=-1)
+    return ue.reshape(nex * ney * nez, 24)
+
+
+def _scatter3d(fe, nex, ney, nez):
+    """Adjoint of _gather3d: sum element-corner values into node dofs via
+    eight static pads."""
+    fe = fe.reshape(nex, ney, nez, 24)
+    out = 0.0
+    for i, (a, b, c) in enumerate(_CORNERS3D):
+        out = out + jnp.pad(fe[..., 3 * i:3 * i + 3],
+                            ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0)))
+    return out.reshape(-1)
+
+
+def _interleave(c, axis):
+    """Insert midpoints along `axis`: size k+1 -> 2k+1 (linear)."""
+    lo = jax.lax.slice_in_dim(c, 0, c.shape[axis] - 1, axis=axis)
+    hi = jax.lax.slice_in_dim(c, 1, c.shape[axis], axis=axis)
+    mid = 0.5 * (lo + hi)
+    st = jnp.stack([lo, mid], axis=axis + 1)
+    shp = list(c.shape)
+    shp[axis] = 2 * (shp[axis] - 1)
+    st = st.reshape(shp)
+    last = jax.lax.slice_in_dim(c, c.shape[axis] - 1, c.shape[axis],
+                                axis=axis)
+    return jnp.concatenate([st, last], axis=axis)
+
+
+def _prolong3d(nexc, neyc, nezc):
+    """Trilinear node-grid prolongation, built from interleave reshapes."""
+
+    def prolong(c_flat):
+        c = c_flat.reshape(nexc + 1, neyc + 1, nezc + 1, 3)
+        for ax in range(3):
+            c = _interleave(c, ax)
+        return c.reshape(-1)
+
+    return prolong
+
+
 class FEMTopology3D(Problem):
     """Cantilever voxel design domain: fixed at the x = 0 face, unit
     downward load along the bottom edge of the free face."""
@@ -85,7 +139,9 @@ class FEMTopology3D(Problem):
                  volume_fraction: float = 0.3, penal: float = 3.0,
                  emin: float = 1e-3, e0: float = 1.0,
                  region: int = 0, region_cap: float = 0.8,
-                 cg_iters: int = 400, filter_on: bool = True, dtype=None):
+                 cg_iters: int = 400, filter_on: bool = True,
+                 solver: str = "jacobi", mg_smooth: int = 2,
+                 mg_omega: float = 0.4, dtype=None):
         from ..dtypes import resolve_dtype
         dt = resolve_dtype(dtype)
         ne = nex * ney * nez
@@ -149,6 +205,23 @@ class FEMTopology3D(Problem):
             self._jac = SparseJacobian(ne, jnp.asarray(cols),
                                        jnp.asarray(vals, dt), nwblock=1)
 
+        # geometric-multigrid hierarchy (static): coarsen 2x while all
+        # three element counts stay even
+        assert solver in ("jacobi", "mgcg"), solver
+        self.solver = solver
+        self.mg_smooth = mg_smooth
+        self.mg_omega = mg_omega
+        dims = [(nex, ney, nez)]
+        while all(d % 2 == 0 and d >= 4 for d in dims[-1]):
+            dims.append(tuple(d // 2 for d in dims[-1]))
+        self._mg_dims = dims
+        self._mg_fixed = []
+        for cx, cy, cz in dims:
+            m = np.zeros(3 * (cx + 1) * (cy + 1) * (cz + 1))
+            m[:3 * (cy + 1) * (cz + 1)] = 1.0   # x == 0 face nodes
+            self._mg_fixed.append(jnp.asarray(m, dt))
+        self._mg_prolong = [_prolong3d(*d) for d in dims[1:]]
+
         self._compliance = self._make_compliance()
         x0 = jnp.full(ne, volume_fraction, dt)
         self.c_scale = 1.0 / float(self._compliance(self._filter(x0)))
@@ -166,21 +239,111 @@ class FEMTopology3D(Problem):
                 cnt = cnt + 1.0
         return (acc / cnt).reshape(-1)
 
+    # -- element gather/scatter --------------------------------------------
+    # Regular-voxel incidence == eight corner SLICES of the node grid; both
+    # directions are pure slicing/padding (no TPU gather/scatter ops).
+
+    def _gather_elem(self, u):
+        """[ne, 24] element dof values via corner slices (== u[self.edofs])."""
+        return _gather3d(u, self.nex, self.ney, self.nez)
+
+    def _scatter_elem(self, fe):
+        """Adjoint of _gather_elem: sum [ne, 24] element-corner values into
+        the [ndof] node vector via eight static pads."""
+        return _scatter3d(fe, self.nex, self.ney, self.nez)
+
     # -- FEM -------------------------------------------------------------
     def _kmul(self, E, u):
-        ue = u[self.edofs]                               # [ne, 24]
+        ue = self._gather_elem(u)                        # [ne, 24]
         fe = jnp.matmul(ue, self.KE,
                         precision=jax.lax.Precision.HIGHEST) * E[:, None]
-        out = jnp.zeros_like(u).at[self.edofs.reshape(-1)].add(
-            fe.reshape(-1))
+        out = self._scatter_elem(fe)
         return jnp.where(self.fixed_mask > 0, u, out)
 
+    # -- geometric multigrid ----------------------------------------------
+    def _kmul_level(self, El, u, cx, cy, cz, fixed):
+        """K(E_l) @ u on MG level (cx, cy, cz) with symmetric Dirichlet
+        handling (zero on entry, identity on exit -> SPD coarse matrix)."""
+        u0 = jnp.where(fixed > 0, 0.0, u)
+        ue = _gather3d(u0, cx, cy, cz)
+        fe = jnp.matmul(ue, self.KE,
+                        precision=jax.lax.Precision.HIGHEST) * El[:, None]
+        return jnp.where(fixed > 0, u, _scatter3d(fe, cx, cy, cz))
+
+    def _mg_setup(self, E):
+        """Per-level (E_l, diag_l): 2x2x2 mean pooling with a x2 scale per
+        level (3-D stiffness scales LINEARLY with element size, so the
+        rediscretized coarse operator on a 2h grid needs K_c = 2 E_c KE) +
+        the dense Cholesky factor of the coarsest-level matrix."""
+        Eg = E.reshape(self.nex, self.ney, self.nez)
+        levels = []
+        for li, (cx, cy, cz) in enumerate(self._mg_dims):
+            El = Eg.reshape(-1)
+            fixed = self._mg_fixed[li]
+            diag = _scatter3d(jnp.diag(self.KE)[None, :] * El[:, None],
+                              cx, cy, cz)
+            diag = jnp.where(fixed > 0, 1.0, jnp.maximum(diag, 1e-12))
+            levels.append((El, diag, fixed, cx, cy, cz))
+            if li + 1 < len(self._mg_dims):
+                Eg = 2.0 * Eg.reshape(cx // 2, 2, cy // 2, 2,
+                                      cz // 2, 2).mean(axis=(1, 3, 5))
+        El, _, fixed, cx, cy, cz = levels[-1]
+        ndc = 3 * (cx + 1) * (cy + 1) * (cz + 1)
+        Kc = jax.vmap(self._kmul_level,
+                      in_axes=(None, 1, None, None, None, None),
+                      out_axes=1)(El, jnp.eye(ndc, dtype=E.dtype),
+                                  cx, cy, cz, fixed)
+        chol = jax.scipy.linalg.cho_factor(Kc)
+        return levels, chol
+
+    def _mg_vcycle(self, levels, chol, r):
+        """Symmetric V-cycle: weighted-Jacobi smoothing, trilinear
+        transfer, dense coarse solve."""
+        nu, om = self.mg_smooth, self.mg_omega
+
+        def cycle(l, r):
+            El, diag, fixed, cx, cy, cz = levels[l]
+            if l == len(levels) - 1:
+                e = jax.scipy.linalg.cho_solve(chol, r)
+                return jnp.where(fixed > 0, 0.0, e)
+
+            def kmul(v):
+                return self._kmul_level(El, v, cx, cy, cz, fixed)
+
+            e = (om / diag) * r
+            for _ in range(nu - 1):
+                e = e + (om / diag) * (r - kmul(e))
+            prolong = self._mg_prolong[l]
+            nxt = levels[l + 1]
+            ndc = 3 * (nxt[3] + 1) * (nxt[4] + 1) * (nxt[5] + 1)
+            restrict = jax.linear_transpose(
+                prolong, jax.ShapeDtypeStruct((ndc,), r.dtype))
+            rc, = restrict(r - kmul(e))
+            rc = jnp.where(nxt[2] > 0, 0.0, rc)
+            e = e + jnp.where(fixed > 0, 0.0, prolong(cycle(l + 1, rc)))
+            for _ in range(nu):
+                e = e + (om / diag) * (r - kmul(e))
+            return e
+
+        return cycle(0, r)
+
     def _solve(self, E):
-        diag = jnp.zeros(self.ndof, self._dtype).at[
-            self.edofs.reshape(-1)].add(
-            (jnp.diag(self.KE)[None, :] * E[:, None]).reshape(-1))
+        return self._cg(E, self.f)
+
+    def _cg(self, E, b):
+        """Preconditioned CG on K(E) u = b: Jacobi (solver='jacobi') or a
+        geometric-multigrid V-cycle (solver='mgcg')."""
+        diag = self._scatter_elem(jnp.diag(self.KE)[None, :] * E[:, None])
         diag = jnp.where(self.fixed_mask > 0, 1.0, jnp.maximum(diag, 1e-12))
-        b = jnp.where(self.fixed_mask > 0, 0.0, self.f)
+        if self.solver == "mgcg" and len(self._mg_dims) > 1:
+            levels, chol = self._mg_setup(E)
+
+            def precond(r):
+                return self._mg_vcycle(levels, chol, r)
+        else:
+            def precond(r):
+                return r / diag
+        b = jnp.where(self.fixed_mask > 0, 0.0, b)
         hi = jax.lax.Precision.HIGHEST
         tiny = float(jnp.finfo(self._dtype).tiny)
 
@@ -192,7 +355,7 @@ class FEMTopology3D(Problem):
                               rz / jnp.where(pKp > tiny, pKp, 1.0), 0.0)
             u = u + alpha * p
             r = r - alpha * Kp
-            z = r / diag
+            z = precond(r)
             rz_new = jnp.vdot(r, z, precision=hi)
             beta = jnp.where(rz > tiny,
                              rz_new / jnp.where(rz > tiny, rz, 1.0), 0.0)
@@ -200,7 +363,7 @@ class FEMTopology3D(Problem):
             return (u, r, p, rz_new)
 
         u0 = jnp.zeros(self.ndof, self._dtype)
-        z0 = b / diag
+        z0 = precond(b)
         carry = (u0, b, z0, jnp.vdot(b, z0, precision=hi))
         u, _, _, _ = jax.lax.fori_loop(0, self.cg_iters, body, carry)
         return u
@@ -220,7 +383,7 @@ class FEMTopology3D(Problem):
 
         def bwd(res, ct):
             xf, u = res
-            ue = u[self.edofs]
+            ue = self._gather_elem(u)
             energies = jnp.sum(
                 jnp.matmul(ue, self.KE,
                            precision=jax.lax.Precision.HIGHEST) * ue,
@@ -312,7 +475,7 @@ class DMOFEMTopology3D(Problem):
 
         def bwd(res, ct):
             x, u = res
-            ue = u[fem.edofs]
+            ue = fem._gather_elem(u)
             energies = jnp.sum(
                 jnp.matmul(ue, fem.KE,
                            precision=jax.lax.Precision.HIGHEST) * ue,

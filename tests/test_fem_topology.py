@@ -8,6 +8,21 @@ from paropt_tpu.mma import MMA
 from paropt_tpu.models.fem_topology import FEMTopology
 
 
+def test_stencil_gather_scatter_matches_edofs():
+    """The slice/pad element gather/scatter (the TPU-fast path) must equal
+    the index-based u[edofs] gather and .at[edofs].add scatter exactly."""
+    rng = np.random.default_rng(3)
+    prob = FEMTopology(nex=7, ney=5)
+    u = jnp.asarray(rng.standard_normal(prob.ndof))
+    assert np.array_equal(np.asarray(prob._gather_elem(u)),
+                          np.asarray(u[prob.edofs]))
+    fe = jnp.asarray(rng.standard_normal((prob.nvars, 8)))
+    ref = jnp.zeros(prob.ndof, fe.dtype).at[
+        prob.edofs.reshape(-1)].add(fe.reshape(-1))
+    np.testing.assert_allclose(np.asarray(prob._scatter_elem(fe)),
+                               np.asarray(ref), rtol=1e-13)
+
+
 def test_fem_gradients_adjoint_exact():
     prob = FEMTopology(nex=8, ney=4, cg_iters=400)
     errs = prob.check_gradients(1e-6, verbose=False)
@@ -37,6 +52,44 @@ def test_fem_solver_against_dense():
     u_ref = np.linalg.solve(K, b)
     assert np.allclose(np.asarray(u), u_ref, atol=1e-7), \
         np.abs(np.asarray(u) - u_ref).max()
+
+
+def test_mgcg_matches_dense_solve():
+    """Geometric-multigrid-preconditioned CG reaches the dense solution in
+    ~25 iterations (vs hundreds for Jacobi-CG) on a high-contrast field."""
+    rng = np.random.default_rng(1)
+    prob = FEMTopology(nex=8, ney=4, cg_iters=25, solver="mgcg")
+    assert len(prob._mg_dims) >= 2
+    x = jnp.asarray(np.clip(rng.random(prob.nvars) * 1.4 - 0.2, 0.0, 1.0))
+    xf = prob._filter(x)
+    E = prob.emin + xf ** prob.penal * (prob.e0 - prob.emin)
+    u = prob._solve(E)
+    nd = prob.ndof
+    K = np.zeros((nd, nd))
+    KE = np.asarray(prob.KE)
+    ed = np.asarray(prob.edofs)
+    for e in range(prob.nvars):
+        K[np.ix_(ed[e], ed[e])] += float(E[e]) * KE
+    fixed = np.asarray(prob.fixed_mask) > 0
+    K[fixed, :] = 0.0
+    K[:, fixed] = 0.0
+    K[fixed, fixed] = 1.0
+    b = np.where(fixed, 0.0, np.asarray(prob.f))
+    u_ref = np.linalg.solve(K, b)
+    assert np.allclose(np.asarray(u), u_ref, atol=1e-8), \
+        np.abs(np.asarray(u) - u_ref).max()
+
+
+def test_mgcg_gradients_and_fallback():
+    """check_gradients passes under the MG solver; a non-coarsenable mesh
+    silently falls back to Jacobi."""
+    prob = FEMTopology(nex=8, ney=4, cg_iters=30, solver="mgcg")
+    errs = prob.check_gradients(1e-6, verbose=False)
+    assert errs["obj_gradient"] < 1e-4, errs
+    odd = FEMTopology(nex=7, ney=5, cg_iters=100, solver="mgcg")
+    assert len(odd._mg_dims) == 1  # falls back to the Jacobi path
+    x0, _, _ = odd.get_vars_and_bounds()
+    assert np.isfinite(float(odd.objective(x0)))
 
 
 def test_fem_topology_ip():

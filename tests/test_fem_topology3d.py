@@ -25,6 +25,20 @@ def test_hex_element_stiffness_properties():
         assert np.max(np.abs(KE @ t)) < 1e-12
 
 
+def test_stencil_gather_scatter_matches_edofs_3d():
+    """Slice/pad voxel gather/scatter == index-based edofs paths exactly."""
+    rng = np.random.default_rng(5)
+    prob = FEMTopology3D(nex=4, ney=3, nez=2, cg_iters=50)
+    u = jnp.asarray(rng.standard_normal(prob.ndof))
+    assert np.array_equal(np.asarray(prob._gather_elem(u)),
+                          np.asarray(u[prob.edofs]))
+    fe = jnp.asarray(rng.standard_normal((prob.ne, 24)))
+    ref = jnp.zeros(prob.ndof, fe.dtype).at[
+        prob.edofs.reshape(-1)].add(fe.reshape(-1))
+    np.testing.assert_allclose(np.asarray(prob._scatter_elem(fe)),
+                               np.asarray(ref), rtol=1e-13)
+
+
 def test_static_solve_sanity():
     """Full-density cantilever: the CG solve satisfies K u = f and tip
     deflection is negative (load direction)."""
@@ -37,6 +51,18 @@ def test_static_solve_sanity():
     # compliance positive; fixed dofs stay zero
     assert float(jnp.vdot(prob.f, u)) > 0.0
     assert float(jnp.max(jnp.abs(u * prob.fixed_mask))) == 0.0
+
+
+def test_mgcg_static_solve_3d():
+    """MG-preconditioned CG solves the full-density cantilever to tight
+    residual in 25 iterations (Jacobi needs hundreds)."""
+    prob = FEMTopology3D(nex=8, ney=4, nez=4, cg_iters=25, solver="mgcg")
+    assert len(prob._mg_dims) >= 2
+    E = jnp.full(prob.ne, 1.0, prob._dtype)
+    u = prob._solve(E)
+    r = prob._kmul(E, u) - jnp.where(prob.fixed_mask > 0, 0.0, prob.f)
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(prob.f))
+    assert rel < 1e-8, rel
 
 
 def test_gradients_and_volume_constraint():
