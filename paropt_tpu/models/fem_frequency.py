@@ -60,7 +60,8 @@ class FrequencyTopology(Problem):
                  ks_rho: float = 30.0, freq_fraction: float = 0.5,
                  rho_min: float = 0.025, lb: float = 0.05,
                  cg_iters: int = 200, lobpcg_iters: int = 60,
-                 filter_radius: int = 1, dtype=None, seed: int = 0):
+                 filter_radius: int = 1, solver: str = "jacobi",
+                 dtype=None, seed: int = 0):
         super().__init__(nvars=nex * ney, ncon=1)
         from ..dtypes import resolve_dtype
         dt = resolve_dtype(dtype)
@@ -68,7 +69,8 @@ class FrequencyTopology(Problem):
         # reuse the static model's mesh/element/CG machinery (composition,
         # like DMOFEMTopology)
         self.fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg_iters,
-                               filter_radius=filter_radius, dtype=dt)
+                               filter_radius=filter_radius, solver=solver,
+                               dtype=dt)
         self.N = N
         self.ks_rho = float(ks_rho)
         self.rho_min = float(rho_min)

@@ -405,11 +405,11 @@ class DMOFEMTopology(Problem):
     def __init__(self, nex: int = 24, ney: int = 12,
                  e_mats=(1.0, 0.55, 0.25), rho_mats=(1.0, 0.5, 0.2),
                  mass_fraction: float = 0.3, penal: float = 3.0,
-                 cg_iters: int = 300, dtype=None):
+                 cg_iters: int = 300, solver: str = "jacobi", dtype=None):
         from ..dtypes import resolve_dtype
         dt = resolve_dtype(dtype)
         self.fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg_iters,
-                               dtype=dt)
+                               solver=solver, dtype=dt)
         ne = nex * ney
         nmat = len(e_mats)
         super().__init__(nvars=ne * nmat, ncon=1, nwcon=ne, nwblock=1)

@@ -432,12 +432,12 @@ class DMOFEMTopology3D(Problem):
     def __init__(self, nex: int = 12, ney: int = 6, nez: int = 6,
                  e_mats=(1.0, 0.55, 0.25), rho_mats=(1.0, 0.5, 0.2),
                  mass_fraction: float = 0.3, penal: float = 3.0,
-                 cg_iters: int = 400, dtype=None):
+                 cg_iters: int = 400, solver: str = "jacobi", dtype=None):
         from ..dtypes import resolve_dtype
         dt = resolve_dtype(dtype)
         self.fem = FEMTopology3D(nex=nex, ney=ney, nez=nez,
                                  cg_iters=cg_iters, filter_on=False,
-                                 dtype=dt)
+                                 solver=solver, dtype=dt)
         ne = self.fem.ne
         nmat = len(e_mats)
         super().__init__(nvars=ne * nmat, ncon=1, nwcon=ne, nwblock=1)

@@ -82,6 +82,16 @@ def main():
     f_gather = make_cg(kmul_gather)
     f_stencil = make_cg(lambda E, u: prob._kmul(E, u))
 
+    # mgcg at the model level: same solve via the V-cycle-preconditioned CG
+    if args.mesh3d:
+        from paropt_tpu.models.fem_topology3d import FEMTopology3D as M
+        mg = M(nex=prob.nex, ney=prob.ney, nez=prob.nez, cg_iters=20,
+               solver="mgcg")
+    else:
+        from paropt_tpu.models.fem_topology import FEMTopology as M
+        mg = M(nex=prob.nex, ney=prob.ney, cg_iters=20, solver="mgcg")
+    f_mg = jax.jit(mg._solve)
+
     t0 = time.time()
     ug = f_gather(E)
     jax.block_until_ready(ug)
@@ -91,9 +101,16 @@ def main():
     jax.block_until_ready(us)
     print(f"compile stencil: {time.time()-t0:.1f}s", flush=True)
     err = float(jnp.max(jnp.abs(ug - us)) / (1e-30 + jnp.max(jnp.abs(ug))))
-    print(f"rel l_inf difference: {err:.2e}")
+    print(f"rel l_inf difference gather/stencil: {err:.2e}", flush=True)
+    t0 = time.time()
+    um = f_mg(E)
+    jax.block_until_ready(um)
+    print(f"compile mgcg(20): {time.time()-t0:.1f}s", flush=True)
+    errm = float(jnp.max(jnp.abs(ug - um)) / (1e-30 + jnp.max(jnp.abs(ug))))
+    print(f"rel l_inf difference cg{prob.cg_iters}/mgcg20: {errm:.2e}",
+          flush=True)
 
-    tg, ts = [], []
+    tg, ts, tm = [], [], []
     for w in range(args.windows):
         t0 = time.time()
         jax.block_until_ready(f_gather(E))
@@ -101,14 +118,19 @@ def main():
         t0 = time.time()
         jax.block_until_ready(f_stencil(E))
         ts.append(time.time() - t0)
+        t0 = time.time()
+        jax.block_until_ready(f_mg(E))
+        tm.append(time.time() - t0)
         print(f"window {w}: gather {tg[-1]*1e3:.1f} ms   "
-              f"stencil {ts[-1]*1e3:.1f} ms", flush=True)
-    tg.sort(), ts.sort()
-    mg, ms = tg[len(tg) // 2], ts[len(ts) // 2]
+              f"stencil {ts[-1]*1e3:.1f} ms   mgcg {tm[-1]*1e3:.1f} ms",
+              flush=True)
+    tg.sort(), ts.sort(), tm.sort()
+    g, s, m = (t[len(t) // 2] for t in (tg, ts, tm))
     it = prob.cg_iters
-    print(f"median per CG solve ({it} its): gather {mg*1e3:.1f} ms "
-          f"({mg/it*1e6:.1f} us/it)  stencil {ms*1e3:.1f} ms "
-          f"({ms/it*1e6:.1f} us/it)  speedup {mg/ms:.2f}x")
+    print(f"median per solve: gather cg{it} {g*1e3:.1f} ms "
+          f"({g/it*1e6:.1f} us/it)  stencil cg{it} {s*1e3:.1f} ms "
+          f"({s/it*1e6:.1f} us/it, {g/s:.2f}x)  mgcg20 {m*1e3:.1f} ms "
+          f"({g/m:.2f}x vs gather-cg)")
 
 
 if __name__ == "__main__":
