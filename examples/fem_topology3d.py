@@ -27,16 +27,19 @@ def main():
     ap.add_argument("--ney", type=int, default=8)
     ap.add_argument("--nez", type=int, default=8)
     ap.add_argument("--iters", type=int, default=40)
-    ap.add_argument("--cg-iters", type=int, default=400)
+    ap.add_argument("--cg-iters", type=int, default=None)
+    ap.add_argument("--solver", default="mgcg",
+                    choices=["jacobi", "mgcg"])
     ap.add_argument("--volume", type=float, default=0.3)
     args = ap.parse_args()
 
     from paropt_tpu.models.fem_topology3d import FEMTopology3D
     from paropt_tpu.mma import FusedMMA
 
+    cg = args.cg_iters or (40 if args.solver == "mgcg" else 400)
     prob = FEMTopology3D(nex=args.nex, ney=args.ney, nez=args.nez,
                          volume_fraction=args.volume,
-                         cg_iters=args.cg_iters)
+                         cg_iters=cg, solver=args.solver)
     print(f"elements: {prob.ne}  dofs: {prob.ndof}")
     solver = FusedMMA(prob, {"mma_max_iterations": args.iters,
                              "mma_output_file": None})

@@ -30,7 +30,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nex", type=int, default=24)
     ap.add_argument("--ney", type=int, default=12)
-    ap.add_argument("--cg-iters", type=int, default=400)
+    ap.add_argument("--cg-iters", type=int, default=None)
+    ap.add_argument("--solver", default="mgcg",
+                    choices=["jacobi", "mgcg"])
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--starts", type=int, default=4,
                     help="multi-start batch size (0 = single solve only)")
@@ -42,7 +44,9 @@ def main():
     from paropt_tpu.models.fem_topology import FEMTopology
     from paropt_tpu.tr import FusedTR
 
-    prob = FEMTopology(nex=args.nex, ney=args.ney, cg_iters=args.cg_iters)
+    cg = args.cg_iters or (40 if args.solver == "mgcg" else 400)
+    prob = FEMTopology(nex=args.nex, ney=args.ney, cg_iters=cg,
+                       solver=args.solver)
     x0, _, _ = prob.get_vars_and_bounds()
     f0 = float(prob.objective(jnp.asarray(x0)))
     opts = {"tr_output_file": None, "output_file": None,
