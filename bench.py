@@ -157,9 +157,13 @@ def _flagship_benchmarks(on_cpu):
     extra = []
 
     # --- MMA outer-iterations/s on the 96x48 SIMP mesh ---------------------
-    nex, ney, cg = (24, 12, 200) if on_cpu else (96, 48, 700)
+    # mgcg: V-cycle-preconditioned CG — 25 iterations reach BETTER residual
+    # than 700 Jacobi-CG iterations, and the stencil matvec removes the
+    # pathological TPU gather (scripts/ab_stencil.py: 438.7 -> 25.6 ms per
+    # state solve at 96x48, 17x)
+    nex, ney, cg = (24, 12, 25) if on_cpu else (96, 48, 25)
     mma_iters = 20 if on_cpu else 60
-    fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg)
+    fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg, solver="mgcg")
     x0, _, _ = fem.get_vars_and_bounds()
     f0 = float(fem.objective(x0))
     mma_opts = {"mma_max_iterations": mma_iters, "mma_output_file": None,
@@ -185,9 +189,9 @@ def _flagship_benchmarks(on_cpu):
     # FusedTR: the reference's DEFAULT algorithm with the WHOLE outer loop
     # (steering + QP solves + trial eval + QN update + radius/penalty
     # logic) on-device
-    nex, ney, cg = (12, 6, 300) if on_cpu else (48, 24, 500)
+    nex, ney, cg = (12, 6, 25) if on_cpu else (48, 24, 25)
     tr_iters = 10 if on_cpu else 20
-    fem_tr = FEMTopology(nex=nex, ney=ney, cg_iters=cg)
+    fem_tr = FEMTopology(nex=nex, ney=ney, cg_iters=cg, solver="mgcg")
     x0, _, _ = fem_tr.get_vars_and_bounds()
     f0 = float(fem_tr.objective(x0))
     tr_opts = {"tr_output_file": None, "output_file": None,
@@ -211,6 +215,36 @@ def _flagship_benchmarks(on_cpu):
         f"infeas {resB['infeas']:.1e} linf {resB['linfty']:.1e}\n")
     extra.append({"metric": f"tr_fem{nex}x{ney}_outer_iterations_per_s",
                   "value": round(tr_per_s, 3), "unit": "iter/s",
+                  "vs_baseline": None})
+
+    # --- MMA outer-iterations/s on a 3-D voxel SIMP mesh -------------------
+    # the reference's README headline workload ("large-scale 3D ...
+    # topology optimization", README.md:12-31)
+    from paropt_tpu.models.fem_topology3d import FEMTopology3D
+    nx, ny, nz = (8, 4, 4) if on_cpu else (32, 16, 16)
+    iters3d = 10 if on_cpu else 40
+    fem3 = FEMTopology3D(nex=nx, ney=ny, nez=nz, cg_iters=25,
+                         solver="mgcg")
+    x0, _, _ = fem3.get_vars_and_bounds()
+    f0 = float(fem3.objective(x0))
+    solver3 = FusedMMA(fem3, {"mma_max_iterations": iters3d,
+                              "mma_output_file": None,
+                              "dtype": "float64" if on_cpu else "float32"})
+    t0 = _time.time()
+    r1, _ = solver3.solve()
+    wall1 = _time.time() - t0
+    t0 = _time.time()
+    r2, _ = solver3.solve()
+    wall2 = _time.time() - t0
+    mma3_per_s = r2["niter"] / wall2
+    sys.stderr.write(
+        f"[bench] MMA FEM3D {nx}x{ny}x{nz} ({fem3.ne} vox/{fem3.ndof} "
+        f"dofs): {r2['niter']} outer iters in {wall2:.2f}s "
+        f"({mma3_per_s:.2f} it/s; first run incl. compile {wall1:.1f}s), "
+        f"compliance {f0:.4f} -> {r2['fobj']:.4f}, "
+        f"infeas {r2['infeas']:.1e}\n")
+    extra.append({"metric": f"mma_fem3d{nx}x{ny}x{nz}_outer_iterations_per_s",
+                  "value": round(mma3_per_s, 3), "unit": "iter/s",
                   "vs_baseline": None})
     return extra
 
