@@ -104,6 +104,24 @@ def test_fem_topology_ip():
     assert float(prob.constraints(res["x"])[0]) > -1e-4
 
 
+def test_fused_mma_mgcg_matches_jacobi():
+    """The fused MMA outer loop under the multigrid state solver follows
+    the Jacobi-CG trajectory (the state solves agree to solver tolerance,
+    which is far inside MMA's asymptote dynamics)."""
+    from paropt_tpu.mma import FusedMMA
+
+    opts = {"mma_output_file": None, "output_file": None,
+            "mma_max_iterations": 6}
+    res = {}
+    for solver, cg in (("jacobi", 250), ("mgcg", 25)):
+        prob = FEMTopology(nex=12, ney=6, cg_iters=cg, solver=solver)
+        r, _ = FusedMMA(prob, dict(opts)).solve()
+        res[solver] = r
+    assert res["mgcg"]["niter"] == res["jacobi"]["niter"]
+    np.testing.assert_allclose(res["mgcg"]["fobj"], res["jacobi"]["fobj"],
+                               rtol=1e-6)
+
+
 def test_fem_topology_regions_mma():
     prob = FEMTopology(nex=8, ney=4, region=4, region_cap=0.7, cg_iters=250)
     x0, _, _ = prob.get_vars_and_bounds()
