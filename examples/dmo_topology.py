@@ -31,7 +31,8 @@ def main():
     from paropt_tpu.models.fem_topology import DMOFEMTopology
 
     prob = DMOFEMTopology(nex=args.nex, ney=args.ney,
-                          mass_fraction=args.mass, cg_iters=300)
+                          mass_fraction=args.mass, cg_iters=30,
+                          solver="mgcg")
     t0 = time.time()
     ip = InteriorPoint(prob, {"output_file": None, "max_major_iters": 300,
                               "abs_res_tol": 1e-5})

@@ -29,12 +29,16 @@ def main():
     ap.add_argument("--N", type=int, default=6)
     ap.add_argument("--freq-fraction", type=float, default=0.5)
     ap.add_argument("--iters", type=int, default=100)
-    ap.add_argument("--cg-iters", type=int, default=300)
+    ap.add_argument("--cg-iters", type=int, default=None)
+    ap.add_argument("--solver", default="mgcg", choices=["jacobi", "mgcg"])
     args = ap.parse_args()
 
+    cg = args.cg_iters or (40 if args.solver == "mgcg" else 300)
+    # (non-coarsenable odd meshes fall back to Jacobi automatically)
     prob = FrequencyTopology(nex=args.nex, ney=args.ney, N=args.N,
+                             solver=args.solver,
                              freq_fraction=args.freq_fraction,
-                             cg_iters=args.cg_iters)
+                             cg_iters=cg)
     sub, eigh = prob.build_tr_subproblem(msub=10)
 
     opts = {"tr_output_file": "fem_frequency.tr", "output_file": None,
