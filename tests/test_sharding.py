@@ -372,6 +372,28 @@ def test_fused_nk_sharded():
     assert engaged
 
 
+def test_fused_mma_fem_topology_sharded():
+    """The flagship FEM SIMP workload with the design axis sharded over the
+    8-device mesh: the stencil matvec's slices/pads become halo exchanges
+    under SPMD (x-strips of the element grid = contiguous chunks of the
+    flat design vector), and the multigrid V-cycle distributes too. The
+    sharded FusedMMA run must match the unsharded one."""
+    from paropt_tpu.mma import FusedMMA
+    from paropt_tpu.models.fem_topology import FEMTopology
+
+    prob = FEMTopology(nex=16, ney=8, cg_iters=25, solver="mgcg")
+    opts = {"mma_max_iterations": 6, "mma_output_file": None}
+    solver = FusedMMA(prob, dict(opts))
+    res1, _ = solver.solve()
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    st0_s = _shard_tree(solver._state0, mesh, prob.nvars)
+    res_s, _ = solver.solve(state0=st0_s)
+    assert res_s["niter"] == res1["niter"]
+    assert abs(res_s["fobj"] - res1["fobj"]) < 1e-9, \
+        (res_s["fobj"], res1["fobj"])
+
+
 def test_fused_mma_sharded_and_resume():
     """FusedMMA over the mesh matches unsharded, and a solve can resume
     from a previous final state."""
