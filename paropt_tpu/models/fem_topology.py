@@ -72,21 +72,29 @@ def _scatter2d(fe, nex, ney):
     return out.reshape(-1)
 
 
+def _interleave(c, axis):
+    """Insert midpoints along `axis`: size k+1 -> 2k+1 (linear)."""
+    lo = jax.lax.slice_in_dim(c, 0, c.shape[axis] - 1, axis=axis)
+    hi = jax.lax.slice_in_dim(c, 1, c.shape[axis], axis=axis)
+    mid = 0.5 * (lo + hi)
+    st = jnp.stack([lo, mid], axis=axis + 1)
+    shp = list(c.shape)
+    shp[axis] = 2 * (shp[axis] - 1)
+    st = st.reshape(shp)
+    last = jax.lax.slice_in_dim(c, c.shape[axis] - 1, c.shape[axis],
+                                axis=axis)
+    return jnp.concatenate([st, last], axis=axis)
+
+
 def _prolong2d(nexc, neyc):
     """Bilinear node-grid prolongation [(nexc+1)(neyc+1)*2] ->
     [(2nexc+1)(2neyc+1)*2], built from interleave reshapes (no gather)."""
 
     def prolong(c_flat):
         c = c_flat.reshape(nexc + 1, neyc + 1, 2)
-        mid = 0.5 * (c[:-1] + c[1:])
-        r = jnp.stack([c[:-1], mid], axis=1).reshape(
-            2 * nexc, neyc + 1, 2)
-        r = jnp.concatenate([r, c[-1:]], axis=0)
-        midy = 0.5 * (r[:, :-1] + r[:, 1:])
-        f = jnp.stack([r[:, :-1], midy], axis=2).reshape(
-            2 * nexc + 1, 2 * neyc, 2)
-        f = jnp.concatenate([f, r[:, -1:]], axis=1)
-        return f.reshape(-1)
+        for ax in range(2):
+            c = _interleave(c, ax)
+        return c.reshape(-1)
 
     return prolong
 
@@ -160,8 +168,18 @@ class FEMTopology(Problem):
                and dims[-1][0] >= 4 and dims[-1][1] >= 4):
             dims.append((dims[-1][0] // 2, dims[-1][1] // 2))
         self._mg_dims = dims
-        self._mg_fixed = []
-        for cx, cy in dims:
+        if solver == "mgcg" and len(dims) == 1:
+            import warnings
+            warnings.warn(
+                f"mesh {nex}x{ney} cannot coarsen (element counts must be "
+                "even and >= 4): solver='mgcg' falls back to Jacobi-CG — "
+                f"cg_iters={cg_iters} sized for multigrid will NOT "
+                "converge the state solve; use hundreds of iterations or "
+                "an even mesh", stacklevel=2)
+        # level 0 reuses the model's own Dirichlet mask; coarser levels
+        # apply the same rule (left-edge nodes) on the coarse node grids
+        self._mg_fixed = [self.fixed_mask]
+        for cx, cy in dims[1:]:
             m = np.zeros(2 * (cx + 1) * (cy + 1))
             m[:2 * (cy + 1)] = 1.0          # left-edge (i == 0) nodes
             self._mg_fixed.append(jnp.asarray(m, dt))
@@ -289,14 +307,17 @@ class FEMTopology(Problem):
         are zeroed): Jacobi (solver='jacobi') or a geometric-multigrid
         V-cycle (solver='mgcg'). Reused by the frequency model's
         shift-inverted eigensolve."""
-        diag = self._scatter_elem(jnp.diag(self.KE)[None, :] * E[:, None])
-        diag = jnp.where(self.fixed_mask > 0, 1.0, jnp.maximum(diag, 1e-12))
         if self.solver == "mgcg" and len(self._mg_dims) > 1:
-            levels, chol = self._mg_setup(E)
+            levels, chol = self._mg_setup(E)      # carries per-level diags
 
             def precond(r):
                 return self._mg_vcycle(levels, chol, r)
         else:
+            diag = self._scatter_elem(
+                jnp.diag(self.KE)[None, :] * E[:, None])
+            diag = jnp.where(self.fixed_mask > 0, 1.0,
+                             jnp.maximum(diag, 1e-12))
+
             def precond(r):
                 return r / diag
         b = jnp.where(self.fixed_mask > 0, 0.0, b)

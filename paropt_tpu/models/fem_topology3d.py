@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..problem import Problem, SparseJacobian
+from .fem_topology import _interleave
 
 __all__ = ["FEMTopology3D", "DMOFEMTopology3D", "hex_element_stiffness"]
 
@@ -103,20 +104,6 @@ def _scatter3d(fe, nex, ney, nez):
         out = out + jnp.pad(fe[..., 3 * i:3 * i + 3],
                             ((a, 1 - a), (b, 1 - b), (c, 1 - c), (0, 0)))
     return out.reshape(-1)
-
-
-def _interleave(c, axis):
-    """Insert midpoints along `axis`: size k+1 -> 2k+1 (linear)."""
-    lo = jax.lax.slice_in_dim(c, 0, c.shape[axis] - 1, axis=axis)
-    hi = jax.lax.slice_in_dim(c, 1, c.shape[axis], axis=axis)
-    mid = 0.5 * (lo + hi)
-    st = jnp.stack([lo, mid], axis=axis + 1)
-    shp = list(c.shape)
-    shp[axis] = 2 * (shp[axis] - 1)
-    st = st.reshape(shp)
-    last = jax.lax.slice_in_dim(c, c.shape[axis] - 1, c.shape[axis],
-                                axis=axis)
-    return jnp.concatenate([st, last], axis=axis)
 
 
 def _prolong3d(nexc, neyc, nezc):
@@ -215,8 +202,18 @@ class FEMTopology3D(Problem):
         while all(d % 2 == 0 and d >= 4 for d in dims[-1]):
             dims.append(tuple(d // 2 for d in dims[-1]))
         self._mg_dims = dims
-        self._mg_fixed = []
-        for cx, cy, cz in dims:
+        if solver == "mgcg" and len(dims) == 1:
+            import warnings
+            warnings.warn(
+                f"mesh {nex}x{ney}x{nez} cannot coarsen (element counts "
+                "must be even and >= 4): solver='mgcg' falls back to "
+                f"Jacobi-CG — cg_iters={cg_iters} sized for multigrid "
+                "will NOT converge the state solve; use hundreds of "
+                "iterations or an even mesh", stacklevel=2)
+        # level 0 reuses the model's own Dirichlet mask; coarser levels
+        # apply the same rule (x == 0 face) on the coarse node grids
+        self._mg_fixed = [self.fixed_mask]
+        for cx, cy, cz in dims[1:]:
             m = np.zeros(3 * (cx + 1) * (cy + 1) * (cz + 1))
             m[:3 * (cy + 1) * (cz + 1)] = 1.0   # x == 0 face nodes
             self._mg_fixed.append(jnp.asarray(m, dt))
@@ -333,14 +330,17 @@ class FEMTopology3D(Problem):
     def _cg(self, E, b):
         """Preconditioned CG on K(E) u = b: Jacobi (solver='jacobi') or a
         geometric-multigrid V-cycle (solver='mgcg')."""
-        diag = self._scatter_elem(jnp.diag(self.KE)[None, :] * E[:, None])
-        diag = jnp.where(self.fixed_mask > 0, 1.0, jnp.maximum(diag, 1e-12))
         if self.solver == "mgcg" and len(self._mg_dims) > 1:
-            levels, chol = self._mg_setup(E)
+            levels, chol = self._mg_setup(E)      # carries per-level diags
 
             def precond(r):
                 return self._mg_vcycle(levels, chol, r)
         else:
+            diag = self._scatter_elem(
+                jnp.diag(self.KE)[None, :] * E[:, None])
+            diag = jnp.where(self.fixed_mask > 0, 1.0,
+                             jnp.maximum(diag, 1e-12))
+
             def precond(r):
                 return r / diag
         b = jnp.where(self.fixed_mask > 0, 0.0, b)

@@ -48,29 +48,34 @@ def main():
         return jnp.where(fixed > 0, u, out)
 
     def make_cg(kmul):
-        diag = jnp.zeros(prob.ndof, prob._dtype).at[
-            edofs.reshape(-1)].add(
-            (jnp.diag(KE)[None, :] * E[:, None]).reshape(-1))
-        diag = jnp.where(fixed > 0, 1.0, jnp.maximum(diag, 1e-12))
-        bb = jnp.where(fixed > 0, 0.0, b)
         hi = jax.lax.Precision.HIGHEST
         tiny = float(jnp.finfo(prob._dtype).tiny)
 
-        def body(i, carry):
-            u, r, p, rz = carry
-            Kp = kmul(E, p)
-            pKp = jnp.vdot(p, Kp, precision=hi)
-            alpha = jnp.where(pKp > tiny,
-                              rz / jnp.where(pKp > tiny, pKp, 1.0), 0.0)
-            u = u + alpha * p
-            r = r - alpha * Kp
-            z = r / diag
-            rz_new = jnp.vdot(r, z, precision=hi)
-            beta = jnp.where(rz > tiny,
-                             rz_new / jnp.where(rz > tiny, rz, 1.0), 0.0)
-            return (u + 0.0, r, z + beta * p, rz_new)
-
         def run(E):
+            # E is a runtime ARGUMENT (not a baked closure constant) so all
+            # three variants compare like-for-like (CLAUDE.md byte-
+            # accounting caveat)
+            diag = jnp.zeros(prob.ndof, prob._dtype).at[
+                edofs.reshape(-1)].add(
+                (jnp.diag(KE)[None, :] * E[:, None]).reshape(-1))
+            diag = jnp.where(fixed > 0, 1.0, jnp.maximum(diag, 1e-12))
+            bb = jnp.where(fixed > 0, 0.0, b)
+
+            def body(i, carry):
+                u, r, p, rz = carry
+                Kp = kmul(E, p)
+                pKp = jnp.vdot(p, Kp, precision=hi)
+                alpha = jnp.where(pKp > tiny,
+                                  rz / jnp.where(pKp > tiny, pKp, 1.0), 0.0)
+                u = u + alpha * p
+                r = r - alpha * Kp
+                z = r / diag
+                rz_new = jnp.vdot(r, z, precision=hi)
+                beta = jnp.where(rz > tiny,
+                                 rz_new / jnp.where(rz > tiny, rz, 1.0),
+                                 0.0)
+                return (u, r, z + beta * p, rz_new)
+
             u0 = jnp.zeros(prob.ndof, prob._dtype)
             z0 = bb / diag
             carry = (u0, bb, z0, jnp.vdot(bb, z0, precision=hi))

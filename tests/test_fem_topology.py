@@ -86,7 +86,11 @@ def test_mgcg_gradients_and_fallback():
     prob = FEMTopology(nex=8, ney=4, cg_iters=30, solver="mgcg")
     errs = prob.check_gradients(1e-6, verbose=False)
     assert errs["obj_gradient"] < 1e-4, errs
-    odd = FEMTopology(nex=7, ney=5, cg_iters=100, solver="mgcg")
+    import warnings
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        odd = FEMTopology(nex=7, ney=5, cg_iters=400, solver="mgcg")
+    assert any("falls back to Jacobi" in str(w.message) for w in caught)
     assert len(odd._mg_dims) == 1  # falls back to the Jacobi path
     x0, _, _ = odd.get_vars_and_bounds()
     assert np.isfinite(float(odd.objective(x0)))
