@@ -80,6 +80,35 @@ def test_mgcg_matches_dense_solve():
         np.abs(np.asarray(u) - u_ref).max()
 
 
+def test_mgcg_binary_density_fuzz():
+    """Unfiltered random 0/1 densities (salt-and-pepper, exact 1e3
+    modulus contrast at every element boundary — the worst case for the
+    rediscretized coarse operator) across several even meshes: MG-CG
+    converges in ~80 iterations (vs ~400 Jacobi-CG; real SIMP end states
+    are filtered/connected and take ~25)."""
+    for seed, (nex, ney) in enumerate(((8, 4), (12, 8), (16, 4))):
+        rng = np.random.default_rng(seed)
+        prob = FEMTopology(nex=nex, ney=ney, cg_iters=80, solver="mgcg",
+                           filter_radius=0)
+        x = jnp.asarray((rng.random(prob.nvars) > 0.5).astype(np.float64))
+        E = prob.emin + x ** prob.penal * (prob.e0 - prob.emin)
+        u = prob._solve(E)
+        nd = prob.ndof
+        K = np.zeros((nd, nd))
+        KE = np.asarray(prob.KE)
+        ed = np.asarray(prob.edofs)
+        for e in range(prob.nvars):
+            K[np.ix_(ed[e], ed[e])] += float(E[e]) * KE
+        fixed = np.asarray(prob.fixed_mask) > 0
+        K[fixed, :] = 0.0
+        K[:, fixed] = 0.0
+        K[fixed, fixed] = 1.0
+        b = np.where(fixed, 0.0, np.asarray(prob.f))
+        u_ref = np.linalg.solve(K, b)
+        err = np.abs(np.asarray(u) - u_ref).max() / np.abs(u_ref).max()
+        assert err < 1e-8, (nex, ney, err)
+
+
 def test_mgcg_gradients_and_fallback():
     """check_gradients passes under the MG solver; a non-coarsenable mesh
     silently falls back to Jacobi."""
