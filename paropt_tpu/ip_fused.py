@@ -36,7 +36,8 @@ from .ops import kkt
 from .ops import qn as qnmod
 from .ops.kkt import IPVars, ProblemData
 
-__all__ = ["FusedIP", "FusedIPOptions", "FusedState", "ModelFns"]
+__all__ = ["FusedIP", "FusedIPOptions", "FusedState", "ModelFns",
+           "fused_ip_optimize"]
 
 
 class ModelFns(NamedTuple):
@@ -964,3 +965,54 @@ def data_template_from_problem(problem, penalty_gamma: float = 1000.0,
         Aw_cols=cols, Aw_vals=vals, nwblock=problem.nwblock,
         Aw_layout=layout)
     return d, x0
+
+
+def fused_ip_optimize(problem, options=None):
+    """Facade-style whole-solve on the fused IP for jax-native problems
+    (`Optimizer(..., {"algorithm": "ip", "use_fused_loop": True})`).
+
+    Maps the registry options onto `FusedIPOptions` (the same mapping the
+    TR/MMA inner solvers use, `tr._fused_ip_options`), builds the
+    model/data/QN state, runs the zero-round-trip `lax.while_loop` solve,
+    and returns (result dict shaped like `InteriorPoint.optimize`,
+    final `FusedState`)."""
+    from .utils.options import make_options
+    from .dtypes import resolve_dtype
+    from .tr import _fused_ip_options
+    from .ip import _resolve_qn_storage
+
+    o = options if hasattr(options, "descriptors") else \
+        make_options(options or {}, which="facade")
+    dt = resolve_dtype(
+        jnp.float64 if o["dtype"] == "float64" else jnp.float32)
+    fopts = _fused_ip_options(
+        o, o["barrier_strategy"], o["starting_point_strategy"],
+        o["sequential_linear_method"])._replace(
+        use_quasi_newton_update=not o["sequential_linear_method"])
+
+    qn0 = None
+    if o["qn_type"] != "none" and not o["sequential_linear_method"] \
+            and o["qn_subspace_size"] > 0:
+        qn0 = qnmod.qn_init(
+            o["qn_subspace_size"], problem.nvars, dtype=dt,
+            qn_type=o["qn_type"],
+            storage_dtype=_resolve_qn_storage(o["qn_storage_dtype"], dt),
+            update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])
+
+    model = model_from_problem(problem)
+    data, x0 = data_template_from_problem(
+        problem, penalty_gamma=o["penalty_gamma"],
+        max_bound_value=o["max_bound_value"], dtype=dt)
+    fused = FusedIP(model, problem.nvars, problem.ncon, problem.nwcon,
+                    problem.nwblock, fopts, dtype=dt)
+    state = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    result = {
+        "x": state.vars.x, "fobj": float(state.fobj),
+        "converged": bool(state.converged),
+        "reason": "tolerance" if bool(state.converged) else "max iterations",
+        "niter": int(state.k), "neval": int(state.neval),
+        # one gradient evaluation per accepted major iteration + init
+        "ngeval": int(state.k) + 1,
+        "res_norm": float(state.res_norm), "mu": float(state.mu),
+    }
+    return result, state

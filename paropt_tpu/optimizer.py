@@ -26,6 +26,7 @@ class Optimizer:
         self.algorithm = self.options["algorithm"]
         self._inner = None
         self._subproblem = None
+        self._fused_state = None
         self._result: Optional[Dict[str, Any]] = None
 
     def set_trust_region_subproblem(self, subproblem) -> None:
@@ -37,6 +38,8 @@ class Optimizer:
 
     def optimize(self) -> Dict[str, Any]:
         algo = self.options["algorithm"]
+        if self.options["use_fused_loop"]:
+            return self._optimize_fused(algo)
         if algo == "ip":
             self._inner = InteriorPoint(self.problem, self.options)
             ckpt = self.options["ip_checkpoint_file"]
@@ -54,8 +57,42 @@ class Optimizer:
             raise ValueError(f"unknown algorithm {algo!r}")
         return self._result
 
+    def _optimize_fused(self, algo: str) -> Dict[str, Any]:
+        """TPU extension: the selected algorithm's WHOLE loop on-device
+        (`use_fused_loop` option). Requires a jax-native problem."""
+        if algo == "ip":
+            from .ip_fused import fused_ip_optimize
+            self._result, self._fused_state = fused_ip_optimize(
+                self.problem, self.options)
+        elif algo == "tr":
+            if self._subproblem is not None:
+                raise ValueError(
+                    "use_fused_loop does not support a custom TR "
+                    "subproblem; use the host TrustRegion")
+            from .tr import FusedTR
+            self._inner = FusedTR(self.problem, self.options)
+            self._result, self._fused_state = self._inner.solve()
+        elif algo == "mma":
+            from .mma import FusedMMA
+            self._inner = FusedMMA(self.problem, self.options)
+            self._result, self._fused_state = self._inner.solve()
+        else:  # pragma: no cover - registry validates
+            raise ValueError(f"unknown algorithm {algo!r}")
+        return self._result
+
     def get_optimized_point(self):
         """-> (x, z, zw, zl, zu) like `ParOptOptimizer::getOptimizedPoint`."""
+        if self._fused_state is not None:
+            st = self._fused_state
+            if self.algorithm == "ip":
+                v = st.vars
+                return v.x, v.z, v.zw, v.zl, v.zu
+            if self.algorithm == "mma":
+                return st.x, st.z, st.zw, st.zl, st.zu
+            raise RuntimeError(
+                "multipliers live inside FusedTR's on-device QP; use the "
+                "host TrustRegion (use_fused_loop=False) for "
+                "getOptimizedPoint multiplier access")
         if self._inner is None:
             raise RuntimeError("call optimize() first")
         if self.algorithm == "ip":

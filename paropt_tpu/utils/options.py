@@ -432,6 +432,14 @@ def add_facade_options(opts: OptionRegistry) -> OptionRegistry:
                   "The type of optimization algorithm")
     opts.add_string("ip_checkpoint_file", None,
                     "Checkpoint file for the interior point method")
+    # TPU-specific extension (not in the reference): route the facade to
+    # the fused whole-loop solvers (FusedIP/FusedTR/FusedMMA) — the entire
+    # outer loop runs as one XLA computation with zero host round-trips.
+    # Requires a jax-native problem (autodiff gradients, constant sparse
+    # Jacobian pattern); host-callback problems keep the host loops.
+    opts.add_bool("use_fused_loop", False,
+                  "Run the selected algorithm's WHOLE loop on-device "
+                  "(fused lax.while_loop solvers; jax-native problems only)")
     return opts
 
 

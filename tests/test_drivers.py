@@ -191,3 +191,43 @@ def test_openmdao_sparse_driver_with_fake(monkeypatch):
     assert adapter.nwcon == 6, adapter.nwcon
     assert adapter.ncon == 1, adapter.ncon  # only the global sum stays dense
     assert adapter.csr_rowp[-1] == adapter.nwcon * 6  # dense-row fallback
+
+
+def test_facade_use_fused_loop_routes_all_algorithms():
+    """TPU-extension option `use_fused_loop`: the facade runs the WHOLE
+    selected loop on-device (FusedIP/FusedTR/FusedMMA) and matches the
+    host loops' solutions on a jax-native problem."""
+    import numpy as np
+    from paropt_tpu.models.fem_topology import FEMTopology
+    from paropt_tpu.optimizer import Optimizer
+
+    def build():
+        return FEMTopology(nex=8, ney=4, cg_iters=25, solver="mgcg")
+
+    # ip: fused whole-solve matches the host InteriorPoint result
+    base = {"output_file": None, "abs_res_tol": 1e-6,
+            "max_major_iters": 150}
+    res_host = Optimizer(build(), {"algorithm": "ip", **base}).optimize()
+    opt = Optimizer(build(), {"algorithm": "ip", "use_fused_loop": True,
+                              **base})
+    res_f = opt.optimize()
+    assert res_f["converged"]
+    np.testing.assert_allclose(res_f["fobj"], res_host["fobj"], rtol=1e-5)
+    x, z, zw, zl, zu = opt.get_optimized_point()
+    assert x.shape == (32,) and zl.shape == (32,)
+
+    # tr: fused SL1QP loop runs and improves compliance
+    tro = {"algorithm": "tr", "use_fused_loop": True, "output_file": None,
+           "tr_output_file": None, "tr_max_iterations": 10}
+    opt = Optimizer(build(), tro)
+    res_tr = opt.optimize()
+    assert res_tr["fobj"] < 0.9 and res_tr["infeas"] < 1e-6
+
+    # mma: fused loop + multipliers through getOptimizedPoint
+    mo = {"algorithm": "mma", "use_fused_loop": True, "output_file": None,
+          "mma_output_file": None, "mma_max_iterations": 10}
+    opt = Optimizer(build(), mo)
+    res_mma = opt.optimize()
+    assert res_mma["fobj"] < 0.9
+    x, z, zw, zl, zu = opt.get_optimized_point()
+    assert x.shape == (32,) and z.shape == (1,)

@@ -67,7 +67,8 @@ def test_option_registry_name_parity():
     # `ParOptMMA.cpp:234-289`, `ParOptOptimizer.cpp:39-50`)
     expected_absent = {"soc_rank_gamma"}          # commented out upstream
     extensions = {"dtype", "qn_storage_dtype", "mma_kkt_error_scaling",
-                  "mma_max_no_improvement"}      # TPU-native extensions
+                  "mma_max_no_improvement",
+                  "use_fused_loop"}              # TPU-native extensions
     assert extensions <= ours
     assert not (expected_absent & ours)
     # spot-check a few from each group
@@ -105,7 +106,8 @@ def test_full_option_table_parity():
 
     ours = make_options()
     extensions = {"dtype", "qn_storage_dtype", "mma_kkt_error_scaling",
-                  "mma_max_no_improvement"}  # documented TPU-native extensions
+                  "mma_max_no_improvement",
+                  "use_fused_loop"}  # documented TPU-native extensions
     assert set(ref) - set(ours) == set(), "missing reference options"
     assert set(ours) - set(ref) == extensions, "undocumented extra options"
 
