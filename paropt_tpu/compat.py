@@ -54,6 +54,10 @@ dtype = np.float64 if _jax.config.jax_enable_x64 else np.float32
 class Problem(_problem.Problem):
     """Reference-style fill-callback problem base class."""
 
+    # numpy fill callbacks cannot trace under jax.jit — the fused
+    # whole-loop solvers (use_fused_loop) must use the host loops instead
+    jit_traceable = False
+
     def __init__(self, comm=None, nvars: int = 0, ncon: int = 0,
                  num_dense_inequalities: Optional[int] = None,
                  nwcon: int = 0, nwblock: int = 1,

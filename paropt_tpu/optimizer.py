@@ -60,6 +60,11 @@ class Optimizer:
     def _optimize_fused(self, algo: str) -> Dict[str, Any]:
         """TPU extension: the selected algorithm's WHOLE loop on-device
         (`use_fused_loop` option). Requires a jax-native problem."""
+        if not getattr(self.problem, "jit_traceable", True):
+            raise ValueError(
+                "use_fused_loop requires a jax-native problem (autodiff "
+                "or jit-traceable eval_* methods); fill-callback (compat) "
+                "problems run the host loops — drop use_fused_loop")
         if algo == "ip":
             from .ip_fused import fused_ip_optimize
             self._result, self._fused_state = fused_ip_optimize(

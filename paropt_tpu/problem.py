@@ -131,6 +131,11 @@ class Problem:
     (b) override the eval_* methods directly (reference-style).
     """
 
+    # True when eval_* can run under jax.jit (jax-native evaluations);
+    # the compat fill-callback surface overrides this to False so fused
+    # whole-loop solvers can reject it with a clear error.
+    jit_traceable = True
+
     def __init__(self, nvars: int, ncon: int = 0, nwcon: int = 0,
                  nwblock: int = 1, ninequality: Optional[int] = None,
                  nwinequality: Optional[int] = None):

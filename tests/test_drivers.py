@@ -231,3 +231,34 @@ def test_facade_use_fused_loop_routes_all_algorithms():
     assert res_mma["fobj"] < 0.9
     x, z, zw, zl, zu = opt.get_optimized_point()
     assert x.shape == (32,) and z.shape == (1,)
+
+
+def test_use_fused_loop_rejects_callback_problems():
+    """Fill-callback (compat) problems cannot trace under jit: the facade
+    must reject use_fused_loop with a clear error, not a tracer leak."""
+    import pytest
+    from paropt_tpu import compat as ParOpt
+    from paropt_tpu.optimizer import Optimizer
+
+    class P(ParOpt.Problem):
+        def __init__(self):
+            super().__init__(nvars=2, ncon=1)
+
+        def getVarsAndBounds(self, x, lb, ub):
+            x[:] = 0.5
+            lb[:] = -1.0
+            ub[:] = 2.0
+
+        def evalObjCon(self, x):
+            import numpy as np
+            return 0, float(np.sum(x ** 2)), np.array([x[0] + x[1]])
+
+        def evalObjConGradient(self, x, g, A):
+            g[:] = 2 * x
+            A[0][:] = 1.0
+            return 0
+
+    opt = Optimizer(P(), {"algorithm": "tr", "use_fused_loop": True,
+                          "output_file": None, "tr_output_file": None})
+    with pytest.raises(ValueError, match="jax-native"):
+        opt.optimize()
