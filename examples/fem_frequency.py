@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--cg-iters", type=int, default=None)
     ap.add_argument("--solver", default="mgcg", choices=["jacobi", "mgcg"])
+    ap.add_argument("--mode", default="fused", choices=["fused", "host"],
+                    help="fused: WHOLE eigen-TR loop as one on-device "
+                         "while_loop (eig_fused.FusedEigenTR — no host "
+                         "round-trips, the right mode on remote/tunneled "
+                         "TPUs); host: the reference-style "
+                         "EigenSubproblem + host TrustRegion")
     args = ap.parse_args()
 
     cg = args.cg_iters or (40 if args.solver == "mgcg" else 300)
@@ -39,7 +45,6 @@ def main():
                              solver=args.solver,
                              freq_fraction=args.freq_fraction,
                              cg_iters=cg)
-    sub, eigh = prob.build_tr_subproblem(msub=10)
 
     opts = {"tr_output_file": "fem_frequency.tr", "output_file": None,
             "tr_max_iterations": args.iters, "tr_init_size": 0.05,
@@ -47,7 +52,12 @@ def main():
             "tr_l1_tol": 1e-4, "tr_linfty_tol": 1e-4,
             "tr_adaptive_gamma_update": True, "penalty_gamma": 10.0}
     t0 = time.time()
-    res = TrustRegion(prob, opts, subproblem=sub).optimize()
+    if args.mode == "fused":
+        opts["tr_output_file"] = None
+        res, _ = prob.build_fused_tr(opts).solve()
+    else:
+        sub, eigh = prob.build_tr_subproblem(msub=10)
+        res = TrustRegion(prob, opts, subproblem=sub).optimize()
     x = res["x"]
     freqs = prob.frequencies(x)
     print("converged=%s  wall=%.1fs" % (res["converged"], time.time() - t0))

@@ -210,6 +210,42 @@ class FrequencyTopology(Problem):
                                Minv=jnp.asarray(Minv, self._dtype),
                                hvecs=jnp.asarray(ev["W"], self._dtype))
 
+    def eval_full(self, x):
+        """Jit-traceable combined evaluation for the FUSED eigen-TR path
+        (`eig_fused.FusedEigenTR`): ONE eigensolve yields the objective,
+        the KS constraint, both gradients, AND the refreshed low-rank
+        curvature model (M, Minv, hvecs) — so a trial evaluation and the
+        accepted-step model refresh share the LOBPCG. Unlike `_eval`, the
+        KS reduction runs in the compute dtype (N max-shifted values —
+        safe in f32); the Minv regularization mirrors
+        `update_eigen_model`."""
+        x = jnp.asarray(x, self._dtype)
+        lam, W = self._eig_fn(x)
+        g = (lam - self.lam_target) / self.lam_target
+        gmin = jnp.min(g)
+        eta = jnp.exp(-self.ks_rho * (g - gmin))
+        beta = jnp.sum(eta)
+        eta = eta / beta
+        ks = gmin - jnp.log(beta) / self.ks_rho
+        dks = (eta @ W) / self.lam_target
+        fobj = self.objective(x)
+        gobj = jax.grad(self.objective)(x)
+        scale = self.ks_rho / self.lam_target ** 2
+        M = scale * (jnp.outer(eta, eta) - jnp.diag(eta))
+        e, Q = jnp.linalg.eigh(0.5 * (M + M.T))
+        e = jnp.minimum(e, -1e-8 * scale)
+        Minv = (Q / e) @ Q.T
+        return (fobj, jnp.asarray([ks], self._dtype), gobj,
+                dks[None, :], M, Minv, W)
+
+    def build_fused_tr(self, options=None):
+        """Whole-loop on-device eigen TR (`eig_fused.FusedEigenTR`) with
+        the same b0 = 1/nvars seeding rationale as
+        `build_tr_subproblem`."""
+        from ..eig_fused import FusedEigenTR
+        return FusedEigenTR(self, options, index=0,
+                            qn_b0=1.0 / self.nvars)
+
     # -- subproblem wiring -------------------------------------------------
     def build_tr_subproblem(self, msub: int = 10):
         """Wire the eigenvalue TR subproblem (`eigenvalue_opt.py:281-306`

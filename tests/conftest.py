@@ -47,7 +47,28 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the test suite re-jits the same kernels in
 # every pytest process; caching compilations cuts suite wall-clock a lot.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# The directory is keyed by the HOST CPU's feature set: XLA:CPU caches AOT
+# machine code, and loading artifacts compiled on a different machine type
+# (this environment migrates across VMs between sessions) can SIGILL or
+# SIGSEGV mid-suite (observed 2026-08-19: stale +amx artifacts crashed
+# test_fused_nk_sharded with exit 139).
+def _cpu_fingerprint():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
+_cache_dir = os.path.join(os.path.dirname(__file__),
+                          ".jax_cache-" + _cpu_fingerprint())
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

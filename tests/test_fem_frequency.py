@@ -92,3 +92,43 @@ def test_frequency_constrained_mass_min():
     assert ev["ks"] > -5e-4, ev["ks"]
     assert ev["lam"][0] > p.lam_target * (1.0 - 5e-3), \
         (ev["lam"][0], p.lam_target)
+
+
+def test_fused_eigen_tr_matches_host_quality():
+    """The WHOLE eigen-TR loop as one on-device while_loop
+    (`eig_fused.FusedEigenTR`): same design quality as the host
+    EigenSubproblem path on the same problem (trajectories differ by the
+    documented subproblem-model delta; the converged design must agree in
+    mass and hold the frequency constraint (near-)active)."""
+    p = FrequencyTopology(nex=10, ney=6, N=3, cg_iters=25, solver="mgcg",
+                          lobpcg_iters=50, dtype=jnp.float64)
+    opts = {"tr_output_file": None, "output_file": None,
+            "tr_max_iterations": 30, "tr_init_size": 0.05,
+            "tr_max_size": 0.2, "tr_min_size": 1e-6, "abs_res_tol": 1e-8,
+            "tr_l1_tol": 1e-4, "tr_linfty_tol": 1e-4,
+            "tr_adaptive_gamma_update": True, "penalty_gamma": 10.0}
+
+    # eval_full's constraint/gradient/model agree with the host pieces
+    x0, _, _ = p.get_vars_and_bounds()
+    f0, c0, g0, A0, M0, Minv0, h0 = p.eval_full(x0)
+    ev = p._eval(x0)
+    np.testing.assert_allclose(float(c0[0]), ev["ks"], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(A0[0]), ev["dks"], atol=1e-10)
+    # Minv is the regularized inverse of the (NSD) KS curvature
+    r = np.asarray(M0) @ np.asarray(Minv0) @ np.asarray(M0)
+    np.testing.assert_allclose(r, np.asarray(M0), atol=1e-8)
+
+    ftr = p.build_fused_tr(dict(opts))
+    res, st = ftr.solve()
+    x = res["x"]
+    evx = p._eval(x)
+    mass = float(jnp.mean(p.fem._filter(x)))
+    assert mass < 0.45, mass
+    assert evx["ks"] > -5e-4, evx["ks"]
+    assert evx["lam"][0] > p.lam_target * (1.0 - 5e-3), \
+        (evx["lam"][0], p.lam_target)
+    # resumable: continuing from the final state stays feasible/improving
+    import dataclasses as dc
+    res2, _ = ftr.solve(state0=dc.replace(
+        st, k=jnp.zeros((), jnp.int32)))
+    assert res2["fobj"] <= res["fobj"] + 1e-6
