@@ -344,9 +344,12 @@ class FusedEigenTR:
         step = partial(_fused_eig_tr_step, eval_full, qp_model, inf_model,
                        qp_opts, inf_opts, to, index, lbv, ubv, d_tmpl)
         self._to = to
+        self._index = index
+        self._eval_full = eval_full
         self._state0 = state0
         self._step = step
         self._step_jit = jax.jit(step)
+        self._batched_run = None
 
         @jax.jit
         def run(s, k_stop):
@@ -378,3 +381,41 @@ class FusedEigenTR:
                   "tr_size": float(state.tr_size),
                   "subiters": int(state.subiters)}
         return result, state
+
+    def solve_batched(self, x0_batch, chunk="auto"):
+        """k multi-start fused eigen-TR solves as ONE vmapped
+        `lax.while_loop` (the `FusedTR.solve_batched` pattern); the
+        per-instance initial model refresh runs under the same vmap."""
+        x0_batch = jnp.asarray(x0_batch, self._state0.xk.dtype)
+        index = self._index
+
+        def batch_state(x0):
+            f0, c0, g0, A0, M0, Minv0, h0 = self._eval_full(x0)
+            return dataclasses.replace(
+                self._state0, xk=x0, fk=f0, ck=c0, gk=g0, Ak=A0,
+                eig=EigModel(c0=c0[index], g0=A0[index], M=M0,
+                             Minv=Minv0, h=h0))
+
+        state = jax.vmap(batch_state)(x0_batch)
+        if self._batched_run is None:
+            step = self._step
+
+            @jax.jit
+            def runb(s, k_stop):
+                def one(si):
+                    def cond(st):
+                        return (~st.converged) & (st.k < k_stop)
+                    return jax.lax.while_loop(cond, step, si)
+                return jax.vmap(one)(s)
+
+            self._batched_run = runb
+        from .utils.chunked import run_chunked_batched
+        state = run_chunked_batched(self._batched_run, state,
+                                    self._to.max_iterations, chunk)
+        results = {"x": state.xk, "fobj": np.asarray(state.fk),
+                   "converged": np.asarray(state.converged),
+                   "niter": np.asarray(state.k),
+                   "infeas": np.asarray(state.infeas),
+                   "l1": np.asarray(state.l1),
+                   "linfty": np.asarray(state.linf)}
+        return results, state
