@@ -246,6 +246,35 @@ def _flagship_benchmarks(on_cpu):
     extra.append({"metric": f"mma_fem3d{nx}x{ny}x{nz}_outer_iterations_per_s",
                   "value": round(mma3_per_s, 3), "unit": "iter/s",
                   "vs_baseline": None})
+
+    # --- fused eigen-TR outer-iterations/s (the ParOptEig path) ------------
+    from paropt_tpu.models.fem_frequency import FrequencyTopology
+    nx, ny, N = (8, 4, 3) if on_cpu else (24, 12, 4)
+    eig_iters = 8 if on_cpu else 20
+    freq = FrequencyTopology(nex=nx, ney=ny, N=N, cg_iters=25,
+                             solver="mgcg", lobpcg_iters=50)
+    ftr = freq.build_fused_tr({
+        "tr_output_file": None, "output_file": None,
+        "tr_max_iterations": eig_iters, "tr_init_size": 0.05,
+        "tr_max_size": 0.2, "tr_min_size": 1e-6, "abs_res_tol": 1e-8,
+        "tr_l1_tol": 1e-4, "tr_linfty_tol": 1e-4,
+        "tr_adaptive_gamma_update": True, "penalty_gamma": 10.0,
+        "dtype": "float64" if on_cpu else "float32"})
+    t0 = _time.time()
+    r1, _ = ftr.solve()
+    wall1 = _time.time() - t0
+    t0 = _time.time()
+    r2, _ = ftr.solve()
+    wall2 = _time.time() - t0
+    eig_per_s = max(r2["niter"], 1) / wall2
+    sys.stderr.write(
+        f"[bench] fused eigen-TR {nx}x{ny} N={N}: {r2['niter']} outer "
+        f"iters in {wall2:.2f}s ({eig_per_s:.2f} it/s; first run incl. "
+        f"compile {wall1:.1f}s), mass -> {r2['fobj']:.4f}, "
+        f"infeas {r2['infeas']:.1e}\n")
+    extra.append({"metric": f"eigtr_fem{nx}x{ny}_outer_iterations_per_s",
+                  "value": round(eig_per_s, 3), "unit": "iter/s",
+                  "vs_baseline": None})
     return extra
 
 

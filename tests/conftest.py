@@ -75,3 +75,26 @@ try:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:
     pass
+
+
+# The suite compiles hundreds of XLA:CPU executables in ONE process; each
+# maps its code sections, and the process hits vm.max_map_count (65530
+# default) late in a cold-cache run — LLVM then aborts with "Cannot
+# allocate memory" at ~5 GB RSS on a 125 GB box (observed 2026-08-19,
+# exits 134/139 in test_sharding). Two mitigations: raise the knob when
+# permitted, and drop compiled executables between test MODULES (the
+# persistent cache makes any reload cheap).
+try:
+    with open("/proc/sys/vm/max_map_count", "w") as f:
+        f.write("1048576")
+except OSError:
+    pass
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_executables_per_module():
+    yield
+    jax.clear_caches()

@@ -416,3 +416,27 @@ def test_fused_mma_sharded_and_resume():
     st0_s = _shard_tree(solver._state0, mesh, n)
     res_s, _ = solver.solve(state0=st0_s)
     assert abs(res_s["fobj"] - res1["fobj"]) < 1e-8
+
+
+def test_fused_eigen_tr_sharded_matches_unsharded():
+    """The fused ParOptEig loop with the design axis sharded over the
+    8-device mesh (LOBPCG matvecs, KS model, merged-compact QP all
+    distribute) matches the unsharded solve."""
+    import dataclasses as dc
+    from paropt_tpu.models.fem_frequency import FrequencyTopology
+
+    p = FrequencyTopology(nex=8, ney=4, N=3, cg_iters=25, solver="mgcg",
+                          lobpcg_iters=40, dtype=jnp.float64)
+    ftr = p.build_fused_tr({
+        "tr_output_file": None, "output_file": None,
+        "tr_max_iterations": 6, "tr_init_size": 0.05,
+        "tr_max_size": 0.2, "tr_min_size": 1e-6, "abs_res_tol": 1e-8,
+        "tr_l1_tol": 1e-4, "tr_linfty_tol": 1e-4,
+        "tr_adaptive_gamma_update": True, "penalty_gamma": 10.0})
+    res1, _ = ftr.solve()
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    st0_s = _shard_tree(ftr._state0, mesh, p.nvars)
+    res_s, _ = ftr.solve(state0=st0_s)
+    assert res_s["niter"] == res1["niter"]
+    assert abs(res_s["fobj"] - res1["fobj"]) < 1e-9
