@@ -52,10 +52,12 @@ __all__ = ["FusedEigenTR", "EigModel", "FusedEigTRState"]
 
 
 class EigModel(NamedTuple):
-    """Low-rank quadratic constraint model at xk:
-    c(xk + p) ~= c0 + g0·p + 1/2 (h p)' M (h p)."""
-    c0: Any            # scalar model value (the real constraint at xk)
-    g0: Any            # [n] model gradient
+    """Low-rank quadratic constraint-curvature model at xk:
+    c(xk + p) ~= ck[index] + Ak[index]·p + 1/2 (h p)' M (h p).
+    The linear terms are the state's REAL (ck, Ak) rows — eval_full
+    returns them together, so no separate c0/g0 override exists (the
+    reference's callback MAY override them; reintroduce fields here if a
+    model ever needs that hook)."""
     M: Any             # [N, N] curvature (NSD for KS aggregates)
     Minv: Any          # [N, N] regularized inverse
     h: Any             # [N, n] eigenvector sensitivity stack
@@ -118,14 +120,18 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
     uk = jnp.minimum(state.tr_size, ubv - xk)
     p0 = 0.5 * (lk + uk)
 
-    # model linearization rows: the eigen row uses the MODEL (c0, g0)
-    ck_m = ck.at[index].set(eig.c0)
-    Ak_m = Ak.at[index].set(eig.g0)
     b0, Z, M = _merged_compact(state.qn, eig, state.z0, dt)
     compact = (b0, Z, M)
-    params = QPParams(fk=fk, gk=gk, ck=ck_m, Ak=Ak_m,
+    params = QPParams(fk=fk, gk=gk, ck=ck, Ak=Ak,
                       cwk=jnp.zeros(0, dt), Aw_cols=None, Aw_vals=None,
                       b0=b0, Z=Z, M=M, obj_scale=jnp.asarray(1.0, dt))
+
+    def c_model(p):
+        """Constraint model values: linear rows with the eigen row's
+        quadratic curvature term added (the host EigenSubproblem's
+        model_obj_con shape)."""
+        hp = eig.h @ p
+        return (ck + Ak @ p).at[index].add(0.5 * jnp.vdot(hp, eig.M @ hp))
 
     # steering infeasibility solve (`minimizeInfeas`)
     if to.adaptive_gamma:
@@ -140,7 +146,9 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
                               None, None)
         st_inf = _fused_solve_loop(inf_model, inf_opts, st_inf0, d_inf,
                                    inf_params, None)
-        best_con_infeas = _viol(ck_m + Ak_m @ st_inf.vars.x, nineq)
+        # SAME (quadratic-eigen-row) model on both sides of the adaptive
+        # gamma test — mixing linear/quadratic rows biases 'grow'
+        best_con_infeas = _viol(c_model(st_inf.vars.x), nineq)
         inf_iters = st_inf.k
     else:
         best_con_infeas = jnp.zeros(ncon, dt)
