@@ -116,166 +116,156 @@ def main():
 
     # secondary info: whole-solve wall clock to the f32 KKT tolerance via
     # the zero-round-trip lax.while_loop path (compile excluded)
-    t0 = time.time()
-    out = fused.solve(x0, data, (), qn0, None, jit_loop=True)
-    jax.block_until_ready(out)
-    compile_plus = time.time() - t0
-    t0 = time.time()
-    out = fused.solve(x0, data, (), qn0, None, jit_loop=True)
-    jax.block_until_ready(out)
-    solve_wall = time.time() - t0
-    sys.stderr.write(
-        f"[bench] full solve: converged={bool(out.converged)} "
-        f"iters={int(out.k)} res={float(out.res_norm):.2e} "
-        f"wall={solve_wall:.2f}s (first incl. compile {compile_plus:.1f}s)\n")
+    try:
+        t0 = time.time()
+        out = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+        jax.block_until_ready(out)
+        compile_plus = time.time() - t0
+        t0 = time.time()
+        out = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+        jax.block_until_ready(out)
+        solve_wall = time.time() - t0
+        sys.stderr.write(
+            f"[bench] full solve: converged={bool(out.converged)} "
+            f"iters={int(out.k)} res={float(out.res_norm):.2e} "
+            f"wall={solve_wall:.2f}s (first incl. compile "
+            f"{compile_plus:.1f}s)\n")
+    except Exception as exc:  # informational only — never kill the line
+        sys.stderr.write(f"[bench] full solve failed: {exc}\n")
 
-    extra = []
+    extra, errors = [], []
     if not os.environ.get("PAROPT_TPU_BENCH_IP_ONLY"):
-        extra = _flagship_benchmarks(on_cpu)
+        extra, errors = _flagship_benchmarks(on_cpu)
 
-    print(json.dumps({
+    out = {
         "metric": f"ip_iterations_per_s_n{n}",
         "value": round(its_per_s, 3),
         "unit": "iter/s",
         "vs_baseline": round(its_per_s / TARGET_ITERS_PER_S, 3),
         "extra": extra,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
+def _median_metric(name, build, n_windows=3):
+    """Median-of-k flagship measurement: ``build()`` returns a zero-arg
+    ``run() -> result_dict`` over an already-constructed solver; the first
+    call pays the compile, then ``n_windows`` timed re-runs of the SAME
+    compiled solve give median/min/max it/s (the tunnel's run-to-run
+    variance is ~3x on single windows — CLAUDE.md)."""
+    import time as _time
+    run = build()
+    t0 = _time.time()
+    res = run()
+    compile_wall = _time.time() - t0
+    rates = []
+    for _ in range(n_windows):
+        t0 = _time.time()
+        res = run()
+        rates.append(max(res["niter"], 1) / (_time.time() - t0))
+    rates.sort()
+    med = rates[len(rates) // 2]
+    sys.stderr.write(
+        f"[bench] {name}: {res['niter']} outer iters, median {med:.2f} it/s "
+        f"(min {rates[0]:.2f}, max {rates[-1]:.2f}; first run incl. compile "
+        f"{compile_wall:.1f}s), fobj {res['fobj']:.4f}, "
+        f"infeas {res['infeas']:.1e}\n")
+    return {"metric": name, "value": round(med, 3), "unit": "iter/s",
+            "vs_baseline": None,
+            "min": round(rates[0], 3), "max": round(rates[-1], 3)}
 
 
 def _flagship_benchmarks(on_cpu):
     """The reference's PRODUCT surface — TR (the default algorithm,
-    `ParOptOptimizer.cpp:108-183`) and MMA on a SIMP FEM compliance
-    topology problem (its target workload).  Both are measured on the
-    SECOND run with compiled solvers reused, so the numbers are steady
-    throughput, and the reuse itself demonstrates the build-once/no-retrace
-    contract."""
-    import time as _time
+    `ParOptOptimizer.cpp:108-183`), MMA on 2-D/3-D SIMP FEM compliance
+    topology problems (its target workload), and the eigen-TR path.
+    Each metric is crash-isolated (one failure cannot zero out the
+    others) and median-of-3 on the compiled solver."""
     from paropt_tpu.models.fem_topology import FEMTopology
     from paropt_tpu.mma import FusedMMA
     from paropt_tpu.tr import FusedTR
 
-    extra = []
+    dt = "float64" if on_cpu else "float32"
 
     # --- MMA outer-iterations/s on the 96x48 SIMP mesh ---------------------
     # mgcg: V-cycle-preconditioned CG — 25 iterations reach BETTER residual
     # than 700 Jacobi-CG iterations, and the stencil matvec removes the
     # pathological TPU gather (scripts/ab_stencil.py: 438.7 -> 25.6 ms per
     # state solve at 96x48, 17x)
-    nex, ney, cg = (24, 12, 25) if on_cpu else (96, 48, 25)
-    mma_iters = 20 if on_cpu else 60
-    fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg, solver="mgcg")
-    x0, _, _ = fem.get_vars_and_bounds()
-    f0 = float(fem.objective(x0))
-    mma_opts = {"mma_max_iterations": mma_iters, "mma_output_file": None,
-                "dtype": "float64" if on_cpu else "float32"}
-    solver = FusedMMA(fem, mma_opts)
-    t0 = _time.time()
-    r1, _ = solver.solve()
-    wall1 = _time.time() - t0
-    t0 = _time.time()
-    r2, _ = solver.solve()
-    wall2 = _time.time() - t0
-    mma_per_s = r2["niter"] / wall2
-    sys.stderr.write(
-        f"[bench] MMA FEM {nex}x{ney} cg{cg}: {r2['niter']} outer iters in "
-        f"{wall2:.2f}s ({mma_per_s:.2f} it/s; first run incl. compile "
-        f"{wall1:.1f}s), compliance {f0:.4f} -> {r2['fobj']:.4f}, "
-        f"infeas {r2['infeas']:.1e}\n")
-    extra.append({"metric": f"mma_fem{nex}x{ney}_outer_iterations_per_s",
-                  "value": round(mma_per_s, 3), "unit": "iter/s",
-                  "vs_baseline": None})
+    def build_mma2d():
+        nex, ney, cg = (24, 12, 25) if on_cpu else (96, 48, 25)
+        mma_iters = 20 if on_cpu else 60
+        fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg, solver="mgcg")
+        solver = FusedMMA(fem, {"mma_max_iterations": mma_iters,
+                                "mma_output_file": None, "dtype": dt})
+        return lambda: solver.solve()[0]
 
     # --- TR (SL1QP) outer-iterations/s on the 48x24 SIMP mesh --------------
     # FusedTR: the reference's DEFAULT algorithm with the WHOLE outer loop
     # (steering + QP solves + trial eval + QN update + radius/penalty
     # logic) on-device
-    nex, ney, cg = (12, 6, 25) if on_cpu else (48, 24, 25)
-    tr_iters = 10 if on_cpu else 20
-    fem_tr = FEMTopology(nex=nex, ney=ney, cg_iters=cg, solver="mgcg")
-    x0, _, _ = fem_tr.get_vars_and_bounds()
-    f0 = float(fem_tr.objective(x0))
-    tr_opts = {"tr_output_file": None, "output_file": None,
-               "tr_max_iterations": tr_iters,
-               "abs_res_tol": 1e-7 if on_cpu else 1e-6,
-               "tr_infeas_tol": 1e-5, "tr_l1_tol": 0.0,
-               "tr_linfty_tol": 1e-5,
-               "dtype": "float64" if on_cpu else "float32"}
-    tr = FusedTR(fem_tr, dict(tr_opts))
-    t0 = _time.time()
-    resA, _ = tr.solve()
-    wall1 = _time.time() - t0
-    t0 = _time.time()
-    resB, _ = tr.solve()
-    wall2 = _time.time() - t0
-    tr_per_s = max(resB["niter"], 1) / wall2
-    sys.stderr.write(
-        f"[bench] TR(fused) FEM {nex}x{ney} cg{cg}: {resB['niter']} outer "
-        f"iters in {wall2:.2f}s ({tr_per_s:.2f} it/s; first run incl. "
-        f"compile {wall1:.1f}s), compliance {f0:.4f} -> {resB['fobj']:.4f}, "
-        f"infeas {resB['infeas']:.1e} linf {resB['linfty']:.1e}\n")
-    extra.append({"metric": f"tr_fem{nex}x{ney}_outer_iterations_per_s",
-                  "value": round(tr_per_s, 3), "unit": "iter/s",
-                  "vs_baseline": None})
+    def build_tr2d():
+        nex, ney, cg = (12, 6, 25) if on_cpu else (48, 24, 25)
+        tr_iters = 10 if on_cpu else 20
+        fem_tr = FEMTopology(nex=nex, ney=ney, cg_iters=cg, solver="mgcg")
+        tr = FusedTR(fem_tr, {
+            "tr_output_file": None, "output_file": None,
+            "tr_max_iterations": tr_iters,
+            "abs_res_tol": 1e-7 if on_cpu else 1e-6,
+            "tr_infeas_tol": 1e-5, "tr_l1_tol": 0.0,
+            "tr_linfty_tol": 1e-5, "dtype": dt})
+        return lambda: tr.solve()[0]
 
     # --- MMA outer-iterations/s on a 3-D voxel SIMP mesh -------------------
     # the reference's README headline workload ("large-scale 3D ...
     # topology optimization", README.md:12-31)
-    from paropt_tpu.models.fem_topology3d import FEMTopology3D
-    nx, ny, nz = (8, 4, 4) if on_cpu else (32, 16, 16)
-    iters3d = 10 if on_cpu else 40
-    fem3 = FEMTopology3D(nex=nx, ney=ny, nez=nz, cg_iters=25,
-                         solver="mgcg")
-    x0, _, _ = fem3.get_vars_and_bounds()
-    f0 = float(fem3.objective(x0))
-    solver3 = FusedMMA(fem3, {"mma_max_iterations": iters3d,
-                              "mma_output_file": None,
-                              "dtype": "float64" if on_cpu else "float32"})
-    t0 = _time.time()
-    r1, _ = solver3.solve()
-    wall1 = _time.time() - t0
-    t0 = _time.time()
-    r2, _ = solver3.solve()
-    wall2 = _time.time() - t0
-    mma3_per_s = r2["niter"] / wall2
-    sys.stderr.write(
-        f"[bench] MMA FEM3D {nx}x{ny}x{nz} ({fem3.ne} vox/{fem3.ndof} "
-        f"dofs): {r2['niter']} outer iters in {wall2:.2f}s "
-        f"({mma3_per_s:.2f} it/s; first run incl. compile {wall1:.1f}s), "
-        f"compliance {f0:.4f} -> {r2['fobj']:.4f}, "
-        f"infeas {r2['infeas']:.1e}\n")
-    extra.append({"metric": f"mma_fem3d{nx}x{ny}x{nz}_outer_iterations_per_s",
-                  "value": round(mma3_per_s, 3), "unit": "iter/s",
-                  "vs_baseline": None})
+    def build_mma3d():
+        from paropt_tpu.models.fem_topology3d import FEMTopology3D
+        nx, ny, nz = (8, 4, 4) if on_cpu else (32, 16, 16)
+        iters3d = 10 if on_cpu else 40
+        fem3 = FEMTopology3D(nex=nx, ney=ny, nez=nz, cg_iters=25,
+                             solver="mgcg")
+        solver3 = FusedMMA(fem3, {"mma_max_iterations": iters3d,
+                                  "mma_output_file": None, "dtype": dt})
+        return lambda: solver3.solve()[0]
 
     # --- fused eigen-TR outer-iterations/s (the ParOptEig path) ------------
-    from paropt_tpu.models.fem_frequency import FrequencyTopology
-    nx, ny, N = (8, 4, 3) if on_cpu else (24, 12, 4)
-    eig_iters = 8 if on_cpu else 20
-    freq = FrequencyTopology(nex=nx, ney=ny, N=N, cg_iters=25,
-                             solver="mgcg", lobpcg_iters=50)
-    ftr = freq.build_fused_tr({
-        "tr_output_file": None, "output_file": None,
-        "tr_max_iterations": eig_iters, "tr_init_size": 0.05,
-        "tr_max_size": 0.2, "tr_min_size": 1e-6, "abs_res_tol": 1e-8,
-        "tr_l1_tol": 1e-4, "tr_linfty_tol": 1e-4,
-        "tr_adaptive_gamma_update": True, "penalty_gamma": 10.0,
-        "dtype": "float64" if on_cpu else "float32"})
-    t0 = _time.time()
-    r1, _ = ftr.solve()
-    wall1 = _time.time() - t0
-    t0 = _time.time()
-    r2, _ = ftr.solve()
-    wall2 = _time.time() - t0
-    eig_per_s = max(r2["niter"], 1) / wall2
-    sys.stderr.write(
-        f"[bench] fused eigen-TR {nx}x{ny} N={N}: {r2['niter']} outer "
-        f"iters in {wall2:.2f}s ({eig_per_s:.2f} it/s; first run incl. "
-        f"compile {wall1:.1f}s), mass -> {r2['fobj']:.4f}, "
-        f"infeas {r2['infeas']:.1e}\n")
-    extra.append({"metric": f"eigtr_fem{nx}x{ny}_outer_iterations_per_s",
-                  "value": round(eig_per_s, 3), "unit": "iter/s",
-                  "vs_baseline": None})
-    return extra
+    def build_eigtr():
+        from paropt_tpu.models.fem_frequency import FrequencyTopology
+        nx, ny, N = (8, 4, 3) if on_cpu else (24, 12, 4)
+        eig_iters = 8 if on_cpu else 20
+        freq = FrequencyTopology(nex=nx, ney=ny, N=N, cg_iters=25,
+                                 solver="mgcg", lobpcg_iters=50)
+        ftr = freq.build_fused_tr({
+            "tr_output_file": None, "output_file": None,
+            "tr_max_iterations": eig_iters, "tr_init_size": 0.05,
+            "tr_max_size": 0.2, "tr_min_size": 1e-6, "abs_res_tol": 1e-8,
+            "tr_l1_tol": 1e-4, "tr_linfty_tol": 1e-4,
+            "tr_adaptive_gamma_update": True, "penalty_gamma": 10.0,
+            "dtype": dt})
+        return lambda: ftr.solve()[0]
+
+    cpu_tag = "24x12" if on_cpu else "96x48"
+    tr_tag = "12x6" if on_cpu else "48x24"
+    m3_tag = "8x4x4" if on_cpu else "32x16x16"
+    eig_tag = "8x4" if on_cpu else "24x12"
+    metrics = [
+        (f"mma_fem{cpu_tag}_outer_iterations_per_s", build_mma2d),
+        (f"tr_fem{tr_tag}_outer_iterations_per_s", build_tr2d),
+        (f"mma_fem3d{m3_tag}_outer_iterations_per_s", build_mma3d),
+        (f"eigtr_fem{eig_tag}_outer_iterations_per_s", build_eigtr),
+    ]
+    extra, errors = [], []
+    for name, build in metrics:
+        try:
+            extra.append(_median_metric(name, build))
+        except Exception as exc:  # crash-isolate: one metric can't zero
+            msg = f"{name}: {type(exc).__name__}: {exc}"
+            sys.stderr.write(f"[bench] FAILED {msg}\n")
+            errors.append(msg)
+    return extra, errors
 
 
 if __name__ == "__main__":

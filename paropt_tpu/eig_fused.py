@@ -165,12 +165,10 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
 
     # model reductions; the eigen row's model value is QUADRATIC
     gam = state.gamma
-    hp = eig.h @ p
-    c_eig_m = eig.c0 + jnp.vdot(eig.g0, p) + 0.5 * jnp.vdot(hp, eig.M @ hp)
-    cm = (ck_m + Ak_m @ p).at[index].set(c_eig_m)
+    cm = c_model(p)
     fm = fk + jnp.vdot(gk, p) + 0.5 * jnp.vdot(
         p, b0 * p - Z.T @ jnp.linalg.solve(M, Z @ p))
-    infeas_k = jnp.sum(gam * _viol(ck_m, nineq))
+    infeas_k = jnp.sum(gam * _viol(ck, nineq))
     obj_reduc = fk - fm
     infeas_model = jnp.sum(gam * _viol(cm, nineq))
 
@@ -208,9 +206,7 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
     sel = lambda a, b: jnp.where(accepted, a, b)  # noqa: E731
     xk_n, fk_n, ck_n = sel(xt, xk), sel(ft, fk), sel(ct, ck)
     gk_n, Ak_n = sel(gt, gk), sel(At, Ak)
-    eig_n = EigModel(c0=sel(ct[index], eig.c0),
-                     g0=sel(At[index], eig.g0),
-                     M=sel(Mt, eig.M), Minv=sel(Minvt, eig.Minv),
+    eig_n = EigModel(M=sel(Mt, eig.M), Minv=sel(Minvt, eig.Minv),
                      h=sel(ht, eig.h))
     # multiplier refresh on accept (`update_multipliers`,
     # `ParOptCompactEigenvalueApprox.cpp:183`)
@@ -224,7 +220,7 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
     gamma_n = state.gamma
     if to.adaptive_gamma:
         zabs = jnp.abs(z)
-        con_infeas = _viol(ck_m, nineq)
+        con_infeas = _viol(ck, nineq)
         model_con_infeas = _viol(cm, nineq)
         infeas_reduction = con_infeas - model_con_infeas
         best_reduction = con_infeas - best_con_infeas
@@ -341,8 +337,7 @@ class FusedEigenTR:
         zero = jnp.zeros((), dt)
         state0 = FusedEigTRState(
             xk=x0, fk=f0, ck=c0, gk=g0, Ak=A0, qn=qn0,
-            eig=EigModel(c0=c0[index], g0=A0[index], M=M0, Minv=Minv0,
-                         h=h0),
+            eig=EigModel(M=M0, Minv=Minv0, h=h0),
             z0=zero, tr_size=zero + to.init_size,
             gamma=jnp.full((ncon,), gamma, dt),
             k=jnp.zeros((), jnp.int32), subiters=jnp.zeros((), jnp.int32),
@@ -395,14 +390,12 @@ class FusedEigenTR:
         `lax.while_loop` (the `FusedTR.solve_batched` pattern); the
         per-instance initial model refresh runs under the same vmap."""
         x0_batch = jnp.asarray(x0_batch, self._state0.xk.dtype)
-        index = self._index
 
         def batch_state(x0):
             f0, c0, g0, A0, M0, Minv0, h0 = self._eval_full(x0)
             return dataclasses.replace(
                 self._state0, xk=x0, fk=f0, ck=c0, gk=g0, Ak=A0,
-                eig=EigModel(c0=c0[index], g0=A0[index], M=M0,
-                             Minv=Minv0, h=h0))
+                eig=EigModel(M=M0, Minv=Minv0, h=h0))
 
         state = jax.vmap(batch_state)(x0_batch)
         if self._batched_run is None:

@@ -22,11 +22,18 @@ AUTO_CHUNK_MAX = 64
 
 def run_chunked(run_jit, state, max_it: int, chunk="auto",
                 target_s: float = AUTO_CHUNK_TARGET_S,
-                chunk_max: int = AUTO_CHUNK_MAX):
+                chunk_max: int = AUTO_CHUNK_MAX, on_chunk=None):
     """Drive ``run_jit(state, k_stop) -> state`` (a jitted while_loop whose
     cond is ``~converged & (k < k_stop)``) to ``max_it`` outer iterations in
     bounded device executions.  ``state`` must expose integer ``.k`` and
-    boolean ``.converged`` fields."""
+    boolean ``.converged`` fields.
+
+    ``on_chunk(state)`` (optional) is invoked after EVERY device call —
+    the chunk boundaries are the free host-visible points of a fused
+    solve, so this is where mid-solve user output and checkpoints live
+    (see ``make_write_output_hook``; the reference writes solution +
+    checkpoint files every `write_output_frequency` iterations during
+    `optimize()`, `ParOptInteriorPoint.cpp:4620-4631`)."""
     if chunk is not None and chunk != "auto" and int(chunk) < 1:
         raise ValueError(f"chunk must be a positive int, 'auto', or None; "
                          f"got {chunk!r}")
@@ -36,6 +43,8 @@ def run_chunked(run_jit, state, max_it: int, chunk="auto",
             # first single-iteration call pays the compile
             state = run_jit(state, k0 + 1)
             jax.block_until_ready(state)
+            if on_chunk is not None:
+                on_chunk(state)
         k1 = int(state.k)
         if k1 < max_it and not bool(state.converged):
             t0 = time.time()
@@ -43,15 +52,54 @@ def run_chunked(run_jit, state, max_it: int, chunk="auto",
             jax.block_until_ready(state)
             dt = max(time.time() - t0, 1e-6)
             chunk = int(max(1, min(chunk_max, target_s / dt)))
+            if on_chunk is not None:
+                on_chunk(state)
         else:
             chunk = 1
     if chunk is None or chunk >= max_it:
-        return run_jit(state, max_it)
+        state = run_jit(state, max_it)
+        if on_chunk is not None:
+            on_chunk(state)
+        return state
     while True:
         k_stop = min(int(state.k) + chunk, max_it)
         state = run_jit(state, k_stop)
+        if on_chunk is not None:
+            on_chunk(state)
         if bool(state.converged) or int(state.k) >= max_it:
             return state
+
+
+def make_write_output_hook(write_output, freq, get_x=lambda st: st.xk,
+                           checkpoint_path=None):
+    """Build an ``on_chunk`` callback firing the problem's
+    ``write_output(it, x)`` hook and (optionally) an Orbax checkpoint of
+    the FULL solver state every ~``freq`` outer iterations.
+
+    Chunk boundaries are the only host-visible points of a fused solve, so
+    cadence is approximate: the hook fires at the first boundary at or
+    past each multiple of ``freq`` (the host loops fire exactly at
+    ``it % freq == 0`` — `tr.py:662`, matching
+    `ParOptInteriorPoint.cpp:4620-4631`).  Returns None when ``freq`` <= 0
+    (disabled), so callers can pass the result straight to ``run_chunked``.
+    """
+    if freq is None or int(freq) <= 0:
+        return None
+    freq = int(freq)
+    next_k = [0]
+
+    def hook(state):
+        k = int(state.k)
+        if k < next_k[0]:
+            return
+        next_k[0] = (k // freq + 1) * freq
+        if write_output is not None:
+            write_output(k, get_x(state))
+        if checkpoint_path is not None:
+            from .checkpoint import save_state
+            save_state(checkpoint_path, state)
+
+    return hook
 
 
 class _BatchView:
@@ -61,6 +109,13 @@ class _BatchView:
 
     def __init__(self, st):
         self.st = st
+
+    def block_until_ready(self):
+        # jax.block_until_ready sees this wrapper as an opaque leaf and
+        # calls this method; without it the auto-chunk timing probe only
+        # measures async dispatch and always saturates at AUTO_CHUNK_MAX.
+        jax.block_until_ready(self.st)
+        return self
 
     @property
     def k(self):
@@ -73,9 +128,12 @@ class _BatchView:
         return jnp.all(self.st.converged)
 
 
-def run_chunked_batched(run_jit, state, max_it: int, chunk="auto"):
+def run_chunked_batched(run_jit, state, max_it: int, chunk="auto",
+                        on_chunk=None):
     """`run_chunked` over a batched state (every leaf has a leading k
-    axis); ``run_jit(state, k_stop) -> state`` is the vmapped loop."""
+    axis); ``run_jit(state, k_stop) -> state`` is the vmapped loop.
+    ``on_chunk`` receives the underlying batched state."""
+    hook = None if on_chunk is None else (lambda v: on_chunk(v.st))
     view = run_chunked(lambda v, k_stop: _BatchView(run_jit(v.st, k_stop)),
-                       _BatchView(state), max_it, chunk)
+                       _BatchView(state), max_it, chunk, on_chunk=hook)
     return view.st
