@@ -349,6 +349,8 @@ class FusedEigenTR:
         self._to = to
         self._index = index
         self._eval_full = eval_full
+        self._problem = problem
+        self._write_freq = o["tr_write_output_frequency"]
         self._state0 = state0
         self._step = step
         self._step_jit = jax.jit(step)
@@ -363,17 +365,25 @@ class FusedEigenTR:
         self._run_jit = run
 
     def solve(self, state0: Optional[FusedEigTRState] = None,
-              jit_loop: bool = True, chunk="auto"):
+              jit_loop: bool = True, chunk="auto", checkpoint_path=None):
         """Run the fused eigen-TR outer loop; returns (result dict, state).
-        ``chunk``/'auto' semantics as in FusedTR (utils/chunked.py)."""
-        from .utils.chunked import run_chunked
+        ``chunk``/'auto' semantics as in FusedTR (utils/chunked.py);
+        ``write_output``/``checkpoint_path`` fire every
+        ``tr_write_output_frequency`` iterations at chunk boundaries."""
+        from .utils.chunked import make_write_output_hook, run_chunked
+        hook = make_write_output_hook(
+            getattr(self._problem, "write_output", None), self._write_freq,
+            checkpoint_path=checkpoint_path)
         state = state0 if state0 is not None else self._state0
         if jit_loop:
             state = run_chunked(self._run_jit, state,
-                                self._to.max_iterations, chunk)
+                                self._to.max_iterations, chunk,
+                                on_chunk=hook)
         else:
             for _ in range(self._to.max_iterations):
                 state = self._step_jit(state)
+                if hook is not None:
+                    hook(state)
                 if bool(state.converged):
                     break
         result = {"x": state.xk, "fobj": float(state.fk),

@@ -179,6 +179,19 @@ class FusedIP:
         self._solve_jit = jax.jit(partial(_fused_solve_loop, model, opts))
         self._batched_jit = {}  # (data_axes, params_axes) -> jitted vmap
 
+        @jax.jit
+        def run_k(state, k_stop, data, model_params, compact):
+            def cond(s):
+                return (~s.converged) & (s.k < k_stop)
+
+            def body(s):
+                return _fused_step(model, opts, s, data, model_params,
+                                   compact)
+
+            return jax.lax.while_loop(cond, body, state)
+
+        self._run_k_jit = run_k
+
     def init(self, x0, data: ProblemData, model_params,
              qn_state: Optional[qnmod.QNState], compact) -> FusedState:
         """Initialize state (bounds clipping, multiplier start strategy)."""
@@ -190,18 +203,37 @@ class FusedIP:
 
     def solve(self, x0, data: ProblemData, model_params,
               qn_state: Optional[qnmod.QNState] = None, compact=None,
-              jit_loop: bool = False, max_iters: Optional[int] = None
-              ) -> FusedState:
+              jit_loop: bool = False, max_iters: Optional[int] = None,
+              on_chunk=None, chunk=None) -> FusedState:
         """Run to convergence.  jit_loop=True runs the whole solve as one
         `lax.while_loop` XLA computation (zero host round-trips — the TPU
         path); otherwise the host paces the jitted steps and can stop early.
+
+        ``on_chunk(state)`` / ``chunk``: when either is given with
+        jit_loop=True, the while_loop runs in bounded k-windows
+        (utils/chunked.py) and the callback fires at each boundary — the
+        fused-path home of the reference's mid-solve `writeOutput` +
+        checkpoint cadence (`ParOptInteriorPoint.cpp:4620-4631`); build
+        the callback with `make_write_output_hook`.
         """
         state = self.init(x0, data, model_params, qn_state, compact)
-        if jit_loop:
-            return self._solve_jit(state, data, model_params, compact)
         iters = max_iters or self.opts.max_major_iters
+        if jit_loop:
+            if on_chunk is None and chunk is None:
+                return self._solve_jit(state, data, model_params, compact)
+            from .utils.chunked import run_chunked
+
+            def run(s, k_stop):
+                return self._run_k_jit(s, k_stop, data, model_params,
+                                       compact)
+
+            return run_chunked(run, state, iters,
+                               chunk if chunk is not None else "auto",
+                               on_chunk=on_chunk)
         for _ in range(iters):
             state = self.step(state, data, model_params, compact)
+            if on_chunk is not None:
+                on_chunk(state)
             if bool(state.converged):
                 break
         return state
@@ -1005,7 +1037,16 @@ def fused_ip_optimize(problem, options=None):
         max_bound_value=o["max_bound_value"], dtype=dt)
     fused = FusedIP(model, problem.nvars, problem.ncon, problem.nwcon,
                     problem.nwblock, fopts, dtype=dt)
-    state = fused.solve(x0, data, (), qn0, None, jit_loop=True)
+    # mid-solve writeOutput + checkpoint cadence at chunk boundaries
+    # (`ParOptInteriorPoint.cpp:4620-4631`); with the default no-op
+    # write_output this also gives the watchdog-safe chunked execution
+    from .utils.chunked import make_write_output_hook
+    hook = make_write_output_hook(problem.write_output,
+                                  o["write_output_frequency"],
+                                  get_x=lambda st: st.vars.x,
+                                  checkpoint_path=o["ip_checkpoint_file"])
+    state = fused.solve(x0, data, (), qn0, None, jit_loop=True,
+                        on_chunk=hook)
     result = {
         "x": state.vars.x, "fobj": float(state.fobj),
         "converged": bool(state.converged),

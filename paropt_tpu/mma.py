@@ -748,6 +748,8 @@ class FusedMMA:
                        lbv, ubv, d_tmpl, ())
         self._mo = mo
         self._ev = ev
+        self._problem = problem
+        self._write_freq = o["write_output_frequency"]
         self._state0 = state0
         self._step = step
         self._step_jit = jax.jit(step)
@@ -762,7 +764,7 @@ class FusedMMA:
         self._run_jit = run
 
     def solve(self, state0: Optional[FusedMMAState] = None,
-              jit_loop: bool = True, chunk="auto"):
+              jit_loop: bool = True, chunk="auto", checkpoint_path=None):
         """Run the fused outer loop.  Returns (result dict, final state).
         Pass a previous final state to resume.
 
@@ -776,15 +778,27 @@ class FusedMMA:
         whole loop in one device call (at your own risk at scale).
 
         ``jit_loop=False`` steps one jitted outer iteration at a time from
-        python — use it to inspect/log per-iteration state."""
-        from .utils.chunked import run_chunked
+        python — use it to inspect/log per-iteration state.
+
+        The problem's ``write_output(it, x)`` hook fires every
+        ``write_output_frequency`` outer iterations at chunk boundaries;
+        ``checkpoint_path`` additionally writes an Orbax checkpoint of the
+        FULL state at the same cadence (resume by passing the restored
+        state as ``state0``)."""
+        from .utils.chunked import make_write_output_hook, run_chunked
+        hook = make_write_output_hook(
+            getattr(self._problem, "write_output", None), self._write_freq,
+            get_x=lambda st: st.x, checkpoint_path=checkpoint_path)
         state = state0 if state0 is not None else self._state0
         if jit_loop:
             state = run_chunked(self._run_jit, state,
-                                self._mo.max_iterations, chunk)
+                                self._mo.max_iterations, chunk,
+                                on_chunk=hook)
         else:
             for _ in range(self._mo.max_iterations):
                 state = self._step_jit(state)
+                if hook is not None:
+                    hook(state)
                 if bool(state.converged):
                     break
         # state.fobj is the value at the point the LAST step evaluated;

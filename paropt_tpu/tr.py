@@ -1343,6 +1343,8 @@ class FusedTR:
         self._to = to
         self._ev = ev
         self._gr = gr
+        self._problem = problem
+        self._write_freq = o["tr_write_output_frequency"]
         self._state0 = state0
         self._step = step
         self._step_jit = jax.jit(step)
@@ -1357,17 +1359,30 @@ class FusedTR:
         self._run_jit = run
 
     def solve(self, state0: Optional[FusedTRState] = None,
-              jit_loop: bool = True, chunk="auto"):
+              jit_loop: bool = True, chunk="auto", checkpoint_path=None):
         """Run the fused SL1QP outer loop; returns (result dict, state).
-        ``chunk``/'auto' semantics as in FusedMMA (utils/chunked.py)."""
-        from .utils.chunked import run_chunked
+        ``chunk``/'auto' semantics as in FusedMMA (utils/chunked.py).
+
+        The problem's ``write_output(it, x)`` hook fires every
+        ``tr_write_output_frequency`` outer iterations at chunk boundaries
+        (the host loop's cadence, `ParOptTrustRegion.cpp` sl1qpOptimize);
+        ``checkpoint_path`` additionally writes an Orbax checkpoint of the
+        FULL state at the same cadence — pass a previous checkpoint's
+        restored state as ``state0`` to resume."""
+        from .utils.chunked import make_write_output_hook, run_chunked
+        hook = make_write_output_hook(self._problem.write_output,
+                                      self._write_freq,
+                                      checkpoint_path=checkpoint_path)
         state = state0 if state0 is not None else self._state0
         if jit_loop:
             state = run_chunked(self._run_jit, state,
-                                self._to.max_iterations, chunk)
+                                self._to.max_iterations, chunk,
+                                on_chunk=hook)
         else:
             for _ in range(self._to.max_iterations):
                 state = self._step_jit(state)
+                if hook is not None:
+                    hook(state)
                 if bool(state.converged):
                     break
         result = {"x": state.xk, "fobj": float(state.fk),
