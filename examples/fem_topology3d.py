@@ -31,7 +31,15 @@ def main():
     ap.add_argument("--solver", default="mgcg",
                     choices=["jacobi", "mgcg"])
     ap.add_argument("--volume", type=float, default=0.3)
+    ap.add_argument("--repeat", action="store_true",
+                    help="re-run the compiled solve to report steady "
+                         "throughput (compile excluded)")
+    ap.add_argument("--chunk", default="auto",
+                    help="outer iterations per device call: int, 'auto' "
+                         "(watchdog-sized), or 'none'")
     args = ap.parse_args()
+    chunk = (None if args.chunk == "none"
+             else args.chunk if args.chunk == "auto" else int(args.chunk))
 
     from paropt_tpu.models.fem_topology3d import FEMTopology3D
     from paropt_tpu.mma import FusedMMA
@@ -44,13 +52,19 @@ def main():
     solver = FusedMMA(prob, {"mma_max_iterations": args.iters,
                              "mma_output_file": None})
     t0 = time.time()
-    res, state = solver.solve(chunk=5)
+    res, state = solver.solve(chunk=chunk)
     wall = time.time() - t0
     x = np.asarray(res["x"])
     print(f"{args.iters} MMA iterations in {wall:.1f}s "
           f"(incl. compile): compliance {res['fobj']:.4f} "
           f"(vs 1.0 at uniform start), volume {x.mean():.3f} "
           f"(bound {args.volume}), infeas {res['infeas']:.1e}")
+    if args.repeat:
+        t0 = time.time()
+        res, state = solver.solve(chunk=chunk)
+        wall = time.time() - t0
+        print(f"compiled-reuse: {res['niter']} iterations in {wall:.1f}s "
+              f"({res['niter'] / wall:.2f} outer-it/s)")
 
 
 if __name__ == "__main__":

@@ -13,13 +13,20 @@ radius/penalty logic — is one `lax.while_loop` XLA computation with zero
 host round-trips, so per-iteration host/tunnel latency (the dominant cost
 of the host eigen path on a remote TPU) disappears.
 
-Model choice (documented delta vs the host `EigenSubproblem`): inside the
-QP the eigen constraint is LINEARIZED (c0 + g0·p) while its curvature
-enters the QP Hessian as −z0·hᵀMh through the merged compact — the
-`getCompactMat` construction exists precisely for this split.  The host
-subproblem additionally exposes the quadratic constraint model to its
-inner solver, so trajectories differ in detail while both are
-SL1QP-convergent on the same model data.
+Model choice (MEASURED, scripts/ab_eig_row.py + BASELINE.md r4):
+``eig_row_model='quadratic'`` gives the inner IP the QUADRATIC model of the
+eigen row — c + A·p + ½(hp)ᵀM(hp) with gradient A + hᵀM(hp) — exactly the
+reference's `ParOptEigenSubproblem::evalObjCon`
+(`ParOptCompactEigenvalueApprox.cpp:598-635`); the curvature also enters
+the QP Hessian as −z0·hᵀMh through the merged compact (`getCompactMat`).
+The DEFAULT is ``'linear'`` (curvature via the merged Hessian only): on an
+analytic low-rank problem with the constraint active both reach the same
+optimum but linear needs ~1.5x fewer outer and ~2.3x fewer inner
+iterations, and on KS frequency aggregates with separated modes M ≈ 0
+makes the two bit-identical.  The steering solve always follows
+``tr_adaptive_constraint`` (default linearized, like the host
+InfeasSubproblem) — a quadratic CONCAVE row inside the elastic steering
+problem wedges its inner IP.
 
 Requires a jax-native problem exposing
 
@@ -124,7 +131,8 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
     compact = (b0, Z, M)
     params = QPParams(fk=fk, gk=gk, ck=ck, Ak=Ak,
                       cwk=jnp.zeros(0, dt), Aw_cols=None, Aw_vals=None,
-                      b0=b0, Z=Z, M=M, obj_scale=jnp.asarray(1.0, dt))
+                      b0=b0, Z=Z, M=M, obj_scale=jnp.asarray(1.0, dt),
+                      eig_M=eig.M, eig_h=eig.h)
 
     def c_model(p):
         """Constraint model values: linear rows with the eigen row's
@@ -264,9 +272,13 @@ class FusedEigenTR:
     model passes 1/nvars — see `build_tr_subproblem`'s rationale)."""
 
     def __init__(self, problem, options: Optional[Dict[str, Any]] = None,
-                 index: int = 0, qn_b0: float = 1.0):
+                 index: int = 0, qn_b0: float = 1.0,
+                 eig_row_model: str = "linear"):
         if problem.nwcon:
             raise ValueError("FusedEigenTR supports dense constraints only")
+        if eig_row_model not in ("quadratic", "linear"):
+            raise ValueError(f"eig_row_model must be 'quadratic' or "
+                             f"'linear', got {eig_row_model!r}")
         o = options if hasattr(options, "descriptors") else \
             make_options(options or {}, which="facade")
         from .dtypes import resolve_dtype
@@ -285,12 +297,24 @@ class FusedEigenTR:
                     jnp.asarray(M, dt), jnp.asarray(Minv, dt),
                     jnp.asarray(h, dt))
 
-        qp_model = make_qp_model(False, "quadratic")
+        # eig_row_model='quadratic' (default) gives the inner IP the
+        # QUADRATIC model of the eigen row, matching the reference's
+        # `ParOptEigenSubproblem::evalObjCon`
+        # (`ParOptCompactEigenvalueApprox.cpp:598-635`); 'linear' keeps
+        # the round-3 linearized-row QP (curvature only via the merged
+        # Hessian) for A/B comparison
+        eig_idx = index if eig_row_model == "quadratic" else None
+        qp_model = make_qp_model(False, "quadratic", eig_index=eig_idx)
         obj_mode = {"linear_objective": "linear",
                     "constant_objective": "linear",
                     "subproblem_objective": "quadratic"}[
                         o["tr_adaptive_objective"]]
-        inf_model = make_qp_model(False, obj_mode)
+        # the steering solve follows tr_adaptive_constraint (the host
+        # InfeasSubproblem default LINEARIZES constraint rows even when
+        # the subproblem model is quadratic)
+        inf_eig_idx = (eig_idx if o["tr_adaptive_constraint"]
+                       == "subproblem_constraint" else None)
+        inf_model = make_qp_model(False, obj_mode, eig_index=inf_eig_idx)
 
         ones = jnp.ones(n, dt)
         d_tmpl = ProblemData(

@@ -238,13 +238,14 @@ class FrequencyTopology(Problem):
         return (fobj, jnp.asarray([ks], self._dtype), gobj,
                 dks[None, :], M, Minv, W)
 
-    def build_fused_tr(self, options=None):
+    def build_fused_tr(self, options=None, eig_row_model="linear"):
         """Whole-loop on-device eigen TR (`eig_fused.FusedEigenTR`) with
         the same b0 = 1/nvars seeding rationale as
         `build_tr_subproblem`."""
         from ..eig_fused import FusedEigenTR
         return FusedEigenTR(self, options, index=0,
-                            qn_b0=1.0 / self.nvars)
+                            qn_b0=1.0 / self.nvars,
+                            eig_row_model=eig_row_model)
 
     # -- subproblem wiring -------------------------------------------------
     def build_tr_subproblem(self, msub: int = 10):

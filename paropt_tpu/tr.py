@@ -70,6 +70,11 @@ class QPParams(NamedTuple):
     Z: Any              # may be None
     M: Any
     obj_scale: Any      # 1.0 for the QP; 1/gamma_big for the infeas problem
+    # optional low-rank quadratic curvature of ONE constraint row (the
+    # eigen row, `ParOptCompactEigenvalueApprox.cpp:598-635`): row model
+    # c[i] + A[i]·p + 1/2 (h p)' M_eig (h p); None disables
+    eig_M: Any = None   # [N, N]
+    eig_h: Any = None   # [N, n]
 
 
 def _qp_Bp(params: QPParams, p):
@@ -79,9 +84,14 @@ def _qp_Bp(params: QPParams, p):
     return Bp
 
 
-def make_qp_model(has_sparse: bool, obj_mode: str) -> ModelFns:
+def make_qp_model(has_sparse: bool, obj_mode: str,
+                  eig_index: Optional[int] = None) -> ModelFns:
     """Model functions for a (possibly sparse-constrained) QP subproblem;
-    `obj_mode` is 'quadratic' or 'linear' (static)."""
+    `obj_mode` is 'quadratic' or 'linear' (static).  ``eig_index`` (static)
+    makes constraint row ``eig_index`` QUADRATIC via params.eig_M/eig_h —
+    the reference's `ParOptEigenSubproblem::evalObjCon` exposes the eigen
+    row's curvature to the inner IP the same way
+    (`ParOptCompactEigenvalueApprox.cpp:598-635`)."""
 
     def ev(params: QPParams, p):
         f = params.fk + jnp.vdot(params.gk, p)
@@ -89,6 +99,9 @@ def make_qp_model(has_sparse: bool, obj_mode: str) -> ModelFns:
             f = f + 0.5 * jnp.vdot(p, _qp_Bp(params, p))
         f = params.obj_scale * f
         c = (params.ck + params.Ak @ p) if params.ck.shape[0] else params.ck
+        if eig_index is not None:
+            hp = params.eig_h @ p
+            c = c.at[eig_index].add(0.5 * jnp.vdot(hp, params.eig_M @ hp))
         if has_sparse:
             gathered = jnp.take(p, params.Aw_cols, axis=-1)
             cw = params.cwk + jnp.sum(params.Aw_vals * gathered, axis=-1)
@@ -100,7 +113,11 @@ def make_qp_model(has_sparse: bool, obj_mode: str) -> ModelFns:
         g = params.gk
         if obj_mode == "quadratic":
             g = g + _qp_Bp(params, p)
-        return params.obj_scale * g, params.Ak
+        A = params.Ak
+        if eig_index is not None:
+            hp = params.eig_h @ p
+            A = A.at[eig_index].add(params.eig_h.T @ (params.eig_M @ hp))
+        return params.obj_scale * g, A
 
     return ModelFns(eval_obj_con=ev, eval_grad=gr, hess_diag=None)
 

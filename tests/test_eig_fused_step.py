@@ -137,7 +137,8 @@ def _replicate_qp_solve(ftr, state):
     compact = (b0, Z, M)
     params = QPParams(fk=state.fk, gk=state.gk, ck=state.ck, Ak=state.Ak,
                       cwk=jnp.zeros(0, dt), Aw_cols=None, Aw_vals=None,
-                      b0=b0, Z=Z, M=M, obj_scale=jnp.asarray(1.0, dt))
+                      b0=b0, Z=Z, M=M, obj_scale=jnp.asarray(1.0, dt),
+                      eig_M=state.eig.M, eig_h=state.eig.h)
 
     best_con_infeas = jnp.zeros(ncon, dt)
     if to.adaptive_gamma:
@@ -267,6 +268,34 @@ def test_fused_eig_tr_step_accept_algebra():
     assert abs(float(s1.l1) - l1) < 1e-8 * max(1.0, l1), (float(s1.l1), l1)
     assert abs(float(s1.linf) - linf) < 1e-8 * max(1.0, linf)
     assert int(s1.k) == 1
+
+
+def test_eig_row_model_modes_reach_same_optimum():
+    """eig_row_model='quadratic' (reference parity,
+    `ParOptCompactEigenvalueApprox.cpp:598-635`) and the default 'linear'
+    must converge to the same KKT point on a problem whose low-rank
+    constraint curvature is EXACT and active at the optimum (measured A/B:
+    scripts/ab_eig_row.py — linear needs fewer iterations, hence the
+    default)."""
+    n, N, r2 = 32, 4, 0.05
+    results = {}
+    for mode in ("quadratic", "linear"):
+        prob = TinyEigProblem(n=n, N=N, r2=r2, seed=4)
+        ftr = FusedEigenTR(prob, _opts({"tr_max_iterations": 100,
+                                        "tr_init_size": 0.5,
+                                        "tr_max_size": 2.0,
+                                        "tr_l1_tol": 1e-6,
+                                        "tr_linfty_tol": 1e-6}),
+                           index=1, qn_b0=1.0, eig_row_model=mode)
+        res, state = ftr.solve()
+        assert res["converged"], (mode, res)
+        results[mode] = (res, state)
+    rq, sq = results["quadratic"]
+    rl, sl = results["linear"]
+    assert abs(rq["fobj"] - rl["fobj"]) < 1e-6
+    np.testing.assert_allclose(np.asarray(sq.xk), np.asarray(sl.xk),
+                               atol=1e-4)
+    assert abs(float(sq.z0) - float(sl.z0)) < 1e-3
 
 
 def test_fused_eig_tr_step_reject_keeps_state():
