@@ -56,6 +56,19 @@ def main():
         opts["tr_output_file"] = None
         res, _ = prob.build_fused_tr(opts).solve()
     else:
+        import jax
+        if jax.default_backend() not in ("cpu",) and not os.environ.get(
+                "PAROPT_TPU_FORCE_HOST_EIG"):
+            # measured on the tunneled v5e (BASELINE.md r3): the host
+            # EigenSubproblem path issues dozens of eager device round
+            # trips per outer iteration and WEDGES indefinitely — fail
+            # fast instead of hanging
+            raise SystemExit(
+                "--mode host runs a host-paced eigen TR loop whose "
+                "per-iteration device round-trips wedge on remote/"
+                "tunneled TPUs. Use --mode fused (the default; whole "
+                "loop on-device), or set PAROPT_TPU_FORCE_HOST_EIG=1 "
+                "on direct-attached hardware.")
         sub, eigh = prob.build_tr_subproblem(msub=10)
         res = TrustRegion(prob, opts, subproblem=sub).optimize()
     x = res["x"]

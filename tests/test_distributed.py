@@ -22,6 +22,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "scripts", "distributed_solve.py")
+FEM_WORKER = os.path.join(REPO, "scripts", "distributed_fem_mma.py")
 
 N = 16384
 TOL = 1e-6
@@ -143,3 +144,87 @@ def test_multi_process_solve_matches_single_process(
         np.testing.assert_allclose(a["fobj"], b["fobj"], rtol=1e-10)
         np.testing.assert_allclose(a["res"], b["res"], rtol=1e-7)
         np.testing.assert_allclose(a["mu"], b["mu"], rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Flagship FEM workload cross-process: the stencil matvec halo exchanges and
+# multigrid restriction/prolongation are the most sharding-sensitive code in
+# the framework (VERDICT r3 item 8) — 2 real processes must reproduce the
+# single-process FusedMMA trajectory.
+# ---------------------------------------------------------------------------
+
+FEM_NEX, FEM_NEY, FEM_ITERS = 16, 8, 8
+
+
+def _fem_single_process_trajectory():
+    from paropt_tpu.mma import FusedMMA
+    from paropt_tpu.models.fem_topology import FEMTopology
+    from paropt_tpu.parallel import sharding as shlib
+
+    prob = FEMTopology(nex=FEM_NEX, ney=FEM_NEY, cg_iters=25,
+                       solver="mgcg")
+    solver = FusedMMA(prob, {"mma_max_iterations": FEM_ITERS,
+                             "mma_output_file": None, "dtype": "float64"})
+    mesh = shlib.design_mesh(devices=jax.devices()[:4])
+    n = prob.nvars
+
+    def place(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[-1] == n:
+            sh = (shlib.design_sharding(mesh) if leaf.ndim == 1
+                  else shlib.row_sharding(mesh))
+            return jax.device_put(leaf, sh)
+        return jax.device_put(leaf, shlib.replicated_sharding(mesh))
+
+    state = jax.tree_util.tree_map(place, solver._state0)
+    traj = []
+    for _ in range(FEM_ITERS):
+        state = solver._step_jit(state)
+        traj.append({"k": int(state.k), "fobj": float(state.fobj),
+                     "infeas": float(state.infeas),
+                     "l1": float(state.l1)})
+        if bool(state.converged):
+            break
+    return traj
+
+
+def test_multi_process_fem_mma_matches_single_process(tmp_path):
+    nproc, local = 2, 2
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(nproc):
+        out = tmp_path / f"fem_rank{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, FEM_WORKER,
+             "--process-id", str(pid), "--num-processes", str(nproc),
+             "--port", str(port), "--local-devices", str(local),
+             "--nex", str(FEM_NEX), "--ney", str(FEM_NEY),
+             "--max-iters", str(FEM_ITERS), "--out", str(out)],
+            env=_worker_env(local), stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE, text=True))
+
+    single_traj = _fem_single_process_trajectory()
+
+    for p in procs:
+        _, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-4000:]
+
+    ranks = [json.loads(out.read_text()) for out in outs]
+    assert ranks[0]["num_processes"] == nproc
+    assert ranks[0]["global_devices"] == nproc * local
+
+    # SPMD determinism across ranks
+    for r in ranks[1:]:
+        assert r["trajectory"] == ranks[0]["trajectory"]
+
+    # trajectory identity with the single-process 4-device run (same
+    # 4-block design-axis layout; only fp association may differ between
+    # gloo cross-process and in-process all-reduce)
+    mp = ranks[0]["trajectory"]
+    assert len(mp) == len(single_traj)
+    for a, b in zip(mp, single_traj):
+        assert a["k"] == b["k"]
+        np.testing.assert_allclose(a["fobj"], b["fobj"], rtol=1e-9)
+        np.testing.assert_allclose(a["infeas"], b["infeas"], atol=1e-9)
+        np.testing.assert_allclose(a["l1"], b["l1"], rtol=1e-6)
