@@ -103,13 +103,16 @@ def main():
         f"res={float(state.res_norm):.3e} mu={float(state.mu):.3e}\n")
 
     # HBM bytes/step from XLA's own cost analysis of the compiled step —
-    # variance-free evidence to accompany the noisy throughput number
+    # variance-free evidence to accompany the noisy throughput number, and
+    # the regression gate for a metric already at the bandwidth roofline
+    # (Pallas custom-call internals are invisible — compare like-for-like)
+    step_gb = None
     try:
         ca = fused._step_jit.lower(state, data, (), None).compile()\
             .cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        gb = ca.get("bytes accessed", 0.0) / 1e9
-        sys.stderr.write(f"[bench] step cost analysis: {gb:.2f} GB "
+        step_gb = ca.get("bytes accessed", 0.0) / 1e9
+        sys.stderr.write(f"[bench] step cost analysis: {step_gb:.2f} GB "
                          "HBM accessed/iteration\n")
     except Exception as exc:  # pragma: no cover - backend-dependent API
         sys.stderr.write(f"[bench] cost analysis unavailable: {exc}\n")
@@ -134,8 +137,13 @@ def main():
         sys.stderr.write(f"[bench] full solve failed: {exc}\n")
 
     extra, errors = [], []
+    if step_gb is not None:
+        extra.append({"metric": f"ip_step_hbm_gb_n{n}",
+                      "value": round(step_gb, 3), "unit": "GB/step",
+                      "vs_baseline": None})
     if not os.environ.get("PAROPT_TPU_BENCH_IP_ONLY"):
-        extra, errors = _flagship_benchmarks(on_cpu)
+        ex, errors = _flagship_benchmarks(on_cpu)
+        extra.extend(ex)
 
     out = {
         "metric": f"ip_iterations_per_s_n{n}",
@@ -182,12 +190,17 @@ def _flagship_benchmarks(on_cpu):
     `ParOptOptimizer.cpp:108-183`), MMA on 2-D/3-D SIMP FEM compliance
     topology problems (its target workload), and the eigen-TR path.
     Each metric is crash-isolated (one failure cannot zero out the
-    others) and median-of-3 on the compiled solver."""
+    others) and median-of-3 on the compiled solver.
+
+    PAROPT_TPU_BENCH_TPU_SHAPES=1 makes a CPU run compile the TPU-shaped
+    programs (slow, f64) — a pre-snapshot smoke for TPU-only metric
+    crashes that the small CPU shapes would never trace."""
     from paropt_tpu.models.fem_topology import FEMTopology
     from paropt_tpu.mma import FusedMMA
     from paropt_tpu.tr import FusedTR
 
     dt = "float64" if on_cpu else "float32"
+    on_cpu = on_cpu and not os.environ.get("PAROPT_TPU_BENCH_TPU_SHAPES")
 
     # --- MMA outer-iterations/s on the 96x48 SIMP mesh ---------------------
     # mgcg: V-cycle-preconditioned CG — 25 iterations reach BETTER residual
