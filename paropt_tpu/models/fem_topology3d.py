@@ -87,6 +87,81 @@ def _sl(a):
     return slice(1, None) if a else slice(None, -1)
 
 
+def _to_grid3(u_flat, nnx, nny, nnz):
+    """Flat AoS dof vector [3*nnx*nny*nnz] -> SoA component grids
+    [3, nnx, nny, nnz] (minor dim nnz: 63-80% TPU lane utilization vs
+    2-19% for the [ne, 24] form's minor dims of 3/24)."""
+    return jnp.moveaxis(u_flat.reshape(nnx, nny, nnz, 3), -1, 0)
+
+
+def _from_grid3(ug):
+    """Inverse of _to_grid3 (same dof ordering as the flat vector)."""
+    return jnp.moveaxis(ug, 0, -1).reshape(-1)
+
+
+def _kmul_grid(KEh, Eg, ug, fixed_g, zero_entry):
+    """K(E) @ u entirely on SoA component grids: 576 scalar-coefficient
+    multiply-adds on [nex, ney, nez] element grids, assembled with 8
+    static pads — no [ne, 24] materialization, no strided minor-dim
+    copies.  18.8x the [ne, 24] gather/matmul/scatter form at 1M voxels
+    on a v5e (2.37 vs 44.3 ms; scripts/ab_kmul3d_grid.py).
+
+    `zero_entry=True` gives the symmetric-Dirichlet operator (zero on
+    entry, identity on exit -> SPD) used on multigrid levels;
+    `zero_entry=False` matches the original _kmul semantics (identity
+    exit only).
+    """
+    ug0 = jnp.where(fixed_g > 0, 0.0, ug) if zero_entry else ug
+    out = jnp.zeros_like(ug)
+    for i, (a, b, c) in enumerate(_CORNERS3D):
+        acc = [None, None, None]
+        for j, (d, e, f2) in enumerate(_CORNERS3D):
+            for cj in range(3):
+                uj = ug0[cj, _sl(d), _sl(e), _sl(f2)]
+                for ci in range(3):
+                    k = float(KEh[3 * i + ci, 3 * j + cj])
+                    if k == 0.0:
+                        continue
+                    t = k * uj
+                    acc[ci] = t if acc[ci] is None else acc[ci] + t
+        fe = jnp.stack([(x if x is not None else jnp.zeros_like(Eg)) * Eg
+                        for x in acc])
+        out = out + jnp.pad(fe, ((0, 0), (a, 1 - a), (b, 1 - b),
+                                 (c, 1 - c)))
+    return jnp.where(fixed_g > 0, ug, out)
+
+
+def _diag_grid(KEh, Eg, fixed_g):
+    """diag(K(E)) on component grids (8 static pads); 1.0 at fixed dofs."""
+    out = None
+    for i, (a, b, c) in enumerate(_CORNERS3D):
+        d3 = jnp.stack([float(KEh[3 * i + ci, 3 * i + ci]) * Eg
+                        for ci in range(3)])
+        d3 = jnp.pad(d3, ((0, 0), (a, 1 - a), (b, 1 - b), (c, 1 - c)))
+        out = d3 if out is None else out + d3
+    return jnp.where(fixed_g > 0, 1.0, jnp.maximum(out, 1e-12))
+
+
+def _energy_grid(KEh, ug):
+    """Per-element unit-modulus strain energies  u_e' KE u_e  as an
+    [nex, ney, nez] grid — the compliance-gradient kernel, in the same
+    stencil form as _kmul_grid (no [ne, 24] materialization)."""
+    en = None
+    for i, (a, b, c) in enumerate(_CORNERS3D):
+        for ci in range(3):
+            acc = None
+            for j, (d, e, f2) in enumerate(_CORNERS3D):
+                for cj in range(3):
+                    k = float(KEh[3 * i + ci, 3 * j + cj])
+                    if k == 0.0:
+                        continue
+                    t = k * ug[cj, _sl(d), _sl(e), _sl(f2)]
+                    acc = t if acc is None else acc + t
+            term = acc * ug[ci, _sl(a), _sl(b), _sl(c)]
+            en = term if en is None else en + term
+    return en
+
+
 def _gather3d(u, nex, ney, nez):
     """[ne, 24] element dof values via corner SLICES of the node grid."""
     ug = u.reshape(nex + 1, ney + 1, nez + 1, 3)
@@ -107,13 +182,13 @@ def _scatter3d(fe, nex, ney, nez):
 
 
 def _prolong3d(nexc, neyc, nezc):
-    """Trilinear node-grid prolongation, built from interleave reshapes."""
+    """Trilinear SoA-grid prolongation [3, nnxc, nnyc, nnzc] ->
+    [3, 2nexc+1, 2neyc+1, 2nezc+1], built from interleave reshapes."""
 
-    def prolong(c_flat):
-        c = c_flat.reshape(nexc + 1, neyc + 1, nezc + 1, 3)
-        for ax in range(3):
-            c = _interleave(c, ax)
-        return c.reshape(-1)
+    def prolong(cg):
+        for ax in (1, 2, 3):
+            cg = _interleave(cg, ax)
+        return cg
 
     return prolong
 
@@ -145,7 +220,8 @@ class FEMTopology3D(Problem):
         self.region, self.region_cap = region, region_cap
         self.cg_iters = cg_iters
         self.filter_on = filter_on
-        self.KE = jnp.asarray(hex_element_stiffness(), dt)
+        self._KE_np = hex_element_stiffness()   # scalar stencil coeffs
+        self.KE = jnp.asarray(self._KE_np, dt)
 
         # node numbering: node(i, j, k) for i<=nex, j<=ney, k<=nez
         nnx, nny, nnz = nex + 1, ney + 1, nez + 1
@@ -173,6 +249,7 @@ class FEMTopology3D(Problem):
                 c = nid(0, j, k)
                 fixed[3 * c:3 * c + 3] = True
         self.fixed_mask = jnp.asarray(fixed.astype(np.float64), dt)
+        self._fixed_g = _to_grid3(self.fixed_mask, nnx, nny, nnz)
 
         # load: unit force in -z along the bottom edge (z=0) of the free
         # face (x = nex)
@@ -207,11 +284,12 @@ class FEMTopology3D(Problem):
                 "will NOT converge the state solve; use hundreds of "
                 "iterations or an even mesh", stacklevel=2)
         # level 0 reuses the model's own Dirichlet mask; coarser levels
-        # apply the same rule (x == 0 face) on the coarse node grids
-        self._mg_fixed = [self.fixed_mask]
+        # apply the same rule (x == 0 face) on the coarse node grids.
+        # All masks are SoA grids [3, cx+1, cy+1, cz+1].
+        self._mg_fixed = [self._fixed_g]
         for cx, cy, cz in dims[1:]:
-            m = np.zeros(3 * (cx + 1) * (cy + 1) * (cz + 1))
-            m[:3 * (cy + 1) * (cz + 1)] = 1.0   # x == 0 face nodes
+            m = np.zeros((3, cx + 1, cy + 1, cz + 1))
+            m[:, 0] = 1.0   # x == 0 face nodes
             self._mg_fixed.append(jnp.asarray(m, dt))
         self._mg_prolong = [_prolong3d(*d) for d in dims[1:]]
 
@@ -246,71 +324,72 @@ class FEMTopology3D(Problem):
         return _scatter3d(fe, self.nex, self.ney, self.nez)
 
     # -- FEM -------------------------------------------------------------
+    # All state-solve linear algebra runs on SoA component grids
+    # [3, nnx, nny, nnz] via the scalar-coefficient stencil _kmul_grid —
+    # 18.8x the [ne, 24] gather/matmul/scatter form at 1M voxels on a v5e
+    # (scripts/ab_kmul3d_grid.py).  The flat [ndof] AoS contract is kept
+    # at the _solve/_kmul boundaries.
+
     def _kmul(self, E, u):
-        ue = self._gather_elem(u)                        # [ne, 24]
-        fe = jnp.matmul(ue, self.KE,
-                        precision=jax.lax.Precision.HIGHEST) * E[:, None]
-        out = self._scatter_elem(fe)
-        return jnp.where(self.fixed_mask > 0, u, out)
+        ug = _to_grid3(u, self.nex + 1, self.ney + 1, self.nez + 1)
+        Eg = E.reshape(self.nex, self.ney, self.nez)
+        out = _kmul_grid(self._KE_np, Eg, ug, self._fixed_g,
+                         zero_entry=False)
+        return _from_grid3(out)
 
     # -- geometric multigrid ----------------------------------------------
-    def _kmul_level(self, El, u, cx, cy, cz, fixed):
-        """K(E_l) @ u on MG level (cx, cy, cz) with symmetric Dirichlet
-        handling (zero on entry, identity on exit -> SPD coarse matrix)."""
-        u0 = jnp.where(fixed > 0, 0.0, u)
-        ue = _gather3d(u0, cx, cy, cz)
-        fe = jnp.matmul(ue, self.KE,
-                        precision=jax.lax.Precision.HIGHEST) * El[:, None]
-        return jnp.where(fixed > 0, u, _scatter3d(fe, cx, cy, cz))
-
-    def _mg_setup(self, E):
-        """Per-level (E_l, diag_l): 2x2x2 mean pooling with a x2 scale per
-        level (3-D stiffness scales LINEARLY with element size, so the
-        rediscretized coarse operator on a 2h grid needs K_c = 2 E_c KE) +
-        the dense Cholesky factor of the coarsest-level matrix."""
-        Eg = E.reshape(self.nex, self.ney, self.nez)
+    def _mg_setup(self, Eg):
+        """Per-level (E_l, diag_l) grids: 2x2x2 mean pooling with a x2
+        scale per level (3-D stiffness scales LINEARLY with element size,
+        so the rediscretized coarse operator on a 2h grid needs
+        K_c = 2 E_c KE) + the dense Cholesky factor of the coarsest-level
+        matrix."""
+        KEh = self._KE_np
         levels = []
         for li, (cx, cy, cz) in enumerate(self._mg_dims):
-            El = Eg.reshape(-1)
-            fixed = self._mg_fixed[li]
-            diag = _scatter3d(jnp.diag(self.KE)[None, :] * El[:, None],
-                              cx, cy, cz)
-            diag = jnp.where(fixed > 0, 1.0, jnp.maximum(diag, 1e-12))
-            levels.append((El, diag, fixed, cx, cy, cz))
+            fixed_g = self._mg_fixed[li]
+            diag_g = _diag_grid(KEh, Eg, fixed_g)
+            levels.append((Eg, diag_g, fixed_g, cx, cy, cz))
             if li + 1 < len(self._mg_dims):
                 Eg = 2.0 * Eg.reshape(cx // 2, 2, cy // 2, 2,
                                       cz // 2, 2).mean(axis=(1, 3, 5))
-        El, _, fixed, cx, cy, cz = levels[-1]
+        Eg_c, _, fixed_g, cx, cy, cz = levels[-1]
         ndc = 3 * (cx + 1) * (cy + 1) * (cz + 1)
-        Kc = jax.vmap(self._kmul_level,
-                      in_axes=(None, 1, None, None, None, None),
-                      out_axes=1)(El, jnp.eye(ndc, dtype=E.dtype),
-                                  cx, cy, cz, fixed)
+
+        def kmul_flat(v):
+            vg = _to_grid3(v, cx + 1, cy + 1, cz + 1)
+            return _from_grid3(_kmul_grid(KEh, Eg_c, vg, fixed_g,
+                                          zero_entry=True))
+
+        Kc = jax.vmap(kmul_flat, in_axes=1, out_axes=1)(
+            jnp.eye(ndc, dtype=Eg_c.dtype))
         chol = jax.scipy.linalg.cho_factor(Kc)
         return levels, chol
 
     def _mg_vcycle(self, levels, chol, r):
-        """Symmetric V-cycle: weighted-Jacobi smoothing, trilinear
-        transfer, dense coarse solve."""
+        """Symmetric V-cycle on SoA grids: weighted-Jacobi smoothing,
+        trilinear transfer, dense coarse solve."""
         nu, om = self.mg_smooth, self.mg_omega
+        KEh = self._KE_np
 
         def cycle(l, r):
-            El, diag, fixed, cx, cy, cz = levels[l]
+            Eg, diag, fixed, cx, cy, cz = levels[l]
             if l == len(levels) - 1:
-                e = jax.scipy.linalg.cho_solve(chol, r)
+                e = jax.scipy.linalg.cho_solve(chol, _from_grid3(r))
+                e = _to_grid3(e, cx + 1, cy + 1, cz + 1)
                 return jnp.where(fixed > 0, 0.0, e)
 
             def kmul(v):
-                return self._kmul_level(El, v, cx, cy, cz, fixed)
+                return _kmul_grid(KEh, Eg, v, fixed, zero_entry=True)
 
             e = (om / diag) * r
             for _ in range(nu - 1):
                 e = e + (om / diag) * (r - kmul(e))
             prolong = self._mg_prolong[l]
             nxt = levels[l + 1]
-            ndc = 3 * (nxt[3] + 1) * (nxt[4] + 1) * (nxt[5] + 1)
+            shc = (3, nxt[3] + 1, nxt[4] + 1, nxt[5] + 1)
             restrict = jax.linear_transpose(
-                prolong, jax.ShapeDtypeStruct((ndc,), r.dtype))
+                prolong, jax.ShapeDtypeStruct(shc, r.dtype))
             rc, = restrict(r - kmul(e))
             rc = jnp.where(nxt[2] > 0, 0.0, rc)
             e = e + jnp.where(fixed > 0, 0.0, prolong(cycle(l + 1, rc)))
@@ -325,27 +404,30 @@ class FEMTopology3D(Problem):
 
     def _cg(self, E, b):
         """Preconditioned CG on K(E) u = b: Jacobi (solver='jacobi') or a
-        geometric-multigrid V-cycle (solver='mgcg')."""
+        geometric-multigrid V-cycle (solver='mgcg').  Flat [ndof] in/out;
+        every iteration runs on SoA grids."""
+        KEh = self._KE_np
+        nnx, nny, nnz = self.nex + 1, self.ney + 1, self.nez + 1
+        Eg = E.reshape(self.nex, self.ney, self.nez)
+        fixed_g = self._fixed_g
         if self.solver == "mgcg" and len(self._mg_dims) > 1:
-            levels, chol = self._mg_setup(E)      # carries per-level diags
+            levels, chol = self._mg_setup(Eg)     # carries per-level diags
 
             def precond(r):
                 return self._mg_vcycle(levels, chol, r)
         else:
-            diag = self._scatter_elem(
-                jnp.diag(self.KE)[None, :] * E[:, None])
-            diag = jnp.where(self.fixed_mask > 0, 1.0,
-                             jnp.maximum(diag, 1e-12))
+            diag_g = _diag_grid(KEh, Eg, fixed_g)
 
             def precond(r):
-                return r / diag
-        b = jnp.where(self.fixed_mask > 0, 0.0, b)
+                return r / diag_g
+
+        bg = jnp.where(fixed_g > 0, 0.0, _to_grid3(b, nnx, nny, nnz))
         hi = jax.lax.Precision.HIGHEST
         tiny = float(jnp.finfo(self._dtype).tiny)
 
         def body(i, carry):
             u, r, p, rz = carry
-            Kp = self._kmul(E, p)
+            Kp = _kmul_grid(KEh, Eg, p, fixed_g, zero_entry=False)
             pKp = jnp.vdot(p, Kp, precision=hi)
             alpha = jnp.where(pKp > tiny,
                               rz / jnp.where(pKp > tiny, pKp, 1.0), 0.0)
@@ -358,11 +440,11 @@ class FEMTopology3D(Problem):
             p = z + beta * p
             return (u, r, p, rz_new)
 
-        u0 = jnp.zeros(self.ndof, self._dtype)
-        z0 = precond(b)
-        carry = (u0, b, z0, jnp.vdot(b, z0, precision=hi))
+        u0 = jnp.zeros_like(bg)
+        z0 = precond(bg)
+        carry = (u0, bg, z0, jnp.vdot(bg, z0, precision=hi))
         u, _, _, _ = jax.lax.fori_loop(0, self.cg_iters, body, carry)
-        return u
+        return _from_grid3(u)
 
     def _make_compliance(self):
         def simp(xf):
@@ -379,11 +461,8 @@ class FEMTopology3D(Problem):
 
         def bwd(res, ct):
             xf, u = res
-            ue = self._gather_elem(u)
-            energies = jnp.sum(
-                jnp.matmul(ue, self.KE,
-                           precision=jax.lax.Precision.HIGHEST) * ue,
-                axis=1)
+            ug = _to_grid3(u, self.nex + 1, self.ney + 1, self.nez + 1)
+            energies = _energy_grid(self._KE_np, ug).reshape(-1)
             dE = (self.penal * xf ** (self.penal - 1.0)
                   * (self.e0 - self.emin))
             return (-ct * dE * energies,)
@@ -471,11 +550,8 @@ class DMOFEMTopology3D(Problem):
 
         def bwd(res, ct):
             x, u = res
-            ue = fem._gather_elem(u)
-            energies = jnp.sum(
-                jnp.matmul(ue, fem.KE,
-                           precision=jax.lax.Precision.HIGHEST) * ue,
-                axis=1)                               # [ne]
+            ug = _to_grid3(u, fem.nex + 1, fem.ney + 1, fem.nez + 1)
+            energies = _energy_grid(fem._KE_np, ug).reshape(-1)  # [ne]
             xm = x.reshape(self.ne, self.nmat)
             dwdx = self.penal * xm ** (self.penal - 1.0)
             dE = dwdx * (self.e_mats - self.emin)[None, :]

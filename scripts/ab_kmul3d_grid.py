@@ -53,8 +53,10 @@ def main():
     def kmul_grid(Eg, ug):
         """K(E) @ u on component grids: ug [3, nnx, nny, nnz] ->
         [3, nnx, nny, nnz].  576 scalar-coefficient multiply-adds on
-        element grids; output assembled via 8 static pads per component."""
-        ug0 = jnp.where(fixed_g > 0, 0.0, ug)
+        element grids; output assembled via 8 static pads per component.
+        Matches _kmul's semantics exactly (input NOT zeroed at fixed dofs,
+        output overwritten with u there)."""
+        ug0 = ug
         out = jnp.zeros_like(ug)
         for i, (a, b, c) in enumerate(_CORNERS3D):
             acc = [None, None, None]

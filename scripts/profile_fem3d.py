@@ -78,14 +78,18 @@ def main():
 
     @jax.jit
     def vcycle_k(E, r):
-        levels, chol = prob._mg_setup(E)
+        from paropt_tpu.models.fem_topology3d import _to_grid3
+        Eg = E.reshape(prob.nex, prob.ney, prob.nez)
+        rg = _to_grid3(r, prob.nex + 1, prob.ney + 1, prob.nez + 1)
+        levels, chol = prob._mg_setup(Eg)
         return jax.lax.fori_loop(
             0, K, lambda i, v: prob._mg_vcycle(levels, chol, v / (1.0 + i)),
-            r)
+            rg)
 
     @jax.jit
     def mg_setup(E):
-        levels, chol = prob._mg_setup(E)
+        levels, chol = prob._mg_setup(
+            E.reshape(prob.nex, prob.ney, prob.nez))
         return levels[0][1], chol[0]
 
     @jax.jit
