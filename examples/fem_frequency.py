@@ -6,6 +6,9 @@ eigenvalue-approximation trust-region path (reference analogue:
     s.t.  KS min natural frequency >= freq_fraction * lam1(full material)
 
 Usage:  python examples/fem_frequency.py [--nex 32 --ney 16 --N 6]
+        python examples/fem_frequency.py --nez 16 --nex 32 --ney 16
+        (any --nez > 0 switches to the 3-D voxel model
+         FrequencyTopology3D with the grid-form eigensolve)
 """
 
 import argparse
@@ -18,7 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax.numpy as jnp
 import numpy as np
 
-from paropt_tpu.models.fem_frequency import FrequencyTopology
+from paropt_tpu.models.fem_frequency import (FrequencyTopology,
+                                             FrequencyTopology3D)
 from paropt_tpu.tr import TrustRegion
 
 
@@ -26,6 +30,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nex", type=int, default=32)
     ap.add_argument("--ney", type=int, default=16)
+    ap.add_argument("--nez", type=int, default=0,
+                    help="> 0: 3-D voxel model (FrequencyTopology3D)")
     ap.add_argument("--N", type=int, default=6)
     ap.add_argument("--freq-fraction", type=float, default=0.5)
     ap.add_argument("--iters", type=int, default=100)
@@ -41,10 +47,17 @@ def main():
 
     cg = args.cg_iters or (40 if args.solver == "mgcg" else 300)
     # (non-coarsenable odd meshes fall back to Jacobi automatically)
-    prob = FrequencyTopology(nex=args.nex, ney=args.ney, N=args.N,
-                             solver=args.solver,
-                             freq_fraction=args.freq_fraction,
-                             cg_iters=cg)
+    if args.nez > 0:
+        prob = FrequencyTopology3D(nex=args.nex, ney=args.ney,
+                                   nez=args.nez, N=args.N,
+                                   solver=args.solver,
+                                   freq_fraction=args.freq_fraction,
+                                   cg_iters=cg)
+    else:
+        prob = FrequencyTopology(nex=args.nex, ney=args.ney, N=args.N,
+                                 solver=args.solver,
+                                 freq_fraction=args.freq_fraction,
+                                 cg_iters=cg)
 
     opts = {"tr_output_file": "fem_frequency.tr", "output_file": None,
             "tr_max_iterations": args.iters, "tr_init_size": 0.05,

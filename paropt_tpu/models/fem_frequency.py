@@ -52,93 +52,14 @@ from jax.experimental.sparse.linalg import lobpcg_standard
 from ..problem import Problem
 from .fem_topology import FEMTopology
 
-__all__ = ["FrequencyTopology"]
+__all__ = ["FrequencyTopology", "FrequencyTopology3D"]
 
 
-class FrequencyTopology(Problem):
-    def __init__(self, nex: int = 32, ney: int = 16, N: int = 6,
-                 ks_rho: float = 30.0, freq_fraction: float = 0.5,
-                 rho_min: float = 0.025, lb: float = 0.05,
-                 cg_iters: int = 200, lobpcg_iters: int = 60,
-                 filter_radius: int = 1, solver: str = "jacobi",
-                 dtype=None, seed: int = 0):
-        super().__init__(nvars=nex * ney, ncon=1)
-        from ..dtypes import resolve_dtype
-        dt = resolve_dtype(dtype)
-        self._dtype = dt
-        # reuse the static model's mesh/element/CG machinery (composition,
-        # like DMOFEMTopology)
-        self.fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg_iters,
-                               filter_radius=filter_radius, solver=solver,
-                               dtype=dt)
-        self.N = N
-        self.ks_rho = float(ks_rho)
-        self.rho_min = float(rho_min)
-        self.lb = float(lb)
-        self.lobpcg_iters = int(lobpcg_iters)
-
-        # deterministic LOBPCG start block, zeroed on fixed dofs
-        rng = np.random.default_rng(seed)
-        X0 = rng.standard_normal((self.fem.ndof, N))
-        X0[np.asarray(self.fem.fixed_mask) > 0, :] = 0.0
-        self._X0 = jnp.asarray(X0, dt)
-
-        self._eig_fn = jax.jit(self._make_eig_fn())
-        self._cache = {}
-
-        # frequency target: a fraction of the full-material fundamental
-        # eigenvalue, so x0 = 1 is strictly feasible and mass can be cut
-        # until the constraint activates
-        x0 = jnp.ones(self.nvars, dt)
-        lam_full, _ = self._eig_fn(x0)
-        self.lam_target = freq_fraction * float(lam_full[0])
-
-    # -- eigensolve ------------------------------------------------------
-    def _mass_diag(self, xf):
-        """Lumped mass diagonal: element mass rho_e (unit area) split over
-        its 4 nodes, applied to both dofs of each node."""
-        rho = self.rho_min + xf * (1.0 - self.rho_min)
-        m = self.fem._scatter_elem(
-            jnp.broadcast_to((rho / 4.0)[:, None], (rho.shape[0], 8)))
-        return jnp.where(self.fem.fixed_mask > 0, 0.0, m)
-
-    def _make_eig_fn(self):
-        fem = self.fem
-        hi = jax.lax.Precision.HIGHEST
-
-        def simp(xf):
-            return fem.emin + xf ** fem.penal * (fem.e0 - fem.emin)
-
-        def eig_fn(x):
-            xf, filt_vjp = jax.vjp(fem._filter, x)
-            E = simp(xf)
-            m = self._mass_diag(xf)
-            msqrt = jnp.sqrt(m)
-
-            def S(vblock):                      # [ndof, k] -> [ndof, k]
-                b = msqrt[:, None] * vblock
-                u = jax.vmap(lambda col: fem._cg(E, col),
-                             in_axes=1, out_axes=1)(b)
-                return msqrt[:, None] * u
-
-            mu, V, _ = lobpcg_standard(S, self._X0, m=self.lobpcg_iters)
-            lam = 1.0 / mu                      # ascending: lam[0] smallest
-            # phi = M^{-1/2} v; unit v gives phi' M phi = 1
-            phi = jnp.where(msqrt[:, None] > 0, V / msqrt[:, None], 0.0)
-
-            # analytic sensitivities, element-local:
-            #   dlam/dxf_e = dE_e (phi_e' k0 phi_e) - lam (drho/4) sum phi_e^2
-            phie = jax.vmap(fem._gather_elem)(phi.T)   # [N, ne, 8]
-            kterm = jnp.sum(jnp.matmul(phie, fem.KE, precision=hi) * phie,
-                            axis=-1)            # [N, ne]
-            mterm = jnp.sum(phie * phie, axis=-1) / 4.0
-            dE = fem.penal * xf ** (fem.penal - 1.0) * (fem.e0 - fem.emin)
-            Wf = dE[None, :] * kterm \
-                - lam[:, None] * (1.0 - self.rho_min) * mterm
-            W = jax.vmap(lambda w: filt_vjp(w)[0])(Wf)   # chain the filter
-            return lam, W
-
-        return eig_fn
+class _FrequencyBase(Problem):
+    """Dimension-independent KS-aggregate / eigen-model plumbing shared by
+    the 2-D and 3-D frequency-constrained models.  Subclasses set
+    `self.fem`, `self._eig_fn` (x -> (lam[N], W[N, nvars])), `self.N`,
+    `self.ks_rho`, `self.lam_target`, `self.lb`, `self._dtype`."""
 
     def _eval(self, x):
         """Cached per-point eigensolve + host-side f64 KS reduction."""
@@ -283,3 +204,201 @@ class FrequencyTopology(Problem):
     def frequencies(self, x):
         """The N lowest natural frequencies sqrt(lam) at x."""
         return np.sqrt(np.maximum(self._eval(x)["lam"], 0.0))
+
+
+class FrequencyTopology(_FrequencyBase):
+    def __init__(self, nex: int = 32, ney: int = 16, N: int = 6,
+                 ks_rho: float = 30.0, freq_fraction: float = 0.5,
+                 rho_min: float = 0.025, lb: float = 0.05,
+                 cg_iters: int = 200, lobpcg_iters: int = 60,
+                 filter_radius: int = 1, solver: str = "jacobi",
+                 dtype=None, seed: int = 0):
+        super().__init__(nvars=nex * ney, ncon=1)
+        from ..dtypes import resolve_dtype
+        dt = resolve_dtype(dtype)
+        self._dtype = dt
+        # reuse the static model's mesh/element/CG machinery (composition,
+        # like DMOFEMTopology)
+        self.fem = FEMTopology(nex=nex, ney=ney, cg_iters=cg_iters,
+                               filter_radius=filter_radius, solver=solver,
+                               dtype=dt)
+        self.N = N
+        self.ks_rho = float(ks_rho)
+        self.rho_min = float(rho_min)
+        self.lb = float(lb)
+        self.lobpcg_iters = int(lobpcg_iters)
+
+        # deterministic LOBPCG start block, zeroed on fixed dofs
+        rng = np.random.default_rng(seed)
+        X0 = rng.standard_normal((self.fem.ndof, N))
+        X0[np.asarray(self.fem.fixed_mask) > 0, :] = 0.0
+        self._X0 = jnp.asarray(X0, dt)
+
+        self._eig_fn = jax.jit(self._make_eig_fn())
+        self._cache = {}
+
+        # frequency target: a fraction of the full-material fundamental
+        # eigenvalue, so x0 = 1 is strictly feasible and mass can be cut
+        # until the constraint activates
+        x0 = jnp.ones(self.nvars, dt)
+        lam_full, _ = self._eig_fn(x0)
+        self.lam_target = freq_fraction * float(lam_full[0])
+
+    # -- eigensolve ------------------------------------------------------
+    def _mass_diag(self, xf):
+        """Lumped mass diagonal: element mass rho_e (unit area) split over
+        its 4 nodes, applied to both dofs of each node."""
+        rho = self.rho_min + xf * (1.0 - self.rho_min)
+        m = self.fem._scatter_elem(
+            jnp.broadcast_to((rho / 4.0)[:, None], (rho.shape[0], 8)))
+        return jnp.where(self.fem.fixed_mask > 0, 0.0, m)
+
+    def _make_eig_fn(self):
+        fem = self.fem
+        hi = jax.lax.Precision.HIGHEST
+
+        def simp(xf):
+            return fem.emin + xf ** fem.penal * (fem.e0 - fem.emin)
+
+        def eig_fn(x):
+            xf, filt_vjp = jax.vjp(fem._filter, x)
+            E = simp(xf)
+            m = self._mass_diag(xf)
+            msqrt = jnp.sqrt(m)
+
+            def S(vblock):                      # [ndof, k] -> [ndof, k]
+                b = msqrt[:, None] * vblock
+                u = jax.vmap(lambda col: fem._cg(E, col),
+                             in_axes=1, out_axes=1)(b)
+                return msqrt[:, None] * u
+
+            mu, V, _ = lobpcg_standard(S, self._X0, m=self.lobpcg_iters)
+            lam = 1.0 / mu                      # ascending: lam[0] smallest
+            # phi = M^{-1/2} v; unit v gives phi' M phi = 1
+            phi = jnp.where(msqrt[:, None] > 0, V / msqrt[:, None], 0.0)
+
+            # analytic sensitivities, element-local:
+            #   dlam/dxf_e = dE_e (phi_e' k0 phi_e) - lam (drho/4) sum phi_e^2
+            phie = jax.vmap(fem._gather_elem)(phi.T)   # [N, ne, 8]
+            kterm = jnp.sum(jnp.matmul(phie, fem.KE, precision=hi) * phie,
+                            axis=-1)            # [N, ne]
+            mterm = jnp.sum(phie * phie, axis=-1) / 4.0
+            dE = fem.penal * xf ** (fem.penal - 1.0) * (fem.e0 - fem.emin)
+            Wf = dE[None, :] * kterm \
+                - lam[:, None] * (1.0 - self.rho_min) * mterm
+            W = jax.vmap(lambda w: filt_vjp(w)[0])(Wf)   # chain the filter
+            return lam, W
+
+        return eig_fn
+
+
+class FrequencyTopology3D(_FrequencyBase):
+    """3-D frequency-constrained voxel SIMP — the reference's flagship
+    eigenvalue application scale ("1M+ var topology problem w/ compact
+    eigenvalue approx", `examples/eigenvalue/eigenvalue_opt.py` +
+    `docs/ParOpt_theory_manual.tex:27-28`):
+
+        min   mass(x) = mean(xf)
+        s.t.  KS_min(lam(x)) >= lam_target
+              lb <= x <= 1
+
+    on the 8-node hex voxel cantilever.  Same matrix-free shift-inverted
+    LOBPCG recipe as the 2-D model, but every per-iteration kernel is the
+    grid-form (SoA) stencil: the CG state solves via FEMTopology3D's
+    grid path, the stiffness sensitivity phi' dK phi via _energy_grid,
+    and the mass terms via corner-slice sums — no [ne, 24]
+    materialization anywhere in the eigensolve."""
+
+    def __init__(self, nex: int = 16, ney: int = 8, nez: int = 8,
+                 N: int = 6, ks_rho: float = 30.0,
+                 freq_fraction: float = 0.5, rho_min: float = 0.025,
+                 lb: float = 0.05, cg_iters: int = 30,
+                 lobpcg_iters: int = 60, solver: str = "mgcg",
+                 dtype=None, seed: int = 0):
+        super().__init__(nvars=nex * ney * nez, ncon=1)
+        from ..dtypes import resolve_dtype
+        from .fem_topology3d import FEMTopology3D
+        dt = resolve_dtype(dtype)
+        self._dtype = dt
+        self.fem = FEMTopology3D(nex=nex, ney=ney, nez=nez,
+                                 cg_iters=cg_iters, solver=solver,
+                                 dtype=dt)
+        self.N = N
+        self.ks_rho = float(ks_rho)
+        self.rho_min = float(rho_min)
+        self.lb = float(lb)
+        self.lobpcg_iters = int(lobpcg_iters)
+
+        rng = np.random.default_rng(seed)
+        X0 = rng.standard_normal((self.fem.ndof, N))
+        X0[np.asarray(self.fem.fixed_mask) > 0, :] = 0.0
+        self._X0 = jnp.asarray(X0, dt)
+
+        self._eig_fn = jax.jit(self._make_eig_fn())
+        self._cache = {}
+
+        x0 = jnp.ones(self.nvars, dt)
+        lam_full, _ = self._eig_fn(x0)
+        self.lam_target = freq_fraction * float(lam_full[0])
+
+    def _mass_grids(self, xf):
+        """(node mass diag as [3, nnx, nny, nnz] grid, flat [ndof]):
+        element mass rho_e split over its 8 nodes, all 3 dofs/node."""
+        from .fem_topology3d import _CORNERS3D, _from_grid3
+        fem = self.fem
+        rho = self.rho_min + xf * (1.0 - self.rho_min)
+        rg = rho.reshape(fem.nex, fem.ney, fem.nez) / 8.0
+        m = None
+        for a, b, c in _CORNERS3D:
+            t = jnp.pad(rg, ((a, 1 - a), (b, 1 - b), (c, 1 - c)))
+            m = t if m is None else m + t
+        mg = jnp.where(fem._fixed_g > 0, 0.0,
+                       jnp.broadcast_to(m[None], fem._fixed_g.shape))
+        return mg, _from_grid3(mg)
+
+    def _make_eig_fn(self):
+        from .fem_topology3d import (_CORNERS3D, _energy_grid, _sl,
+                                     _to_grid3)
+        fem = self.fem
+        nnx, nny, nnz = fem.nex + 1, fem.ney + 1, fem.nez + 1
+
+        def simp(xf):
+            return fem.emin + xf ** fem.penal * (fem.e0 - fem.emin)
+
+        def eig_fn(x):
+            xf, filt_vjp = jax.vjp(fem._filter, x)
+            E = simp(xf)
+            _, m = self._mass_grids(xf)
+            msqrt = jnp.sqrt(m)
+
+            def S(vblock):                      # [ndof, k] -> [ndof, k]
+                b = msqrt[:, None] * vblock
+                u = jax.vmap(lambda col: fem._cg(E, col),
+                             in_axes=1, out_axes=1)(b)
+                return msqrt[:, None] * u
+
+            mu, V, _ = lobpcg_standard(S, self._X0, m=self.lobpcg_iters)
+            lam = 1.0 / mu                      # ascending: lam[0] smallest
+            phi = jnp.where(msqrt[:, None] > 0, V / msqrt[:, None], 0.0)
+
+            # analytic sensitivities, all grid-form (no [ne, 24] tensors):
+            #   dlam/dxf_e = dE_e (phi_e' k0 phi_e)
+            #                - lam (drho/8) sum_corners sum_c phi_c^2
+            def per_mode(p):
+                pg = _to_grid3(p, nnx, nny, nnz)
+                kterm = _energy_grid(fem._KE_np, pg).reshape(-1)
+                s = jnp.sum(pg * pg, axis=0)    # node grid
+                mterm = None
+                for a, b, c in _CORNERS3D:
+                    t = s[_sl(a), _sl(b), _sl(c)]
+                    mterm = t if mterm is None else mterm + t
+                return kterm, mterm.reshape(-1) / 8.0
+
+            kterm, mterm = jax.vmap(per_mode)(phi.T)      # [N, ne] each
+            dE = fem.penal * xf ** (fem.penal - 1.0) * (fem.e0 - fem.emin)
+            Wf = dE[None, :] * kterm \
+                - lam[:, None] * (1.0 - self.rho_min) * mterm
+            W = jax.vmap(lambda w: filt_vjp(w)[0])(Wf)   # chain the filter
+            return lam, W
+
+        return eig_fn
