@@ -394,6 +394,28 @@ def test_fused_mma_fem_topology_sharded():
         (res_s["fobj"], res1["fobj"])
 
 
+def test_fused_mma_fem_topology3d_sharded():
+    """Same for the 3-D voxel model's GRID-FORM solve: the design vector
+    shards along the (row-major) flat voxel axis = contiguous x-slabs of
+    the [nex, ney, nez] element grid, so the component-grid stencil's
+    slices/pads become halo exchanges and the V-cycle distributes.  The
+    sharded FusedMMA run must match the unsharded one."""
+    from paropt_tpu.mma import FusedMMA
+    from paropt_tpu.models.fem_topology3d import FEMTopology3D
+
+    prob = FEMTopology3D(nex=8, ney=4, nez=4, cg_iters=20, solver="mgcg")
+    opts = {"mma_max_iterations": 5, "mma_output_file": None}
+    solver = FusedMMA(prob, dict(opts))
+    res1, _ = solver.solve()
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("d",))
+    st0_s = _shard_tree(solver._state0, mesh, prob.nvars)
+    res_s, _ = solver.solve(state0=st0_s)
+    assert res_s["niter"] == res1["niter"]
+    assert abs(res_s["fobj"] - res1["fobj"]) < 1e-9, \
+        (res_s["fobj"], res1["fobj"])
+
+
 def test_fused_mma_sharded_and_resume():
     """FusedMMA over the mesh matches unsharded, and a solve can resume
     from a previous final state."""
