@@ -186,9 +186,12 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
     ft, ct, gt, At, Mt, Minvt, ht = eval_full(xt)
     ft = jnp.asarray(ft, dt)
     ct = jnp.asarray(ct).reshape(ncon)
+    # z (the QP multipliers) must be finite too: a failed inner QP can
+    # return finite p with NaN z, which would poison the QN secant y and
+    # the multiplier refresh while slipping past a p/f/c-only guard
     trial_finite = (jnp.isfinite(ft) & jnp.all(jnp.isfinite(ct))
                     & jnp.all(jnp.isfinite(gt)) & jnp.all(jnp.isfinite(p))
-                    & jnp.all(jnp.isfinite(ht)))
+                    & jnp.all(jnp.isfinite(ht)) & jnp.all(jnp.isfinite(z)))
 
     qn_new = state.qn
     if state.qn is not None:
@@ -207,7 +210,11 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
     rho = jnp.where(both_tiny | (model_reduc == 0.0), 1.0,
                     actual_reduc / jnp.where(model_reduc == 0.0, 1.0,
                                              model_reduc))
-    rho = jnp.where(trial_finite, rho, -jnp.inf)
+    # NaN rho (e.g. a NaN model reduction from a failed compact solve)
+    # fails BOTH radius-update comparisons, deadlocking the radius at a
+    # permanently-rejected step — force any non-finite rho to -inf so the
+    # radius shrinks (same lesson as FusedTR's non-finite fail-stop)
+    rho = jnp.where(trial_finite & ~jnp.isnan(rho), rho, -jnp.inf)
 
     accepted = ((rho >= to.eta)
                 | ((state.tr_size <= to.tr_min) & trial_finite))
@@ -357,7 +364,8 @@ class FusedEigenTR:
                 update_type=o["qn_update_type"],
                 diag_type=o["qn_diag_type"])
 
-        f0, c0, g0, A0, M0, Minv0, h0 = eval_full(x0)
+        with jax.default_matmul_precision("highest"):
+            f0, c0, g0, A0, M0, Minv0, h0 = eval_full(x0)
         zero = jnp.zeros((), dt)
         state0 = FusedEigTRState(
             xk=x0, fk=f0, ck=c0, gk=g0, Ak=A0, qn=qn0,
@@ -368,8 +376,21 @@ class FusedEigenTR:
             converged=jnp.asarray(False), infeas=zero + jnp.inf,
             l1=zero + jnp.inf, linf=zero + jnp.inf, rho=zero)
 
-        step = partial(_fused_eig_tr_step, eval_full, qp_model, inf_model,
-                       qp_opts, inf_opts, to, index, lbv, ubv, d_tmpl)
+        raw_step = partial(_fused_eig_tr_step, eval_full, qp_model,
+                           inf_model, qp_opts, inf_opts, to, index, lbv,
+                           ubv, d_tmpl)
+
+        def step(st):
+            # TPU f32 matmuls take bf16 inputs at default precision; the
+            # merged compact's small-matrix algebra (M entries ~ ks_rho /
+            # lam_target^2, up to ~1e10 on fine 3-D meshes) cannot survive
+            # that — garbage M-solves turn B indefinite and NaN the inner
+            # QP's quasi-definite Cholesky (observed: 64x32x32 frequency
+            # problem frozen at mass=1.0, rho=nan, on the v5e; CPU f32 is
+            # fine).  Trace the WHOLE outer step — eval_full/LOBPCG, the
+            # inner QP, the model algebra — at full f32 precision.
+            with jax.default_matmul_precision("highest"):
+                return raw_step(st)
         self._to = to
         self._index = index
         self._eval_full = eval_full
@@ -377,6 +398,7 @@ class FusedEigenTR:
         self._write_freq = o["tr_write_output_frequency"]
         self._state0 = state0
         self._step = step
+        self._raw_step = raw_step     # introspectable partial (tests)
         self._step_jit = jax.jit(step)
         self._batched_run = None
 
@@ -426,7 +448,8 @@ class FusedEigenTR:
         x0_batch = jnp.asarray(x0_batch, self._state0.xk.dtype)
 
         def batch_state(x0):
-            f0, c0, g0, A0, M0, Minv0, h0 = self._eval_full(x0)
+            with jax.default_matmul_precision("highest"):
+                f0, c0, g0, A0, M0, Minv0, h0 = self._eval_full(x0)
             return dataclasses.replace(
                 self._state0, xk=x0, fk=f0, ck=c0, gk=g0, Ak=A0,
                 eig=EigModel(M=M0, Minv=Minv0, h=h0))

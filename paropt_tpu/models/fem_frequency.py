@@ -61,6 +61,15 @@ class _FrequencyBase(Problem):
     `self.fem`, `self._eig_fn` (x -> (lam[N], W[N, nvars])), `self.N`,
     `self.ks_rho`, `self.lam_target`, `self.lb`, `self._dtype`."""
 
+    def _minv_floor(self):
+        """Relative eigenvalue floor for the regularized KS-curvature
+        inverse: bounds cond(M) (and cond(Minv)) by 1/floor so the merged
+        compact's small-matrix solves stay accurate in the COMPUTE dtype.
+        f64 keeps the historical 1e-8; f32 needs ~1e3 eps (cond <= 1e4) —
+        see update_eigen_model's docstring for the failure this guards."""
+        eps = float(jnp.finfo(self._dtype).eps)
+        return max(1e-8, 1e3 * eps)
+
     def _eval(self, x):
         """Cached per-point eigensolve + host-side f64 KS reduction."""
         x = jnp.asarray(x, self._dtype)
@@ -119,13 +128,20 @@ class _FrequencyBase(Problem):
         non-positive) eigenvalues at -floor keeps Minv NSD and bounded, so
         the merged Hessian contribution -z0 h'Mh stays PSD and finite —
         the regularization only adds a negligible curvature floor in
-        directions where the KS aggregate is genuinely linear."""
+        directions where the KS aggregate is genuinely linear.
+
+        The floor is DTYPE-AWARE (`_minv_floor`): scale = ks_rho /
+        lam_target^2 reaches ~5e10 on fine 3-D meshes (lam ~ h^2), and a
+        fixed 1e-8 relative floor leaves cond(M) ~ 1e8 — garbage linear
+        solves in f32 that turn the merged compact indefinite and NaN the
+        inner QP's quasi-definite Cholesky (observed: 64x32x32 fused
+        eigen-TR frozen at mass=1.0 with rho=nan on the v5e)."""
         ev = self._eval(x)
         eta = ev["eta"]
         scale = self.ks_rho / self.lam_target ** 2
         M = scale * (np.outer(eta, eta) - np.diag(eta))
         e, Q = np.linalg.eigh(0.5 * (M + M.T))
-        e = np.minimum(e, -1e-8 * scale)
+        e = np.minimum(e, -self._minv_floor() * scale)
         Minv = (Q / e) @ Q.T
         eigh.set_approximation(M=jnp.asarray(M, self._dtype),
                                Minv=jnp.asarray(Minv, self._dtype),
@@ -154,7 +170,7 @@ class _FrequencyBase(Problem):
         scale = self.ks_rho / self.lam_target ** 2
         M = scale * (jnp.outer(eta, eta) - jnp.diag(eta))
         e, Q = jnp.linalg.eigh(0.5 * (M + M.T))
-        e = jnp.minimum(e, -1e-8 * scale)
+        e = jnp.minimum(e, -self._minv_floor() * scale)
         Minv = (Q / e) @ Q.T
         return (fobj, jnp.asarray([ks], self._dtype), gobj,
                 dks[None, :], M, Minv, W)

@@ -122,7 +122,7 @@ def _replicate_qp_solve(ftr, state):
     (same module functions, same inputs) to recover (p, z, best_con_infeas,
     compact) for the hand checks."""
     (eval_full, qp_model, inf_model, qp_opts, inf_opts, to, index, lbv,
-     ubv, d_tmpl) = ftr._step.args
+     ubv, d_tmpl) = ftr._raw_step.args
     xk = state.xk
     dt = xk.dtype
     ncon = state.ck.shape[0]
@@ -258,8 +258,8 @@ def test_fused_eig_tr_step_accept_algebra():
 
     # normalized KKT error at the new point with the QP multipliers
     r = gt - At.T @ z_np
-    lbv = np.asarray(ftr._step.args[7])
-    ubv = np.asarray(ftr._step.args[8])
+    lbv = np.asarray(ftr._raw_step.args[7])
+    ubv = np.asarray(ftr._raw_step.args[8])
     r = np.where((xt <= lbv + to.bound_relax) & (r > 0.0), 0.0, r)
     r = np.where((xt >= ubv - to.bound_relax) & (r < 0.0), 0.0, r)
     zmax = max(1.0, np.max(np.abs(z_np)))
