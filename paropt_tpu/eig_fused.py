@@ -36,6 +36,12 @@ where constraint row `index` is the eigenvalue aggregate and (M, Minv, h)
 its curvature model at x (`models/fem_frequency.py::eval_full`).  One
 evaluation per trial point: the eigensolve that prices the trial ALSO
 delivers the refreshed model, so rejected steps pay nothing extra.
+
+If the problem's ``eval_full`` instead accepts ``(x, V0)`` and returns an
+8th element ``V`` (the eigenbasis), the loop WARM-STARTS every eigensolve
+after the first from the previous trial's basis — the basis rides the TR
+state, so trials cost `lobpcg_warm_iters` block iterations instead of the
+cold count (`fem_frequency._FrequencyBase.eval_full`).
 """
 
 from __future__ import annotations
@@ -90,6 +96,9 @@ class FusedEigTRState:
     l1: jnp.ndarray
     linf: jnp.ndarray
     rho: jnp.ndarray
+    # eigenbasis carried for LOBPCG warm-starting (None when the problem's
+    # eval_full doesn't support a V0 argument)
+    V: Any = None
 
 
 def _merged_compact(qn, eig: EigModel, z0, dt):
@@ -181,9 +190,10 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
     infeas_model = jnp.sum(gam * _viol(cm, nineq))
 
     # trial evaluation: ONE eval_full prices the trial AND refreshes the
-    # eigen model (the eigensolve is shared)
+    # eigen model (the eigensolve is shared); state.V warm-starts the
+    # LOBPCG when the problem supports it
     xt = xk + p
-    ft, ct, gt, At, Mt, Minvt, ht = eval_full(xt)
+    ft, ct, gt, At, Mt, Minvt, ht, Vt = eval_full(xt, state.V)
     ft = jnp.asarray(ft, dt)
     ct = jnp.asarray(ct).reshape(ncon)
     # z (the QP multipliers) must be finite too: a failed inner QP can
@@ -262,11 +272,17 @@ def _fused_eig_tr_step(eval_full, qp_model: ModelFns, inf_model: ModelFns,
     converged = ((infeas_new < to.infeas_tol)
                  & ((l1 < to.l1_tol) | (linf < to.linf_tol)))
 
+    # the trial basis is a valid warm start even on rejection (the trial
+    # point is near xk) — carry it forward whenever it is finite
+    V_n = None
+    if state.V is not None:
+        V_n = jnp.where(jnp.all(jnp.isfinite(Vt)), Vt, state.V)
+
     return FusedEigTRState(
         xk=xk_n, fk=fk_n, ck=ck_n, gk=gk_n, Ak=Ak_n, qn=qn_new,
         eig=eig_n, z0=z0_n, tr_size=tr_n, gamma=gamma_n, k=state.k + 1,
         subiters=state.subiters + st.k + inf_iters, converged=converged,
-        infeas=infeas_new, l1=l1, linf=linf, rho=rho)
+        infeas=infeas_new, l1=l1, linf=linf, rho=rho, V=V_n)
 
 
 class FusedEigenTR:
@@ -297,12 +313,32 @@ class FusedEigenTR:
         ubv = jnp.asarray(ub, dt)
         n, ncon = problem.nvars, problem.ncon
 
-        def eval_full(x):
-            f, c, g, A, M, Minv, h = problem.eval_full(x)
-            return (jnp.asarray(f, dt), jnp.asarray(c, dt).reshape(ncon),
-                    jnp.asarray(g, dt), jnp.asarray(A, dt).reshape(ncon, n),
-                    jnp.asarray(M, dt), jnp.asarray(Minv, dt),
-                    jnp.asarray(h, dt))
+        # problems whose eval_full accepts a second argument get LOBPCG
+        # warm-starting: the eigenbasis V rides the TR state and seeds the
+        # next trial's eigensolve (fem_frequency's lobpcg_warm_iters)
+        import inspect
+        try:
+            _np_ef = len(inspect.signature(problem.eval_full).parameters)
+        except (TypeError, ValueError):
+            _np_ef = 1
+        if _np_ef >= 2:
+            def eval_full(x, V=None):
+                f, c, g, A, M, Minv, h, Vn = problem.eval_full(x, V)
+                return (jnp.asarray(f, dt),
+                        jnp.asarray(c, dt).reshape(ncon),
+                        jnp.asarray(g, dt),
+                        jnp.asarray(A, dt).reshape(ncon, n),
+                        jnp.asarray(M, dt), jnp.asarray(Minv, dt),
+                        jnp.asarray(h, dt), Vn)
+        else:
+            def eval_full(x, V=None):
+                f, c, g, A, M, Minv, h = problem.eval_full(x)
+                return (jnp.asarray(f, dt),
+                        jnp.asarray(c, dt).reshape(ncon),
+                        jnp.asarray(g, dt),
+                        jnp.asarray(A, dt).reshape(ncon, n),
+                        jnp.asarray(M, dt), jnp.asarray(Minv, dt),
+                        jnp.asarray(h, dt), V)
 
         # eig_row_model='quadratic' (default) gives the inner IP the
         # QUADRATIC model of the eigen row, matching the reference's
@@ -365,7 +401,7 @@ class FusedEigenTR:
                 diag_type=o["qn_diag_type"])
 
         with jax.default_matmul_precision("highest"):
-            f0, c0, g0, A0, M0, Minv0, h0 = eval_full(x0)
+            f0, c0, g0, A0, M0, Minv0, h0, V0 = eval_full(x0)
         zero = jnp.zeros((), dt)
         state0 = FusedEigTRState(
             xk=x0, fk=f0, ck=c0, gk=g0, Ak=A0, qn=qn0,
@@ -374,7 +410,7 @@ class FusedEigenTR:
             gamma=jnp.full((ncon,), gamma, dt),
             k=jnp.zeros((), jnp.int32), subiters=jnp.zeros((), jnp.int32),
             converged=jnp.asarray(False), infeas=zero + jnp.inf,
-            l1=zero + jnp.inf, linf=zero + jnp.inf, rho=zero)
+            l1=zero + jnp.inf, linf=zero + jnp.inf, rho=zero, V=V0)
 
         raw_step = partial(_fused_eig_tr_step, eval_full, qp_model,
                            inf_model, qp_opts, inf_opts, to, index, lbv,
@@ -449,10 +485,10 @@ class FusedEigenTR:
 
         def batch_state(x0):
             with jax.default_matmul_precision("highest"):
-                f0, c0, g0, A0, M0, Minv0, h0 = self._eval_full(x0)
+                f0, c0, g0, A0, M0, Minv0, h0, V0 = self._eval_full(x0)
             return dataclasses.replace(
                 self._state0, xk=x0, fk=f0, ck=c0, gk=g0, Ak=A0,
-                eig=EigModel(M=M0, Minv=Minv0, h=h0))
+                eig=EigModel(M=M0, Minv=Minv0, h=h0), V=V0)
 
         state = jax.vmap(batch_state)(x0_batch)
         if self._batched_run is None:

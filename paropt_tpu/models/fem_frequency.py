@@ -44,6 +44,8 @@ Use with the eigenvalue trust-region path (mirrors
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,7 +79,7 @@ class _FrequencyBase(Problem):
         hit = self._cache.get(key)
         if hit is not None:
             return hit
-        lam, W = self._eig_fn(x)
+        lam, W, _ = self._eig_fn(x, None)
         lam64 = np.asarray(lam, np.float64)
         g = (lam64 - self.lam_target) / self.lam_target
         gmin = g.min()
@@ -147,7 +149,7 @@ class _FrequencyBase(Problem):
                                Minv=jnp.asarray(Minv, self._dtype),
                                hvecs=jnp.asarray(ev["W"], self._dtype))
 
-    def eval_full(self, x):
+    def eval_full(self, x, V0=None):
         """Jit-traceable combined evaluation for the FUSED eigen-TR path
         (`eig_fused.FusedEigenTR`): ONE eigensolve yields the objective,
         the KS constraint, both gradients, AND the refreshed low-rank
@@ -155,9 +157,17 @@ class _FrequencyBase(Problem):
         accepted-step model refresh share the LOBPCG. Unlike `_eval`, the
         KS reduction runs in the compute dtype (N max-shifted values —
         safe in f32); the Minv regularization mirrors
-        `update_eigen_model`."""
+        `update_eigen_model`.
+
+        ``V0`` WARM-STARTS the LOBPCG from a previous eigenbasis (in the
+        old point's M^(1/2) coordinates — still an excellent subspace
+        initializer under smooth mass changes): `lobpcg_warm_iters`
+        block iterations instead of the cold `lobpcg_iters`.  The fused
+        TR threads the accepted basis through its state, so every trial
+        after the first pays the warm cost.  Returns (..., V) — the basis
+        to thread."""
         x = jnp.asarray(x, self._dtype)
-        lam, W = self._eig_fn(x)
+        lam, W, V = self._eig_fn(x, V0)
         g = (lam - self.lam_target) / self.lam_target
         gmin = jnp.min(g)
         eta = jnp.exp(-self.ks_rho * (g - gmin))
@@ -173,7 +183,7 @@ class _FrequencyBase(Problem):
         e = jnp.minimum(e, -self._minv_floor() * scale)
         Minv = (Q / e) @ Q.T
         return (fobj, jnp.asarray([ks], self._dtype), gobj,
-                dks[None, :], M, Minv, W)
+                dks[None, :], M, Minv, W, V)
 
     def build_fused_tr(self, options=None, eig_row_model="linear"):
         """Whole-loop on-device eigen TR (`eig_fused.FusedEigenTR`) with
@@ -227,6 +237,7 @@ class FrequencyTopology(_FrequencyBase):
                  ks_rho: float = 30.0, freq_fraction: float = 0.5,
                  rho_min: float = 0.025, lb: float = 0.05,
                  cg_iters: int = 200, lobpcg_iters: int = 60,
+                 lobpcg_warm_iters: Optional[int] = None,
                  filter_radius: int = 1, solver: str = "jacobi",
                  dtype=None, seed: int = 0):
         super().__init__(nvars=nex * ney, ncon=1)
@@ -243,6 +254,9 @@ class FrequencyTopology(_FrequencyBase):
         self.rho_min = float(rho_min)
         self.lb = float(lb)
         self.lobpcg_iters = int(lobpcg_iters)
+        self.lobpcg_warm_iters = int(lobpcg_warm_iters
+                                     if lobpcg_warm_iters is not None
+                                     else max(10, lobpcg_iters // 2))
 
         # deterministic LOBPCG start block, zeroed on fixed dofs
         rng = np.random.default_rng(seed)
@@ -257,7 +271,7 @@ class FrequencyTopology(_FrequencyBase):
         # eigenvalue, so x0 = 1 is strictly feasible and mass can be cut
         # until the constraint activates
         x0 = jnp.ones(self.nvars, dt)
-        lam_full, _ = self._eig_fn(x0)
+        lam_full, _, _ = self._eig_fn(x0, None)
         self.lam_target = freq_fraction * float(lam_full[0])
 
     # -- eigensolve ------------------------------------------------------
@@ -276,7 +290,7 @@ class FrequencyTopology(_FrequencyBase):
         def simp(xf):
             return fem.emin + xf ** fem.penal * (fem.e0 - fem.emin)
 
-        def eig_fn(x):
+        def eig_fn(x, V0=None):
             xf, filt_vjp = jax.vjp(fem._filter, x)
             E = simp(xf)
             m = self._mass_diag(xf)
@@ -288,7 +302,10 @@ class FrequencyTopology(_FrequencyBase):
                              in_axes=1, out_axes=1)(b)
                 return msqrt[:, None] * u
 
-            mu, V, _ = lobpcg_standard(S, self._X0, m=self.lobpcg_iters)
+            X = self._X0 if V0 is None else V0
+            m_it = self.lobpcg_iters if V0 is None \
+                else self.lobpcg_warm_iters
+            mu, V, _ = lobpcg_standard(S, X, m=m_it)
             lam = 1.0 / mu                      # ascending: lam[0] smallest
             # phi = M^{-1/2} v; unit v gives phi' M phi = 1
             phi = jnp.where(msqrt[:, None] > 0, V / msqrt[:, None], 0.0)
@@ -303,7 +320,7 @@ class FrequencyTopology(_FrequencyBase):
             Wf = dE[None, :] * kterm \
                 - lam[:, None] * (1.0 - self.rho_min) * mterm
             W = jax.vmap(lambda w: filt_vjp(w)[0])(Wf)   # chain the filter
-            return lam, W
+            return lam, W, V
 
         return eig_fn
 
@@ -329,8 +346,9 @@ class FrequencyTopology3D(_FrequencyBase):
                  N: int = 6, ks_rho: float = 30.0,
                  freq_fraction: float = 0.5, rho_min: float = 0.025,
                  lb: float = 0.05, cg_iters: int = 30,
-                 lobpcg_iters: int = 60, solver: str = "mgcg",
-                 dtype=None, seed: int = 0):
+                 lobpcg_iters: int = 60,
+                 lobpcg_warm_iters: Optional[int] = None,
+                 solver: str = "mgcg", dtype=None, seed: int = 0):
         super().__init__(nvars=nex * ney * nez, ncon=1)
         from ..dtypes import resolve_dtype
         from .fem_topology3d import FEMTopology3D
@@ -344,6 +362,9 @@ class FrequencyTopology3D(_FrequencyBase):
         self.rho_min = float(rho_min)
         self.lb = float(lb)
         self.lobpcg_iters = int(lobpcg_iters)
+        self.lobpcg_warm_iters = int(lobpcg_warm_iters
+                                     if lobpcg_warm_iters is not None
+                                     else max(10, lobpcg_iters // 2))
 
         rng = np.random.default_rng(seed)
         X0 = rng.standard_normal((self.fem.ndof, N))
@@ -354,7 +375,7 @@ class FrequencyTopology3D(_FrequencyBase):
         self._cache = {}
 
         x0 = jnp.ones(self.nvars, dt)
-        lam_full, _ = self._eig_fn(x0)
+        lam_full, _, _ = self._eig_fn(x0, None)
         self.lam_target = freq_fraction * float(lam_full[0])
 
     def _mass_grids(self, xf):
@@ -381,7 +402,7 @@ class FrequencyTopology3D(_FrequencyBase):
         def simp(xf):
             return fem.emin + xf ** fem.penal * (fem.e0 - fem.emin)
 
-        def eig_fn(x):
+        def eig_fn(x, V0=None):
             xf, filt_vjp = jax.vjp(fem._filter, x)
             E = simp(xf)
             _, m = self._mass_grids(xf)
@@ -393,7 +414,10 @@ class FrequencyTopology3D(_FrequencyBase):
                              in_axes=1, out_axes=1)(b)
                 return msqrt[:, None] * u
 
-            mu, V, _ = lobpcg_standard(S, self._X0, m=self.lobpcg_iters)
+            X = self._X0 if V0 is None else V0
+            m_it = self.lobpcg_iters if V0 is None \
+                else self.lobpcg_warm_iters
+            mu, V, _ = lobpcg_standard(S, X, m=m_it)
             lam = 1.0 / mu                      # ascending: lam[0] smallest
             phi = jnp.where(msqrt[:, None] > 0, V / msqrt[:, None], 0.0)
 
@@ -415,6 +439,6 @@ class FrequencyTopology3D(_FrequencyBase):
             Wf = dE[None, :] * kterm \
                 - lam[:, None] * (1.0 - self.rho_min) * mterm
             W = jax.vmap(lambda w: filt_vjp(w)[0])(Wf)   # chain the filter
-            return lam, W
+            return lam, W, V
 
         return eig_fn

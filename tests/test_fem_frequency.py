@@ -34,7 +34,7 @@ def test_eigensolve_matches_dense():
     A = Kf / np.sqrt(np.outer(mf, mf))
     lam_ref = np.sort(np.linalg.eigvalsh(0.5 * (A + A.T)))[:p.N]
 
-    lam, W = p._eig_fn(x)
+    lam, W, _ = p._eig_fn(x, None)
     assert np.allclose(np.asarray(lam), lam_ref, rtol=1e-8), (lam, lam_ref)
     assert np.isfinite(np.asarray(W)).all()
 
@@ -110,7 +110,7 @@ def test_fused_eigen_tr_matches_host_quality():
 
     # eval_full's constraint/gradient/model agree with the host pieces
     x0, _, _ = p.get_vars_and_bounds()
-    f0, c0, g0, A0, M0, Minv0, h0 = p.eval_full(x0)
+    f0, c0, g0, A0, M0, Minv0, h0, _ = p.eval_full(x0)
     ev = p._eval(x0)
     np.testing.assert_allclose(float(c0[0]), ev["ks"], atol=1e-10)
     np.testing.assert_allclose(np.asarray(A0[0]), ev["dks"], atol=1e-10)

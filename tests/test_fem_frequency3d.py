@@ -34,7 +34,7 @@ def test_eigensolve_matches_dense_3d():
     A = Kf / np.sqrt(np.outer(mf, mf))
     lam_ref = np.sort(np.linalg.eigvalsh(0.5 * (A + A.T)))[:p.N]
 
-    lam, W = p._eig_fn(x)
+    lam, W, _ = p._eig_fn(x, None)
     assert np.allclose(np.asarray(lam), lam_ref, rtol=1e-7), (lam, lam_ref)
     assert np.isfinite(np.asarray(W)).all()
 
