@@ -348,7 +348,8 @@ class FrequencyTopology3D(_FrequencyBase):
                  lb: float = 0.05, cg_iters: int = 30,
                  lobpcg_iters: int = 60,
                  lobpcg_warm_iters: Optional[int] = None,
-                 solver: str = "mgcg", dtype=None, seed: int = 0):
+                 solver: str = "mgcg", layout: str = "auto",
+                 dtype=None, seed: int = 0):
         super().__init__(nvars=nex * ney * nez, ncon=1)
         from ..dtypes import resolve_dtype
         from .fem_topology3d import FEMTopology3D
@@ -356,7 +357,7 @@ class FrequencyTopology3D(_FrequencyBase):
         self._dtype = dt
         self.fem = FEMTopology3D(nex=nex, ney=ney, nez=nez,
                                  cg_iters=cg_iters, solver=solver,
-                                 dtype=dt)
+                                 layout=layout, dtype=dt)
         self.N = N
         self.ks_rho = float(ks_rho)
         self.rho_min = float(rho_min)
@@ -394,8 +395,7 @@ class FrequencyTopology3D(_FrequencyBase):
         return mg, _from_grid3(mg)
 
     def _make_eig_fn(self):
-        from .fem_topology3d import (_CORNERS3D, _energy_grid, _sl,
-                                     _to_grid3)
+        from .fem_topology3d import _CORNERS3D, _sl, _to_grid3
         fem = self.fem
         nnx, nny, nnz = fem.nex + 1, fem.ney + 1, fem.nez + 1
 
@@ -426,7 +426,7 @@ class FrequencyTopology3D(_FrequencyBase):
             #                - lam (drho/8) sum_corners sum_c phi_c^2
             def per_mode(p):
                 pg = _to_grid3(p, nnx, nny, nnz)
-                kterm = _energy_grid(fem._KE_np, pg).reshape(-1)
+                kterm = fem._energy_g(pg).reshape(-1)
                 s = jnp.sum(pg * pg, axis=0)    # node grid
                 mterm = None
                 for a, b, c in _CORNERS3D:

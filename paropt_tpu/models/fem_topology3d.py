@@ -99,6 +99,45 @@ def _from_grid3(ug):
     return jnp.moveaxis(ug, 0, -1).reshape(-1)
 
 
+def _grid_min_nnz() -> int:
+    """layout='auto' threshold: use the grid-form stencil when the node
+    grid's minor dim (nnz = nez + 1) is at least this, else the [ne, 24]
+    AoS matmul form.  The stencil wins 18.8x at nnz=81 (1M voxels) but
+    loses ~15x at nnz=17 (32x16x16): 576 scalar multiply-adds on a
+    17-wide minor dim pad to 128 lanes AND compile ~12x slower
+    (BENCH_r04 vs r03).  Selection is PER MULTIGRID LEVEL, so a large
+    mesh still runs its small coarse levels in the AoS form."""
+    import os
+    return int(os.environ.get("PAROPT_TPU_FEM3D_GRID_MIN_NNZ", "48"))
+
+
+def _kmul_aos(KE, Eg, ug, fixed_g, zero_entry):
+    """K(E) @ u in the [ne, 24] AoS form, grid-in/grid-out: corner-slice
+    gather -> one [ne, 24]@[24, 24] matmul (full-f32 accumulation) ->
+    static-pad scatter.  Semantics identical to _kmul_grid; preferred at
+    small meshes where the 576-term stencil underutilizes TPU lanes and
+    bloats compile time (see _grid_min_nnz)."""
+    nex, ney, nez = Eg.shape
+    ug0 = jnp.where(fixed_g > 0, 0.0, ug) if zero_entry else ug
+    ue = _gather3d(_from_grid3(ug0), nex, ney, nez)
+    fe = jnp.matmul(ue, KE,
+                    precision=jax.lax.Precision.HIGHEST) * Eg.reshape(-1)[:, None]
+    out = _to_grid3(_scatter3d(fe, nex, ney, nez), nex + 1, ney + 1, nez + 1)
+    return jnp.where(fixed_g > 0, ug, out)
+
+
+def _energy_aos(KE, ug):
+    """Per-element unit-modulus strain energies in the [ne, 24] AoS form
+    (== _energy_grid), returned as an [nex, ney, nez] grid."""
+    nnx, nny, nnz = ug.shape[1:]
+    nex, ney, nez = nnx - 1, nny - 1, nnz - 1
+    ue = _gather3d(_from_grid3(ug), nex, ney, nez)
+    en = jnp.sum(jnp.matmul(ue, KE,
+                            precision=jax.lax.Precision.HIGHEST) * ue,
+                 axis=1)
+    return en.reshape(nex, ney, nez)
+
+
 def _kmul_grid(KEh, Eg, ug, fixed_g, zero_entry):
     """K(E) @ u entirely on SoA component grids: 576 scalar-coefficient
     multiply-adds on [nex, ney, nez] element grids, assembled with 8
@@ -203,8 +242,10 @@ class FEMTopology3D(Problem):
                  region: int = 0, region_cap: float = 0.8,
                  cg_iters: int = 400, filter_on: bool = True,
                  solver: str = "jacobi", mg_smooth: int = 2,
-                 mg_omega: float = 0.4, dtype=None):
+                 mg_omega: float = 0.4, layout: str = "auto", dtype=None):
         from ..dtypes import resolve_dtype
+        assert layout in ("auto", "grid", "aos"), layout
+        self.layout = layout
         dt = resolve_dtype(dtype)
         ne = nex * ney * nez
         nwcon = ne // region if region > 0 else 0
@@ -325,16 +366,37 @@ class FEMTopology3D(Problem):
 
     # -- FEM -------------------------------------------------------------
     # All state-solve linear algebra runs on SoA component grids
-    # [3, nnx, nny, nnz] via the scalar-coefficient stencil _kmul_grid —
-    # 18.8x the [ne, 24] gather/matmul/scatter form at 1M voxels on a v5e
-    # (scripts/ab_kmul3d_grid.py).  The flat [ndof] AoS contract is kept
-    # at the _solve/_kmul boundaries.
+    # [3, nnx, nny, nnz].  The K-apply kernel is size-selected PER GRID
+    # (hence per multigrid level): the scalar-coefficient stencil
+    # _kmul_grid above nnz >= _grid_min_nnz() — 18.8x the [ne, 24] form
+    # at 1M voxels on a v5e (scripts/ab_kmul3d_grid.py) — and the
+    # [ne, 24] AoS matmul form below it, where the stencil's 576
+    # multiply-adds pad a narrow minor dim to 128 lanes and compile ~12x
+    # slower (the BENCH_r04 32x16x16 regression).  The flat [ndof] AoS
+    # contract is kept at the _solve/_kmul boundaries.
+
+    def _use_grid(self, nnz: int) -> bool:
+        if self.layout != "auto":
+            return self.layout == "grid"
+        return nnz >= _grid_min_nnz()
+
+    def _kmul_g(self, Eg, ug, fixed_g, zero_entry):
+        """K(E) @ u on SoA grids, layout-dispatched by minor dim."""
+        if self._use_grid(ug.shape[-1]):
+            return _kmul_grid(self._KE_np, Eg, ug, fixed_g, zero_entry)
+        return _kmul_aos(self.KE.astype(ug.dtype), Eg, ug, fixed_g,
+                         zero_entry)
+
+    def _energy_g(self, ug):
+        """Per-element strain-energy grid, layout-dispatched."""
+        if self._use_grid(ug.shape[-1]):
+            return _energy_grid(self._KE_np, ug)
+        return _energy_aos(self.KE.astype(ug.dtype), ug)
 
     def _kmul(self, E, u):
         ug = _to_grid3(u, self.nex + 1, self.ney + 1, self.nez + 1)
         Eg = E.reshape(self.nex, self.ney, self.nez)
-        out = _kmul_grid(self._KE_np, Eg, ug, self._fixed_g,
-                         zero_entry=False)
+        out = self._kmul_g(Eg, ug, self._fixed_g, zero_entry=False)
         return _from_grid3(out)
 
     # -- geometric multigrid ----------------------------------------------
@@ -358,8 +420,8 @@ class FEMTopology3D(Problem):
 
         def kmul_flat(v):
             vg = _to_grid3(v, cx + 1, cy + 1, cz + 1)
-            return _from_grid3(_kmul_grid(KEh, Eg_c, vg, fixed_g,
-                                          zero_entry=True))
+            return _from_grid3(self._kmul_g(Eg_c, vg, fixed_g,
+                                            zero_entry=True))
 
         Kc = jax.vmap(kmul_flat, in_axes=1, out_axes=1)(
             jnp.eye(ndc, dtype=Eg_c.dtype))
@@ -370,7 +432,6 @@ class FEMTopology3D(Problem):
         """Symmetric V-cycle on SoA grids: weighted-Jacobi smoothing,
         trilinear transfer, dense coarse solve."""
         nu, om = self.mg_smooth, self.mg_omega
-        KEh = self._KE_np
 
         def cycle(l, r):
             Eg, diag, fixed, cx, cy, cz = levels[l]
@@ -380,7 +441,7 @@ class FEMTopology3D(Problem):
                 return jnp.where(fixed > 0, 0.0, e)
 
             def kmul(v):
-                return _kmul_grid(KEh, Eg, v, fixed, zero_entry=True)
+                return self._kmul_g(Eg, v, fixed, zero_entry=True)
 
             e = (om / diag) * r
             for _ in range(nu - 1):
@@ -427,7 +488,7 @@ class FEMTopology3D(Problem):
 
         def body(i, carry):
             u, r, p, rz = carry
-            Kp = _kmul_grid(KEh, Eg, p, fixed_g, zero_entry=False)
+            Kp = self._kmul_g(Eg, p, fixed_g, zero_entry=False)
             pKp = jnp.vdot(p, Kp, precision=hi)
             alpha = jnp.where(pKp > tiny,
                               rz / jnp.where(pKp > tiny, pKp, 1.0), 0.0)
@@ -462,7 +523,7 @@ class FEMTopology3D(Problem):
         def bwd(res, ct):
             xf, u = res
             ug = _to_grid3(u, self.nex + 1, self.ney + 1, self.nez + 1)
-            energies = _energy_grid(self._KE_np, ug).reshape(-1)
+            energies = self._energy_g(ug).reshape(-1)
             dE = (self.penal * xf ** (self.penal - 1.0)
                   * (self.e0 - self.emin))
             return (-ct * dE * energies,)
@@ -507,12 +568,13 @@ class DMOFEMTopology3D(Problem):
     def __init__(self, nex: int = 12, ney: int = 6, nez: int = 6,
                  e_mats=(1.0, 0.55, 0.25), rho_mats=(1.0, 0.5, 0.2),
                  mass_fraction: float = 0.3, penal: float = 3.0,
-                 cg_iters: int = 400, solver: str = "jacobi", dtype=None):
+                 cg_iters: int = 400, solver: str = "jacobi",
+                 layout: str = "auto", dtype=None):
         from ..dtypes import resolve_dtype
         dt = resolve_dtype(dtype)
         self.fem = FEMTopology3D(nex=nex, ney=ney, nez=nez,
                                  cg_iters=cg_iters, filter_on=False,
-                                 solver=solver, dtype=dt)
+                                 solver=solver, layout=layout, dtype=dt)
         ne = self.fem.ne
         nmat = len(e_mats)
         super().__init__(nvars=ne * nmat, ncon=1, nwcon=ne, nwblock=1)
@@ -551,7 +613,7 @@ class DMOFEMTopology3D(Problem):
         def bwd(res, ct):
             x, u = res
             ug = _to_grid3(u, fem.nex + 1, fem.ney + 1, fem.nez + 1)
-            energies = _energy_grid(fem._KE_np, ug).reshape(-1)  # [ne]
+            energies = fem._energy_g(ug).reshape(-1)  # [ne]
             xm = x.reshape(self.ne, self.nmat)
             dwdx = self.penal * xm ** (self.penal - 1.0)
             dE = dwdx * (self.e_mats - self.emin)[None, :]

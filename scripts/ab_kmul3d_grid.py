@@ -38,7 +38,7 @@ def main():
                                                   _sl)
 
     prob = FEMTopology3D(nex=args.nex, ney=args.ney, nez=args.nez,
-                         cg_iters=10, solver="jacobi")
+                         cg_iters=10, solver="jacobi", layout="aos")
     dt = prob._dtype
     nex, ney, nez = prob.nex, prob.ney, prob.nez
     nnx, nny, nnz = nex + 1, ney + 1, nez + 1

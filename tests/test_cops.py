@@ -17,8 +17,9 @@ def test_electron_dense():
     x = np.asarray(res["x"])
     radii = x[:n] ** 2 + x[n:2 * n] ** 2 + x[2 * n:] ** 2
     assert np.allclose(radii, 1.0, atol=1e-5)
-    # known optimal Coulomb energy for n=8 is ~19.675
-    assert res["fobj"] < 20.5
+    # published optimal Coulomb energy (COPS 3.0 / Thomson problem, n=8):
+    # 19.675287861 — the converged objective must hit it, not just be near
+    assert res["fobj"] == pytest.approx(19.675287861, rel=1e-6)
 
 
 def test_electron_csr_matches_dense():
@@ -32,8 +33,10 @@ def test_electron_csr_matches_dense():
                                            "max_major_iters": 300})
     r2 = ip2.optimize()
     assert r1["converged"] and r2["converged"], (r1, r2)
-    # energies agree (configurations may differ by rotation)
+    # energies agree (configurations may differ by rotation) AND both hit
+    # the published Thomson minimum for n=6: 9.985281374
     assert r1["fobj"] == pytest.approx(r2["fobj"], abs=1e-3)
+    assert r1["fobj"] == pytest.approx(9.985281374, rel=1e-6)
 
 
 def test_polygon():
@@ -45,6 +48,11 @@ def test_polygon():
     area = prob.area(res["x"])
     c = np.asarray(prob.constraints(res["x"]))
     assert (c > -1e-5).all()
-    # feasible and a substantial fraction of the known optimum for the
-    # largest small hexagon (0.674981 for unit diameter)
-    assert area > 0.3
+    # The COPS formulation (reference examples/COPS/polygon/polygon.py and
+    # this port) leaves no vertex pinned at the pole, so nv polar vertices
+    # + the pole form an (nv+1)-gon.  For nv=6 that is a small HEPTAGON;
+    # by Reinhardt's theorem the regular heptagon is optimal:
+    #   A* = (7/2) R^2 sin(2*pi/7),  R = 1/(2 cos(pi/14))  = 0.71974093
+    R = 1.0 / (2.0 * np.cos(np.pi / 14.0))
+    a_star = 3.5 * R * R * np.sin(2.0 * np.pi / 7.0)
+    assert area == pytest.approx(a_star, rel=1e-5), (area, a_star)

@@ -73,10 +73,13 @@ def test_sellar():
     res = ip.optimize()
     assert res["converged"], res
     x = np.asarray(res["x"])
-    # active constraint x0 + x1 = 1; stationarity picks x ~ (x0*, 1-x0*)
+    # closed form: on the active constraint x0 + x1 = 1, stationarity in
+    # x1 gives x* = (0.5, 0.5, 0, 10) (x2 at lb, x3 at ub), so
+    # f* = 0.75 + exp(-10)
     assert x[0] + x[1] >= 1.0 - 1e-6
     assert abs(x[2]) < 1e-5  # x2 at its lower bound 0
-    assert res["fobj"] < 2.0
+    assert np.allclose(x, [0.5, 0.5, 0.0, 10.0], atol=1e-4)
+    assert res["fobj"] == pytest.approx(0.75 + np.exp(-10.0), rel=1e-6)
 
 
 def test_maratos_ip_and_tr():

@@ -144,3 +144,52 @@ def test_fused_tr_on_3d_simp():
     x = np.asarray(r["x"])
     assert np.all(np.isfinite(x))
     assert x.mean() <= prob.volume_fraction + 1e-6
+
+
+def test_layout_grid_vs_aos_equivalence():
+    """The grid-form stencil and the [ne, 24] AoS matmul layouts are the
+    same operator: K-apply, energy grid, state solve, and a short MMA
+    trajectory agree (layout='auto' picks per-level by minor dim; both
+    forced layouts must match)."""
+    from paropt_tpu.models.fem_topology3d import _to_grid3
+    from paropt_tpu.mma import FusedMMA
+
+    rng = np.random.default_rng(11)
+    pg = FEMTopology3D(nex=8, ney=4, nez=4, cg_iters=60, solver="mgcg",
+                       layout="grid")
+    pa = FEMTopology3D(nex=8, ney=4, nez=4, cg_iters=60, solver="mgcg",
+                       layout="aos")
+    E = jnp.asarray(rng.uniform(0.1, 1.0, pg.ne), pg._dtype)
+    u = jnp.asarray(rng.standard_normal(pg.ndof), pg._dtype)
+    np.testing.assert_allclose(np.asarray(pg._kmul(E, u)),
+                               np.asarray(pa._kmul(E, u)),
+                               rtol=5e-12, atol=5e-12)
+    ug = _to_grid3(u, pg.nex + 1, pg.ney + 1, pg.nez + 1)
+    np.testing.assert_allclose(np.asarray(pg._energy_g(ug)),
+                               np.asarray(pa._energy_g(ug)),
+                               rtol=5e-12, atol=5e-12)
+    ug_sol = pg._solve(E)
+    ua_sol = pa._solve(E)
+    np.testing.assert_allclose(np.asarray(ug_sol), np.asarray(ua_sol),
+                               rtol=1e-8, atol=1e-10)
+
+    opts = {"mma_max_iterations": 8, "mma_output_file": None}
+    rg, _ = FusedMMA(pg, dict(opts)).solve(chunk=4)
+    ra, _ = FusedMMA(pa, dict(opts)).solve(chunk=4)
+    np.testing.assert_allclose(np.asarray(rg["x"]), np.asarray(ra["x"]),
+                               rtol=1e-6, atol=1e-8)
+    assert abs(float(rg["fobj"]) - float(ra["fobj"])) < 1e-8
+
+
+def test_layout_auto_per_level_selection():
+    """'auto' picks the stencil only at/above the nnz threshold — per
+    multigrid level, so one problem can mix layouts."""
+    import os
+    prob = FEMTopology3D(nex=8, ney=4, nez=4, cg_iters=10)
+    thr = int(os.environ.get("PAROPT_TPU_FEM3D_GRID_MIN_NNZ", "48"))
+    assert prob._use_grid(thr) and prob._use_grid(thr + 1)
+    assert not prob._use_grid(thr - 1)
+    assert FEMTopology3D(nex=4, ney=2, nez=2, cg_iters=5,
+                         layout="grid")._use_grid(5)
+    assert not FEMTopology3D(nex=4, ney=2, nez=2, cg_iters=5,
+                             layout="aos")._use_grid(500)
