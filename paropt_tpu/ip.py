@@ -260,6 +260,32 @@ def _step_scale_merit(v: IPVars, d: ProblemData, compact, fobj, mu, comp,
 
 
 @jax.jit
+def _nk_projections(v: IPVars, d: ProblemData, b: IPVars, p: IPVars, mu,
+                    rel_bound_barrier):
+    """Per-Krylov-vector projections for the output_level>0 GMRES trace:
+    fproj = the barrier-objective directional derivative along p
+    (`evalObjBarrierDeriv`, `ParOptInteriorPoint.cpp:5669-5773`) and
+    cproj = aproj + awproj, the constraint-residual projections
+    (`:5954-5969`, with b = the GMRES right-hand side)."""
+    pbarrier = rel_bound_barrier * (
+        jnp.sum(jnp.where(d.lb_mask > 0, p.x / (v.x - d.lb), 0.0))
+        - jnp.sum(jnp.where(d.ub_mask > 0, p.x / (d.ub - v.x), 0.0)))
+    for val, st in ((v.s, p.s), (v.t, p.t), (v.sw, p.sw), (v.tw, p.tw)):
+        if val.size:
+            pbarrier = pbarrier + jnp.sum(st / val)
+    fproj = (jnp.vdot(d.g, p.x)
+             + jnp.sum(d.gamma_s * p.s) + jnp.sum(d.gamma_t * p.t)
+             + jnp.sum(d.gamma_sw * p.sw) + jnp.sum(d.gamma_tw * p.tw)
+             - mu * pbarrier)
+    cproj = jnp.zeros_like(fproj)
+    if d.ncon:
+        cproj = cproj - jnp.sum(b.z * (d.A @ p.x - p.s + p.t))
+    if d.nwcon:
+        cproj = cproj - jnp.sum(b.zw * (d.Aw_matvec(p.x) - p.sw + p.tw))
+    return fproj, cproj
+
+
+@jax.jit
 def _merit_eval(x, s, t, sw, tw, fobj, c, cw, d: ProblemData, mu,
                 rel_bound_barrier, rho):
     """Merit at a trial point (`evalMeritFunc`)."""
@@ -886,11 +912,14 @@ class InteriorPoint:
         merit = None
         verbose = o["output_level"] > 0 and self._logger is not None
         if verbose:
+            # reference per-trial trace (`ParOptInteriorPoint.cpp:3986-3994`)
+            pxnorm = float(jnp.max(jnp.abs(p.x))) if p.x.size else 0.0
             self._logger.write(
-                "%5s %7s %25s %12s %12s\n"
-                % ("iter", "alpha", "merit", "dmerit", "min(alpha)"))
-            self._logger.write("%5d %7s %25.16e %12.5e %12.5e\n"
-                               % (0, " ", m0, dm0, alpha_min))
+                "%5s %7s %25s %12s %12s %12s\n"
+                % ("iter", "alpha", "merit", "dmerit", "||px||",
+                   "min(alpha)"))
+            self._logger.write("%5d %7s %25.16e %12.5e %12.5e %12.5e\n"
+                               % (0, " ", m0, dm0, pxnorm, alpha_min))
         j = 0
         while j < max_iters:
             merit, trial = self._eval_merit_at(d, alpha, p)
@@ -1062,6 +1091,18 @@ class InteriorPoint:
             out = jax.tree_util.tree_map(lambda leaf: scale * leaf, b)
             return dataclasses.replace(out, x=wx)
 
+        verbose = o["output_level"] > 0 and self._logger is not None
+        if verbose:
+            # reference GMRES trace (`ParOptInteriorPoint.cpp:5904-5910`)
+            self._logger.write(
+                "%5s %4s %4s %7s %7s %8s %8s gmres rtol: %7.1e\n"
+                % ("gmres", "nhvc", "iter", "res", "rel", "fproj",
+                   "cproj", rtol))
+            self._logger.write("      %4d %4d %7.1e %7.1e\n"
+                               % (self.nhvec, 0, bnorm, 1.0))
+        fproj: list = []
+        cproj: list = []
+
         W = [b.x / bnorm]
         al = [1.0]
         H = np.zeros((m + 1, m))
@@ -1073,6 +1114,11 @@ class InteriorPoint:
         for j in range(m):
             # z_j = K_B⁻¹ v̂_j (transient); K z_j = v̂_j + N(H-B)z_j.x
             zj = precon(embed(W[j], al[j]))
+            if verbose:
+                fp, cp = self._fn(_nk_projections)(
+                    v, d, b, zj, mu_j, o["rel_bound_barrier"])
+                fproj.append(float(fp))
+                cproj.append(float(cp))
             hvp = self.problem.eval_hvec_product(v.x, v.z, v.zw, zj.x)
             self.nhvec += 1
             w = W[j] + (jnp.asarray(hvp, self.dtype) - bmult(zj.x))
@@ -1101,8 +1147,20 @@ class InteriorPoint:
             g_vec[j] = cs[j] * g_vec[j]
             iters = j + 1
             res = abs(g_vec[j + 1])
-            if o["output_level"] > 1 and self._logger is not None:
-                self._logger.write(f"gmres[{j:3d}]: |res| = {res:.6e}\n")
+            if verbose:
+                # projection of the CURRENT least-squares solution onto the
+                # objective/constraint directions (`:6040-6056`); y solves
+                # the rotated upper-triangular system built so far
+                yk = np.zeros(j + 1)
+                for i2 in range(j, -1, -1):
+                    yk[i2] = (g_vec[i2]
+                              - H[i2, i2 + 1:j + 1] @ yk[i2 + 1:j + 1]) \
+                        / H[i2, i2]
+                fpr = float(yk @ np.asarray(fproj[:j + 1]))
+                cpr = float(yk @ np.asarray(cproj[:j + 1]))
+                self._logger.write(
+                    "      %4d %4d %7.1e %7.1e %8.1e %8.1e\n"
+                    % (self.nhvec, j + 1, res, res / bnorm, fpr, cpr))
             if res < rtol * bnorm or res < atol or wnorm == 0.0:
                 break
         # back-substitute y

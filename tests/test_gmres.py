@@ -125,3 +125,50 @@ def test_nk_phase_rescues_qn_plateau():
     res2 = nk.optimize()
     assert res2["converged"], res2
     assert res2["res_norm"] < 1e-6
+
+
+def test_output_level_trace_families(tmp_path):
+    """Deep-verbosity trace parity (`output_level` escalation): an
+    output_level=2 run emits the reference's three trace families —
+    per-trial line-search rows (`ParOptInteriorPoint.cpp:3986-3994`),
+    per-iteration GMRES rows with fproj/cproj (`:5904-5910, :6050-6056`),
+    and `MatInfo:` factor rows for the CSR path (`:4768-4775`) — and
+    `unpack_output` still parses the log."""
+    import re
+    from paropt_tpu.utils.logging import unpack_output
+    from paropt_tpu.models.cops import ElectronCSR
+
+    out = str(tmp_path / "paropt.out")
+    prob = RandomConvexQP(n=20, ncon=2, seed=41)
+    ip = InteriorPoint(prob, {
+        "output_file": out, "output_level": 2, "abs_res_tol": 1e-9,
+        "use_hvec_product": True, "gmres_subspace_size": 25,
+        "nk_switch_tol": 1.0, "max_major_iters": 200,
+    })
+    res = ip.optimize()
+    assert res["converged"], res
+    text = open(out).read()
+    # line-search family: header + numbered trial rows
+    assert re.search(r"iter\s+alpha\s+merit\s+dmerit\s+\|\|px\|\|"
+                     r"\s+min\(alpha\)", text), "LS header missing"
+    # GMRES family: header with rtol + iteration rows with fproj/cproj
+    assert re.search(r"gmres\s+nhvc\s+iter\s+res\s+rel\s+fproj\s+cproj"
+                     r"\s+gmres rtol:", text), "GMRES header missing"
+    gmres_rows = re.findall(
+        r"^\s+\d+\s+\d+\s+[\d.e+-]+\s+[\d.e+-]+\s+[\d.e+-]+\s+[\d.e+-]+\s*$",
+        text, re.M)
+    assert gmres_rows, "no GMRES iteration rows with fproj/cproj"
+    # the fixed-width iteration contract still parses
+    data = unpack_output(out)
+    assert len(data["fobj"]) > 0
+
+    # MatInfo family requires the general-CSR sparse path
+    out2 = str(tmp_path / "paropt_csr.out")
+    sp = ElectronCSR(n=6)
+    ip2 = InteriorPoint(sp, {"output_file": out2, "output_level": 1,
+                             "abs_res_tol": 1e-6,
+                             "max_major_iters": 300})
+    ip2.optimize()
+    text2 = open(out2).read()
+    assert "MatInfo:" in text2, "MatInfo rows missing"
+    assert len(unpack_output(out2)["fobj"]) > 0
