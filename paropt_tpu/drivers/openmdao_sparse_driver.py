@@ -50,17 +50,25 @@ class _OpenMDAOSparseProblem(CSRSparseProblem):
         nvars = sum(sizes)
 
         con_meta = driver._cons
-        self._sparse_names = [n for n in con_meta if n in sparse_names]
+        # inequality names first in BOTH groups: the framework convention
+        # is that the trailing ncon-ninequality / nwcon-nwinequality
+        # constraints are equalities (dymos defect constraints arrive as
+        # sparse `equals=` rows)
+        sp = [n for n in con_meta if n in sparse_names]
+        sp_ineq = [n for n in sp if con_meta[n]["equals"] is None]
+        sp_eq = [n for n in sp if con_meta[n]["equals"] is not None]
+        self._sparse_names = sp_ineq + sp_eq
         dense_names = [n for n in con_meta if n not in sparse_names]
         ineq = [n for n in dense_names if con_meta[n]["equals"] is None]
         eq = [n for n in dense_names if con_meta[n]["equals"] is not None]
         self._dense._con_names = ineq + eq
         ncon = sum(int(con_meta[n]["size"]) for n in self._dense._con_names)
         nineq = sum(int(con_meta[n]["size"]) for n in ineq)
+        nwineq = sum(int(con_meta[n]["size"]) for n in sp_ineq)
 
         rowp, cols = self._sparse_pattern(nvars)
         super().__init__(nvars=nvars, ncon=ncon, rowp=rowp, cols=cols,
-                         ninequality=nineq)
+                         ninequality=nineq, nwinequality=nwineq)
         # forward the adapter plumbing used by the dense methods
         self._dense.nvars = nvars
         self._dense.ncon = ncon

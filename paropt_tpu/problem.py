@@ -350,21 +350,28 @@ def check_gradients(problem: Problem, dh: Optional[float] = None, x=None,
         out["sparse_adjoint"] = float(
             abs(lhs - rhs) / max(abs(float(lhs)), 1e-30))
 
-        # block inner product: e_i^T (Aw C Aw^T) e_j vs product route
-        cvec = jnp.asarray(key.uniform(size=problem.nvars) + 0.5, dtype=dtype)
-        blocks = problem.sparse_inner_product(x, cvec)
-        nb = problem.nwblock
-        errs = []
-        for i in range(min(problem.nwcon, 4 * nb)):
-            ei = jnp.zeros(problem.nwcon, dtype=dtype).at[i].set(1.0)
-            row = problem.sparse_jacobian_vec(
-                x, cvec * problem.sparse_jacobian_tvec(x, ei))
-            b = i // nb
-            approx = jnp.zeros(problem.nwcon, dtype=dtype)
-            approx = approx.at[b * nb:(b + 1) * nb].set(blocks[b][:, i % nb])
-            errs.append(float(jnp.max(jnp.abs(row - approx))))
-        out["sparse_inner_product"] = max(errs) / max(
-            float(jnp.max(jnp.abs(blocks))), 1e-30)
+        # block inner product: e_i^T (Aw C Aw^T) e_j vs product route.
+        # Only meaningful on the BLOCK path (rows in distinct blocks have
+        # disjoint column support); general-CSR problems (use_csr_path) may
+        # have overlapping rows and route Aw D Aw^T through the native
+        # sparse factorization instead, so the block check is skipped.
+        if not getattr(problem, "use_csr_path", False):
+            cvec = jnp.asarray(key.uniform(size=problem.nvars) + 0.5,
+                               dtype=dtype)
+            blocks = problem.sparse_inner_product(x, cvec)
+            nb = problem.nwblock
+            errs = []
+            for i in range(min(problem.nwcon, 4 * nb)):
+                ei = jnp.zeros(problem.nwcon, dtype=dtype).at[i].set(1.0)
+                row = problem.sparse_jacobian_vec(
+                    x, cvec * problem.sparse_jacobian_tvec(x, ei))
+                b = i // nb
+                approx = jnp.zeros(problem.nwcon, dtype=dtype)
+                approx = approx.at[b * nb:(b + 1) * nb].set(
+                    blocks[b][:, i % nb])
+                errs.append(float(jnp.max(jnp.abs(row - approx))))
+            out["sparse_inner_product"] = max(errs) / max(
+                float(jnp.max(jnp.abs(blocks))), 1e-30)
 
     if verbose:
         for k, v in out.items():

@@ -87,3 +87,69 @@ class QuadProblem:
             elif name == "local":
                 rows.append(np.eye(self.n))
         return np.vstack(rows)
+
+
+class TrajectoryProblem:
+    """Fake dymos-transcription problem (the role of
+    `examples/dymos/brachistochrone`): a trajectory phase exposed through
+    the OpenMDAO surface exactly the way dymos presents it to
+    ParOptSparseDriver — state/control/duration design-variable groups,
+    one 'defects' EQUALITY constraint vector (the collocation defects,
+    `equals=0`), and a final-time objective.  The math is backed by
+    `BrachistochroneCollocation` (trapezoidal transcription)."""
+
+    def __init__(self, n_nodes=16):
+        from paropt_tpu.models.brachistochrone import (
+            BrachistochroneCollocation)
+        import jax
+        m = BrachistochroneCollocation(n_nodes=n_nodes)
+        self.model = m
+        x0, lb, ub = (np.asarray(a, float) for a in m.get_vars_and_bounds())
+        N = m.N
+        self._slices = {
+            "states:x": slice(m._ox, m._ox + N - 2),
+            "states:y": slice(m._oy, m._oy + N - 2),
+            "states:v": slice(m._ov, m._ov + N - 1),
+            "controls:theta": slice(m._ot, m._ot + N),
+            "t_duration": slice(m._otf, m._otf + 1),
+        }
+        self.vals = {k: x0[sl].copy() for k, sl in self._slices.items()}
+        self._dv_meta = {
+            k: {"size": sl.stop - sl.start, "lower": lb[sl].copy(),
+                "upper": ub[sl].copy()}
+            for k, sl in self._slices.items()}
+        self._con_meta = {
+            "defects": {"size": m.nwcon, "equals": 0.0,
+                        "lower": -1e30, "upper": 1e30},
+        }
+        self._obj_names = ["time"]
+        self.outputs = {}
+        self.nruns = 0
+        self._jac = jax.jit(jax.jacrev(m._defects))
+
+    def _assemble(self):
+        x = np.zeros(self.model.nvars)
+        for k, sl in self._slices.items():
+            x[sl] = self.vals[k]
+        return x
+
+    def run_model(self):
+        x = self._assemble()
+        self.outputs = {
+            "time": np.array([x[self.model._otf]]),
+            "defects": np.asarray(self.model._defects(x)),
+        }
+        self.nruns += 1
+
+    def compute_totals(self, of, wrt, return_format="array"):
+        x = self._assemble()
+        J = np.asarray(self._jac(x))
+        rows = []
+        for name in of:
+            if name == "time":
+                g = np.zeros((1, self.model.nvars))
+                g[0, self.model._otf] = 1.0
+                rows.append(g)
+            elif name == "defects":
+                rows.append(J)
+        return np.vstack(rows)
