@@ -391,10 +391,12 @@ class FusedEigenTR:
             ninequality=problem.ninequality, nwinequality=0)
 
         qn0 = None
-        if o["qn_type"] != "none" and o["qn_subspace_size"] > 0:
+        msub = qnmod.resolve_subspace_size(
+            o["qn_subspace_size"], o["qn_subspace_auto"], n, dt)
+        if o["qn_type"] != "none" and msub > 0:
             from .ip import _resolve_qn_storage
             qn0 = qnmod.qn_init(
-                o["qn_subspace_size"], n, dtype=dt, qn_type=o["qn_type"],
+                msub, n, dtype=dt, qn_type=o["qn_type"],
                 b0=qn_b0,
                 storage_dtype=_resolve_qn_storage(o["qn_storage_dtype"], dt),
                 update_type=o["qn_update_type"],

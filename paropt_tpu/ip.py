@@ -461,7 +461,9 @@ class InteriorPoint:
         if qt == "none" or o["sequential_linear_method"]:
             self.qn = None
             return
-        msub = o["qn_subspace_size"]
+        msub = qnmod.resolve_subspace_size(
+            o["qn_subspace_size"], o["qn_subspace_auto"],
+            self.problem.nvars, self.dtype)
         if msub <= 0:
             self.qn = None
             return

@@ -1023,10 +1023,12 @@ def fused_ip_optimize(problem, options=None):
         use_quasi_newton_update=not o["sequential_linear_method"])
 
     qn0 = None
+    msub = qnmod.resolve_subspace_size(
+        o["qn_subspace_size"], o["qn_subspace_auto"], problem.nvars, dt)
     if o["qn_type"] != "none" and not o["sequential_linear_method"] \
-            and o["qn_subspace_size"] > 0:
+            and msub > 0:
         qn0 = qnmod.qn_init(
-            o["qn_subspace_size"], problem.nvars, dtype=dt,
+            msub, problem.nvars, dtype=dt,
             qn_type=o["qn_type"],
             storage_dtype=_resolve_qn_storage(o["qn_storage_dtype"], dt),
             update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])

@@ -531,12 +531,15 @@ class TrustRegion:
     def _init_ip_qn(self):
         o = self.options
         qt = o["qn_type"]
-        if qt != "none" and o["qn_subspace_size"] > 0:
+        msub = qnmod.resolve_subspace_size(
+            o["qn_subspace_size"], o["qn_subspace_auto"],
+            self.problem.nvars, self.ip.dtype)
+        if qt != "none" and msub > 0:
             from .ip import _resolve_qn_storage
             storage = _resolve_qn_storage(o["qn_storage_dtype"],
                                           self.ip.dtype)
             self.qn_holder["state"] = qnmod.qn_init(
-                o["qn_subspace_size"], self.problem.nvars,
+                msub, self.problem.nvars,
                 dtype=self.ip.dtype,
                 qn_type=qt, storage_dtype=storage,
                 update_type=o["qn_update_type"], diag_type=o["qn_diag_type"])
@@ -1334,10 +1337,12 @@ class FusedTR:
 
         # initial quasi-Newton state (shared ladder with the host TR)
         qn0 = None
-        if o["qn_type"] != "none" and o["qn_subspace_size"] > 0:
+        msub = qnmod.resolve_subspace_size(
+            o["qn_subspace_size"], o["qn_subspace_auto"], n, dt)
+        if o["qn_type"] != "none" and msub > 0:
             from .ip import _resolve_qn_storage
             qn0 = qnmod.qn_init(
-                o["qn_subspace_size"], n, dtype=dt, qn_type=o["qn_type"],
+                msub, n, dtype=dt, qn_type=o["qn_type"],
                 storage_dtype=_resolve_qn_storage(o["qn_storage_dtype"], dt),
                 update_type=o["qn_update_type"],
                 diag_type=o["qn_diag_type"])

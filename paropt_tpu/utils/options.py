@@ -298,6 +298,16 @@ def add_ip_options(opts: OptionRegistry) -> OptionRegistry:
                "Phi stacks (TPU HBM-bandwidth knob). 'auto' = bfloat16 when "
                "computing in float32 on an accelerator, otherwise native; "
                "'native' = optimizer dtype")
+    o.add_bool("qn_subspace_auto",
+               False,
+               "Shrink qn_subspace_size on large bandwidth-bound problems "
+               "(TPU HBM knob): the QN machinery's per-iteration HBM "
+               "traffic scales ~linearly with the subspace size, and on "
+               "the >= 0.5M-variable f32 topology workload msub=5 "
+               "converged in identical iterations at ~1.4x the "
+               "iteration rate (msub=3 at ~1.8x). 'auto' caps the "
+               "subspace at 5 when nvars >= 2^19 in 32-bit precision; "
+               "smaller problems keep the requested size")
     return o
 
 

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--local-devices", type=int, default=2)
     ap.add_argument("--nex", type=int, default=16)
     ap.add_argument("--ney", type=int, default=8)
+    ap.add_argument("--nez", type=int, default=0,
+                    help="> 0 selects the 3-D voxel model (grid-form "
+                         "stencil: different halo/collective pattern)")
     ap.add_argument("--cg-iters", type=int, default=25)
     ap.add_argument("--max-iters", type=int, default=8)
     ap.add_argument("--out", type=str, default=None)
@@ -65,12 +68,17 @@ def main():
     import numpy as np
 
     from paropt_tpu.mma import FusedMMA
-    from paropt_tpu.models.fem_topology import FEMTopology
     from paropt_tpu.parallel import sharding as shlib
 
     dtype = "float64" if jax.default_backend() == "cpu" else "float32"
-    prob = FEMTopology(nex=args.nex, ney=args.ney, cg_iters=args.cg_iters,
-                       solver="mgcg")
+    if args.nez > 0:
+        from paropt_tpu.models.fem_topology3d import FEMTopology3D
+        prob = FEMTopology3D(nex=args.nex, ney=args.ney, nez=args.nez,
+                             cg_iters=args.cg_iters, solver="mgcg")
+    else:
+        from paropt_tpu.models.fem_topology import FEMTopology
+        prob = FEMTopology(nex=args.nex, ney=args.ney,
+                           cg_iters=args.cg_iters, solver="mgcg")
     solver = FusedMMA(prob, {"mma_max_iterations": args.max_iters,
                              "mma_output_file": None, "dtype": dtype})
 
@@ -105,7 +113,7 @@ def main():
         "num_processes": jax.process_count(),
         "global_devices": len(jax.devices()),
         "mesh": str(tuple(mesh.shape.items())),
-        "nex": args.nex, "ney": args.ney,
+        "nex": args.nex, "ney": args.ney, "nez": args.nez,
         "iters": int(state.k),
         "fobj": float(state.fobj),
         "infeas": float(state.infeas),

@@ -83,3 +83,51 @@ def test_fused_eigen_tr_3d_design():
     assert res["infeas"] < 1e-3
     freqs = prob.frequencies(res["x"])
     assert freqs[0] >= np.sqrt(prob.lam_target) * (1.0 - 1e-2)
+
+
+def test_minv_floor_f32_regime():
+    """The dtype-aware Minv regularization floor (the da34b66 TPU-f32
+    fix): in float32 the relative eigenvalue floor is 1e3*eps (cond
+    bound ~1e4), in float64 the historical 1e-8 — and at a mesh where
+    the KS aggregate concentrates on one mode, the f32 floor actually
+    BINDS (raw relative spread of the KS curvature exceeds 1e4) while
+    the regularized inverse respects the conditioning bound."""
+    p32 = FrequencyTopology3D(nex=16, ney=8, nez=8, N=4, cg_iters=30,
+                              lobpcg_iters=50, solver="mgcg",
+                              dtype=jnp.float32)
+    p64 = _small()
+    f32_eps = float(np.finfo(np.float32).eps)
+    assert p32._minv_floor() == max(1e-8, 1e3 * f32_eps)
+    assert p64._minv_floor() == 1e-8
+
+    x0, _, _ = p32.get_vars_and_bounds()
+    f, c, g, A, M, Minv, h = p32.eval_full(x0)[:7]
+    scale = p32.ks_rho / p32.lam_target ** 2
+    e_raw = np.linalg.eigvalsh(np.asarray(M, np.float64))
+    # the regime: raw spread beyond the f32 cond bound (eta collapse)
+    assert np.max(np.abs(e_raw)) / max(np.max(-e_raw[e_raw < 0])
+                                       if np.any(e_raw < 0) else 0.0,
+                                       p32._minv_floor() * scale) >= 1.0
+    floor = p32._minv_floor() * scale
+    e_inv = np.linalg.eigvalsh(np.asarray(Minv, np.float64))
+    assert np.all(e_inv < 0.0)                     # NSD inverse
+    assert np.max(np.abs(e_inv)) <= 1.0 / floor * 1.01  # cond bound holds
+    assert np.isfinite(np.asarray(Minv)).all()
+
+
+def test_fused_eigen_tr_f32_fine_mesh_progress():
+    """f32 fused eigen-TR at a mesh in the high-scale regime: every
+    outer iteration stays finite (no NaN-freeze) and the design makes
+    progress — the end-to-end guard for the TPU f32 failure that froze
+    64x32x32 at mass=1.0 with rho=nan."""
+    p = FrequencyTopology3D(nex=16, ney=8, nez=8, N=4, cg_iters=30,
+                            lobpcg_iters=50, solver="mgcg",
+                            dtype=jnp.float32)
+    ftr = p.build_fused_tr({"tr_max_iterations": 8,
+                            "tr_output_file": None, "output_file": None})
+    res, st = ftr.solve()
+    x = np.asarray(res["x"])
+    assert np.isfinite(x).all()
+    assert np.isfinite(float(res["fobj"]))
+    assert float(res["fobj"]) < 0.95          # mass reduced from 1.0
+    assert np.isfinite(float(st.rho))

@@ -66,7 +66,8 @@ def test_option_registry_name_parity():
     # (`ParOptInteriorPoint.cpp:536-727`, `ParOptTrustRegion.cpp:739-847`,
     # `ParOptMMA.cpp:234-289`, `ParOptOptimizer.cpp:39-50`)
     expected_absent = {"soc_rank_gamma"}          # commented out upstream
-    extensions = {"dtype", "qn_storage_dtype", "mma_kkt_error_scaling",
+    extensions = {"dtype", "qn_storage_dtype", "qn_subspace_auto",
+                  "mma_kkt_error_scaling",
                   "mma_max_no_improvement",
                   "use_fused_loop"}              # TPU-native extensions
     assert extensions <= ours
@@ -105,7 +106,8 @@ def test_full_option_table_parity():
             ref[name] = desc
 
     ours = make_options()
-    extensions = {"dtype", "qn_storage_dtype", "mma_kkt_error_scaling",
+    extensions = {"dtype", "qn_storage_dtype", "qn_subspace_auto",
+                  "mma_kkt_error_scaling",
                   "mma_max_no_improvement",
                   "use_fused_loop"}  # documented TPU-native extensions
     assert set(ref) - set(ours) == set(), "missing reference options"
@@ -123,3 +125,25 @@ def test_full_option_table_parity():
             assert float(d.high) == float(spec["high"]), name
         if spec["type"] == "enum":
             assert list(d.values) == list(spec["values"]), name
+
+
+def test_qn_subspace_auto_policy():
+    """qn_subspace_auto: caps msub at 5 only for large bandwidth-bound
+    32-bit problems; plumbed through the solvers."""
+    import jax.numpy as jnp
+    from paropt_tpu.ops.qn import resolve_subspace_size
+    assert resolve_subspace_size(10, False, 1 << 20, jnp.float32) == 10
+    assert resolve_subspace_size(10, True, 1 << 20, jnp.float32) == 5
+    assert resolve_subspace_size(10, True, 1 << 20, jnp.float64) == 10
+    assert resolve_subspace_size(10, True, 1 << 16, jnp.float32) == 10
+    assert resolve_subspace_size(3, True, 1 << 20, jnp.float32) == 3
+
+    # option accepted end-to-end (small problem: size unchanged)
+    from paropt_tpu import InteriorPoint
+    from paropt_tpu.models.analytic import Rosenbrock
+    ip = InteriorPoint(Rosenbrock(), {"output_file": None,
+                                      "abs_res_tol": 1e-8,
+                                      "qn_subspace_auto": True})
+    res = ip.optimize()
+    assert res["converged"]
+    assert ip.qn.msub == 10
