@@ -228,3 +228,86 @@ def test_multi_process_fem_mma_matches_single_process(tmp_path):
         np.testing.assert_allclose(a["fobj"], b["fobj"], rtol=1e-9)
         np.testing.assert_allclose(a["infeas"], b["infeas"], atol=1e-9)
         np.testing.assert_allclose(a["l1"], b["l1"], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# 3-D grid-form path cross-process at 4 processes: the [3, nnx, nny, nnz]
+# stencil's pad/slice pattern generates DIFFERENT collectives than the 2-D
+# model (halos along three axes + the 3-D multigrid transfers), and 4
+# single-device processes put every halo on the cross-process (gloo) leg.
+# ---------------------------------------------------------------------------
+
+FEM3D_NEX, FEM3D_NEY, FEM3D_NEZ, FEM3D_ITERS = 8, 4, 4, 6
+
+
+def _fem3d_single_process_trajectory():
+    from paropt_tpu.mma import FusedMMA
+    from paropt_tpu.models.fem_topology3d import FEMTopology3D
+    from paropt_tpu.parallel import sharding as shlib
+
+    prob = FEMTopology3D(nex=FEM3D_NEX, ney=FEM3D_NEY, nez=FEM3D_NEZ,
+                         cg_iters=25, solver="mgcg")
+    solver = FusedMMA(prob, {"mma_max_iterations": FEM3D_ITERS,
+                             "mma_output_file": None, "dtype": "float64"})
+    mesh = shlib.design_mesh(devices=jax.devices()[:4])
+    n = prob.nvars
+
+    def place(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[-1] == n:
+            sh = (shlib.design_sharding(mesh) if leaf.ndim == 1
+                  else shlib.row_sharding(mesh))
+            return jax.device_put(leaf, sh)
+        return jax.device_put(leaf, shlib.replicated_sharding(mesh))
+
+    state = jax.tree_util.tree_map(place, solver._state0)
+    traj = []
+    for _ in range(FEM3D_ITERS):
+        state = solver._step_jit(state)
+        traj.append({"k": int(state.k), "fobj": float(state.fobj),
+                     "infeas": float(state.infeas),
+                     "l1": float(state.l1)})
+        if bool(state.converged):
+            break
+    return traj
+
+
+def test_four_process_fem3d_mma_matches_single_process(tmp_path):
+    nproc, local = 4, 1
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(nproc):
+        out = tmp_path / f"fem3d_rank{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, FEM_WORKER,
+             "--process-id", str(pid), "--num-processes", str(nproc),
+             "--port", str(port), "--local-devices", str(local),
+             "--nex", str(FEM3D_NEX), "--ney", str(FEM3D_NEY),
+             "--nez", str(FEM3D_NEZ),
+             "--max-iters", str(FEM3D_ITERS), "--out", str(out)],
+            env=_worker_env(local), stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE, text=True))
+
+    single_traj = _fem3d_single_process_trajectory()
+
+    for p in procs:
+        _, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-4000:]
+
+    ranks = [json.loads(out.read_text()) for out in outs]
+    assert ranks[0]["num_processes"] == nproc
+    assert ranks[0]["global_devices"] == nproc * local
+
+    # SPMD determinism across all 4 ranks
+    for r in ranks[1:]:
+        assert r["trajectory"] == ranks[0]["trajectory"]
+
+    # trajectory identity with the single-process 4-device run
+    mp = ranks[0]["trajectory"]
+    assert len(mp) == len(single_traj)
+    for a, b in zip(mp, single_traj):
+        assert a["k"] == b["k"]
+        np.testing.assert_allclose(a["fobj"], b["fobj"], rtol=1e-9)
+        np.testing.assert_allclose(a["infeas"], b["infeas"], atol=1e-9)
+        np.testing.assert_allclose(a["l1"], b["l1"], rtol=1e-6)
