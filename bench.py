@@ -157,12 +157,18 @@ def main():
     print(json.dumps(out))
 
 
-def _median_metric(name, build, n_windows=3):
+def _median_metric(name, build, n_windows=3, check=None):
     """Median-of-k flagship measurement: ``build()`` returns a zero-arg
     ``run() -> result_dict`` over an already-constructed solver; the first
     call pays the compile, then ``n_windows`` timed re-runs of the SAME
     compiled solve give median/min/max it/s (the tunnel's run-to-run
-    variance is ~3x on single windows — CLAUDE.md)."""
+    variance is ~3x on single windows — CLAUDE.md).
+
+    ``check(res)`` is a CONVERGENCE-QUALITY gate: throughput without a
+    converged-state assert silently rewards broken solves, so each
+    flagship metric pins its expected final objective band and
+    infeasibility; a violation raises and surfaces in the bench tail
+    (crash-isolated per metric)."""
     import time as _time
     run = build()
     t0 = _time.time()
@@ -180,6 +186,8 @@ def _median_metric(name, build, n_windows=3):
         f"(min {rates[0]:.2f}, max {rates[-1]:.2f}; first run incl. compile "
         f"{compile_wall:.1f}s), fobj {res['fobj']:.4f}, "
         f"infeas {res['infeas']:.1e}\n")
+    if check is not None:
+        check(res)
     return {"metric": name, "value": round(med, 3), "unit": "iter/s",
             "vs_baseline": None,
             "min": round(rates[0], 3), "max": round(rates[-1], 3)}
@@ -264,6 +272,26 @@ def _flagship_benchmarks(on_cpu):
     tr_tag = "12x6" if on_cpu else "48x24"
     m3_tag = "8x4x4" if on_cpu else "32x16x16"
     eig_tag = "8x4" if on_cpu else "24x12"
+
+    def band(lo, hi, max_infeas):
+        """Converged-state gate: final objective inside the band observed
+        across rounds 3-5 at this config, infeasibility bounded."""
+        def check(res):
+            assert lo < res["fobj"] < hi, \
+                f"fobj {res['fobj']:.4f} outside converged band ({lo}, {hi})"
+            assert res["infeas"] < max_infeas, \
+                f"infeas {res['infeas']:.2e} > {max_infeas:.1e}"
+        return check
+
+    if on_cpu:
+        # small smoke shapes stop earlier: looser bands (observed CPU
+        # endpoints: mma2d 0.249, tr 0.444, mma3d 0.526, eigtr 0.583 at
+        # infeas 1.2e-2 after its 8 truncated iterations)
+        checks = [band(0.05, 0.40, 1e-8), band(0.10, 0.60, 1e-6),
+                  band(0.30, 0.80, 1e-8), band(0.20, 0.90, 5e-2)]
+    else:
+        checks = [band(0.10, 0.18, 1e-8), band(0.18, 0.30, 1e-6),
+                  band(0.08, 0.14, 1e-8), band(0.25, 0.35, 2e-3)]
     metrics = [
         (f"mma_fem{cpu_tag}_outer_iterations_per_s", build_mma2d),
         (f"tr_fem{tr_tag}_outer_iterations_per_s", build_tr2d),
@@ -271,9 +299,9 @@ def _flagship_benchmarks(on_cpu):
         (f"eigtr_fem{eig_tag}_outer_iterations_per_s", build_eigtr),
     ]
     extra, errors = [], []
-    for name, build in metrics:
+    for (name, build), check in zip(metrics, checks):
         try:
-            extra.append(_median_metric(name, build))
+            extra.append(_median_metric(name, build, check=check))
         except Exception as exc:  # crash-isolate: one metric can't zero
             msg = f"{name}: {type(exc).__name__}: {exc}"
             sys.stderr.write(f"[bench] FAILED {msg}\n")

@@ -37,11 +37,12 @@ its curvature model at x (`models/fem_frequency.py::eval_full`).  One
 evaluation per trial point: the eigensolve that prices the trial ALSO
 delivers the refreshed model, so rejected steps pay nothing extra.
 
-If the problem's ``eval_full`` instead accepts ``(x, V0)`` and returns an
-8th element ``V`` (the eigenbasis), the loop WARM-STARTS every eigensolve
+If the problem opts in to warm starting (a ``supports_eig_warm_start``
+attribute, or an ``eval_full`` parameter named ``V0``) and returns an 8th
+element ``V`` (the eigenbasis), the loop WARM-STARTS every eigensolve
 after the first from the previous trial's basis — the basis rides the TR
-state, so trials cost `lobpcg_warm_iters` block iterations instead of the
-cold count (`fem_frequency._FrequencyBase.eval_full`).
+state, and LOBPCG's residual-based exit makes a converged warm basis cost
+~1 block iteration (`fem_frequency._FrequencyBase.eval_full`).
 """
 
 from __future__ import annotations
@@ -313,15 +314,21 @@ class FusedEigenTR:
         ubv = jnp.asarray(ub, dt)
         n, ncon = problem.nvars, problem.ncon
 
-        # problems whose eval_full accepts a second argument get LOBPCG
-        # warm-starting: the eigenbasis V rides the TR state and seeds the
-        # next trial's eigensolve (fem_frequency's lobpcg_warm_iters)
+        # warm-start capability is an EXPLICIT opt-in: either a
+        # `supports_eig_warm_start = True` attribute, or an eval_full
+        # parameter literally named 'V0' (the documented warm-start
+        # keyword).  Raw arity would misroute any future problem whose
+        # eval_full grows an unrelated second parameter / **kwargs into
+        # the 8-value unpack below.
         import inspect
-        try:
-            _np_ef = len(inspect.signature(problem.eval_full).parameters)
-        except (TypeError, ValueError):
-            _np_ef = 1
-        if _np_ef >= 2:
+        warm = bool(getattr(problem, "supports_eig_warm_start", False))
+        if not warm:
+            try:
+                params = inspect.signature(problem.eval_full).parameters
+                warm = "V0" in params
+            except (TypeError, ValueError):
+                warm = False
+        if warm:
             def eval_full(x, V=None):
                 f, c, g, A, M, Minv, h, Vn = problem.eval_full(x, V)
                 return (jnp.asarray(f, dt),

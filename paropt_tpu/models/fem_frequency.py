@@ -161,10 +161,12 @@ class _FrequencyBase(Problem):
 
         ``V0`` WARM-STARTS the LOBPCG from a previous eigenbasis (in the
         old point's M^(1/2) coordinates — still an excellent subspace
-        initializer under smooth mass changes): `lobpcg_warm_iters`
-        block iterations instead of the cold `lobpcg_iters`.  The fused
-        TR threads the accepted basis through its state, so every trial
-        after the first pays the warm cost.  Returns (..., V) — the basis
+        initializer under smooth mass changes).  Warm solves run under the
+        SAME `lobpcg_iters` budget as cold ones: LOBPCG's residual-based
+        while_loop exit makes a converged warm basis cost ~1 block
+        iteration while an under-converged one (large rejected step)
+        continues toward the cold budget.  The fused TR threads the
+        accepted basis through its state.  Returns (..., V) — the basis
         to thread."""
         x = jnp.asarray(x, self._dtype)
         lam, W, V = self._eig_fn(x, V0)
@@ -254,6 +256,9 @@ class FrequencyTopology(_FrequencyBase):
         self.rho_min = float(rho_min)
         self.lb = float(lb)
         self.lobpcg_iters = int(lobpcg_iters)
+        # superseded: warm starts now run under the full lobpcg_iters
+        # budget and rely on LOBPCG's residual-based early stopping
+        # (kept for API compatibility)
         self.lobpcg_warm_iters = int(lobpcg_warm_iters
                                      if lobpcg_warm_iters is not None
                                      else max(10, lobpcg_iters // 2))
@@ -291,6 +296,15 @@ class FrequencyTopology(_FrequencyBase):
             return fem.emin + xf ** fem.penal * (fem.e0 - fem.emin)
 
         def eig_fn(x, V0=None):
+            # full-precision matmuls for EVERY caller (TPU f32 defaults to
+            # bf16 inputs, which degrades the dense Rayleigh-Ritz
+            # projections inside LOBPCG): applying the context here covers
+            # lam_target calibration, the host path, and frequencies()
+            # rather than relying on call-site wrapping
+            with jax.default_matmul_precision("highest"):
+                return _eig_body(x, V0)
+
+        def _eig_body(x, V0):
             xf, filt_vjp = jax.vjp(fem._filter, x)
             E = simp(xf)
             m = self._mass_diag(xf)
@@ -303,9 +317,14 @@ class FrequencyTopology(_FrequencyBase):
                 return msqrt[:, None] * u
 
             X = self._X0 if V0 is None else V0
-            m_it = self.lobpcg_iters if V0 is None \
-                else self.lobpcg_warm_iters
-            mu, V, _ = lobpcg_standard(S, X, m=m_it)
+            # WARM starts get the full iteration budget: lobpcg_standard's
+            # lax.while_loop stops at its residual self-consistency test,
+            # so a good warm basis costs ~1 block iteration (measured 1/60
+            # f32, 23/60 f64 after a small design step vs 5/60, 37/60
+            # cold) while an under-converged warm solve (e.g. after a
+            # large rejected step) continues toward the cold budget —
+            # accuracy is monitored, not assumed
+            mu, V, _ = lobpcg_standard(S, X, m=self.lobpcg_iters)
             lam = 1.0 / mu                      # ascending: lam[0] smallest
             # phi = M^{-1/2} v; unit v gives phi' M phi = 1
             phi = jnp.where(msqrt[:, None] > 0, V / msqrt[:, None], 0.0)
@@ -363,6 +382,9 @@ class FrequencyTopology3D(_FrequencyBase):
         self.rho_min = float(rho_min)
         self.lb = float(lb)
         self.lobpcg_iters = int(lobpcg_iters)
+        # superseded: warm starts now run under the full lobpcg_iters
+        # budget and rely on LOBPCG's residual-based early stopping
+        # (kept for API compatibility)
         self.lobpcg_warm_iters = int(lobpcg_warm_iters
                                      if lobpcg_warm_iters is not None
                                      else max(10, lobpcg_iters // 2))
@@ -403,6 +425,11 @@ class FrequencyTopology3D(_FrequencyBase):
             return fem.emin + xf ** fem.penal * (fem.e0 - fem.emin)
 
         def eig_fn(x, V0=None):
+            # full-precision matmuls for every caller (see the 2-D model)
+            with jax.default_matmul_precision("highest"):
+                return _eig_body(x, V0)
+
+        def _eig_body(x, V0):
             xf, filt_vjp = jax.vjp(fem._filter, x)
             E = simp(xf)
             _, m = self._mass_grids(xf)
@@ -415,9 +442,9 @@ class FrequencyTopology3D(_FrequencyBase):
                 return msqrt[:, None] * u
 
             X = self._X0 if V0 is None else V0
-            m_it = self.lobpcg_iters if V0 is None \
-                else self.lobpcg_warm_iters
-            mu, V, _ = lobpcg_standard(S, X, m=m_it)
+            # warm starts get the full budget; lobpcg's residual test makes
+            # converged warm bases cost ~1 block iteration (see 2-D model)
+            mu, V, _ = lobpcg_standard(S, X, m=self.lobpcg_iters)
             lam = 1.0 / mu                      # ascending: lam[0] smallest
             phi = jnp.where(msqrt[:, None] > 0, V / msqrt[:, None], 0.0)
 
