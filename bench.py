@@ -136,10 +136,41 @@ def main():
     except Exception as exc:  # informational only — never kill the line
         sys.stderr.write(f"[bench] full solve failed: {exc}\n")
 
+    # qn_subspace_auto solve: the documented user-side knob (msub 10 -> 5
+    # at >= 2^19 f32 vars; identical iterations on this workload).  The
+    # PRIMARY metric keeps the reference-default msub=10 for cross-round
+    # comparability; this extra records the tuned-whole-solve rate.
+    auto_rate = None
+    try:
+        from paropt_tpu.ops import qn as _qnmod
+        msub_auto = _qnmod.resolve_subspace_size(10, True, n, dtype)
+        if msub_auto != 10:
+            qn_auto = _qnmod.qn_init(
+                msub_auto, n, dtype=dtype,
+                storage_dtype=_qnmod.default_storage_dtype(dtype))
+            out_a = fused.solve(x0, data, (), qn_auto, None, jit_loop=True)
+            jax.block_until_ready(out_a)
+            t0 = time.time()
+            out_a = fused.solve(x0, data, (), qn_auto, None, jit_loop=True)
+            jax.block_until_ready(out_a)
+            wall_a = time.time() - t0
+            auto_rate = int(out_a.k) / wall_a
+            sys.stderr.write(
+                f"[bench] qn_subspace_auto (msub={msub_auto}) solve: "
+                f"converged={bool(out_a.converged)} iters={int(out_a.k)} "
+                f"res={float(out_a.res_norm):.2e} wall={wall_a:.2f}s "
+                f"({auto_rate:.1f} it/s)\n")
+    except Exception as exc:  # informational only
+        sys.stderr.write(f"[bench] qn_subspace_auto solve failed: {exc}\n")
+
     extra, errors = [], []
     if step_gb is not None:
         extra.append({"metric": f"ip_step_hbm_gb_n{n}",
                       "value": round(step_gb, 3), "unit": "GB/step",
+                      "vs_baseline": None})
+    if auto_rate is not None:
+        extra.append({"metric": f"ip_solve_iterations_per_s_n{n}_msub_auto",
+                      "value": round(auto_rate, 3), "unit": "iter/s",
                       "vs_baseline": None})
     if not os.environ.get("PAROPT_TPU_BENCH_IP_ONLY"):
         ex, errors = _flagship_benchmarks(on_cpu)

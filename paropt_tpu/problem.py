@@ -262,8 +262,13 @@ def check_gradients(problem: Problem, dh: Optional[float] = None, x=None,
 
     mode='central' uses float64 central differences; mode='complex' uses the
     complex-step derivative Im(f(x + i·dh·px))/dh — exact to machine
-    precision for real-analytic jnp objectives, the role of the reference's
-    ``PAROPT_USE_COMPLEX`` recompile (`ParOptVec.h:17-23`, SURVEY.md §4).
+    precision for real-analytic jnp objectives.  Scope note vs the
+    reference's ``PAROPT_USE_COMPLEX`` whole-library recompile
+    (`ParOptVec.h:17-23`, SURVEY.md §4): the complex step here covers the
+    OBJECTIVE/CONSTRAINT gradients only; Hessian-vector products and the
+    sparse operators rely on autodiff exactness (plus the FD/adjoint
+    checks below) rather than a complex-arithmetic build of the whole
+    solver — autodiff makes the wider complex build redundant by design.
 
     Returns a dict of relative errors.
     """
