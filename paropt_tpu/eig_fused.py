@@ -461,9 +461,10 @@ class FusedEigenTR:
         ``chunk``/'auto' semantics as in FusedTR (utils/chunked.py);
         ``write_output``/``checkpoint_path`` fire every
         ``tr_write_output_frequency`` iterations at chunk boundaries."""
-        from .utils.chunked import make_write_output_hook, run_chunked
+        from .utils.chunked import (make_write_output_hook, run_chunked,
+                                    user_write_output)
         hook = make_write_output_hook(
-            getattr(self._problem, "write_output", None), self._write_freq,
+            user_write_output(self._problem), self._write_freq,
             checkpoint_path=checkpoint_path)
         state = state0 if state0 is not None else self._state0
         if jit_loop:

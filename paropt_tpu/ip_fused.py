@@ -1042,8 +1042,8 @@ def fused_ip_optimize(problem, options=None):
     # mid-solve writeOutput + checkpoint cadence at chunk boundaries
     # (`ParOptInteriorPoint.cpp:4620-4631`); with the default no-op
     # write_output this also gives the watchdog-safe chunked execution
-    from .utils.chunked import make_write_output_hook
-    hook = make_write_output_hook(problem.write_output,
+    from .utils.chunked import make_write_output_hook, user_write_output
+    hook = make_write_output_hook(user_write_output(problem),
                                   o["write_output_frequency"],
                                   get_x=lambda st: st.vars.x,
                                   checkpoint_path=o["ip_checkpoint_file"])

@@ -785,9 +785,10 @@ class FusedMMA:
         ``checkpoint_path`` additionally writes an Orbax checkpoint of the
         FULL state at the same cadence (resume by passing the restored
         state as ``state0``)."""
-        from .utils.chunked import make_write_output_hook, run_chunked
+        from .utils.chunked import (make_write_output_hook, run_chunked,
+                                    user_write_output)
         hook = make_write_output_hook(
-            getattr(self._problem, "write_output", None), self._write_freq,
+            user_write_output(self._problem), self._write_freq,
             get_x=lambda st: st.x, checkpoint_path=checkpoint_path)
         state = state0 if state0 is not None else self._state0
         if jit_loop:

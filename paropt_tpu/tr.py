@@ -1391,8 +1391,9 @@ class FusedTR:
         ``checkpoint_path`` additionally writes an Orbax checkpoint of the
         FULL state at the same cadence — pass a previous checkpoint's
         restored state as ``state0`` to resume."""
-        from .utils.chunked import make_write_output_hook, run_chunked
-        hook = make_write_output_hook(self._problem.write_output,
+        from .utils.chunked import (make_write_output_hook, run_chunked,
+                                    user_write_output)
+        hook = make_write_output_hook(user_write_output(self._problem),
                                       self._write_freq,
                                       checkpoint_path=checkpoint_path)
         state = state0 if state0 is not None else self._state0

@@ -70,6 +70,21 @@ def run_chunked(run_jit, state, max_it: int, chunk="auto",
             return state
 
 
+def user_write_output(problem):
+    """The problem's ``write_output`` bound method only if the problem
+    class OVERRIDES it.  The base ``Problem.write_output`` is a no-op —
+    but routing it through the chunk hook still costs an ``int(state.k)``
+    device sync per chunk boundary, a ~10-50 ms round trip on tunneled
+    TPUs that measurably slowed default-config fused solves (the r04
+    MMA-2D bench drop).  Returning None lets ``make_write_output_hook``
+    collapse to no hook at all."""
+    from ..problem import Problem
+    fn = getattr(type(problem), "write_output", None)
+    if fn is None or fn is Problem.write_output:
+        return None
+    return problem.write_output
+
+
 def make_write_output_hook(write_output, freq, get_x=lambda st: st.xk,
                            checkpoint_path=None):
     """Build an ``on_chunk`` callback firing the problem's
@@ -85,6 +100,8 @@ def make_write_output_hook(write_output, freq, get_x=lambda st: st.xk,
     """
     if freq is None or int(freq) <= 0:
         return None
+    if write_output is None and checkpoint_path is None:
+        return None          # nothing to fire: avoid the per-chunk sync
     freq = int(freq)
     next_k = [0]
 
