@@ -122,3 +122,30 @@ def test_fake_dymos_sparse_driver(monkeypatch):
     tf = float(om_prob.vals["t_duration"][0])
     # N=16 trapezoid: coarser discretization, looser anchor
     assert tf == pytest.approx(1.8016, rel=2e-2), tf
+
+
+def test_ssto_collocation_hits_dymos_anchor():
+    """The SSTO lunar ascent (`examples/dymos/ssto/ssto.py` role):
+    linear-tangent guidance + trapezoidal collocation reproduces the
+    documented optimum t_f ~= 481 s (measured discretization limit
+    481.76; N=40 gives 481.90)."""
+    from paropt_tpu.models.ssto import SSTOCollocation
+
+    prob = SSTOCollocation(n_nodes=40)
+    errs = prob.check_gradients(1e-6, verbose=False)
+    assert errs["obj_gradient"] < 1e-6, errs
+    assert errs["con_gradient"] < 1e-6, errs
+    assert errs["sparse_jacobian"] < 1e-6, errs
+
+    ip_opts = {k: v for k, v in _DYMOS_OPTS.items() if k != "algorithm"}
+    res = InteriorPoint(prob, ip_opts).optimize()
+    assert res["converged"], res
+    tf = prob.final_time(res["x"])
+    assert tf == pytest.approx(481.90, rel=1e-3), tf
+    d = np.asarray(prob._defects(res["x"]))
+    c = np.asarray(prob.constraints(res["x"]))
+    assert np.max(np.abs(d)) < 1e-6       # dynamics satisfied
+    assert np.max(np.abs(c)) < 1e-6       # orbit-insertion BCs satisfied
+    # linear-tangent guidance pitches DOWN monotonically (p0 > p1)
+    x = np.asarray(res["x"])
+    assert x[prob._op] > x[prob._op + 1]
