@@ -96,7 +96,6 @@ class SSTOCollocation(CSRSparseProblem):
         N = self.N
         nb = N - 1
         dt = xv.dtype
-        z = jnp.zeros(1, dt)
 
         def full(s, ref, s0=0.0):
             o = self._off[s]
@@ -108,7 +107,6 @@ class SSTOCollocation(CSRSparseProblem):
         vx = full("vx", _REF_V)
         vy = full("vy", _REF_V, 1e-6)
         m = full("m", _REF_V, _M0)
-        del z
         p0, p1 = xv[self._op], xv[self._op + 1]
         tau = jnp.linspace(0.0, 1.0, N).astype(dt)
         theta = jnp.arctan(p0 * (1.0 - tau) + p1 * tau)
