@@ -1104,6 +1104,15 @@ class InteriorPoint:
                                % (self.nhvec, 0, bnorm, 1.0))
         fproj: list = []
         cproj: list = []
+        # descent-direction gate threshold (`ParOptInteriorPoint.cpp:
+        # 6058-6069`): the tolerance exit is only taken when the current
+        # least-squares solution is a candidate DESCENT direction —
+        # fpr < 0, or the constraint projection reduces the l2
+        # infeasibility by at least 1% of its magnitude
+        cinfeas = float(jnp.linalg.norm(d.c - v.s + v.t)) if d.ncon else 0.0
+        cwinfeas = (float(jnp.linalg.norm(d.cw - v.sw + v.tw))
+                    if d.nwcon else 0.0)
+        descent_thresh = -0.01 * (cinfeas + cwinfeas)
 
         W = [b.x / bnorm]
         al = [1.0]
@@ -1116,11 +1125,10 @@ class InteriorPoint:
         for j in range(m):
             # z_j = K_B⁻¹ v̂_j (transient); K z_j = v̂_j + N(H-B)z_j.x
             zj = precon(embed(W[j], al[j]))
-            if verbose:
-                fp, cp = self._fn(_nk_projections)(
-                    v, d, b, zj, mu_j, o["rel_bound_barrier"])
-                fproj.append(float(fp))
-                cproj.append(float(cp))
+            fp, cp = self._fn(_nk_projections)(
+                v, d, b, zj, mu_j, o["rel_bound_barrier"])
+            fproj.append(float(fp))
+            cproj.append(float(cp))
             hvp = self.problem.eval_hvec_product(v.x, v.z, v.zw, zj.x)
             self.nhvec += 1
             w = W[j] + (jnp.asarray(hvp, self.dtype) - bmult(zj.x))
@@ -1149,27 +1157,34 @@ class InteriorPoint:
             g_vec[j] = cs[j] * g_vec[j]
             iters = j + 1
             res = abs(g_vec[j + 1])
+            # projection of the CURRENT least-squares solution onto the
+            # objective/constraint directions (`:6040-6056`); y solves the
+            # rotated upper-triangular system built so far (diagonal can
+            # only be 0 on a lucky breakdown — treated as exact)
+            yk = np.zeros(j + 1)
+            for i2 in range(j, -1, -1):
+                hd = H[i2, i2]
+                yk[i2] = 0.0 if hd == 0.0 else \
+                    (g_vec[i2] - H[i2, i2 + 1:j + 1] @ yk[i2 + 1:j + 1]) / hd
+            fpr = float(yk @ np.asarray(fproj[:j + 1]))
+            cpr = float(yk @ np.asarray(cproj[:j + 1]))
             if verbose:
-                # projection of the CURRENT least-squares solution onto the
-                # objective/constraint directions (`:6040-6056`); y solves
-                # the rotated upper-triangular system built so far
-                yk = np.zeros(j + 1)
-                for i2 in range(j, -1, -1):
-                    yk[i2] = (g_vec[i2]
-                              - H[i2, i2 + 1:j + 1] @ yk[i2 + 1:j + 1]) \
-                        / H[i2, i2]
-                fpr = float(yk @ np.asarray(fproj[:j + 1]))
-                cpr = float(yk @ np.asarray(cproj[:j + 1]))
                 self._logger.write(
                     "      %4d %4d %7.1e %7.1e %8.1e %8.1e\n"
                     % (self.nhvec, j + 1, res, res / bnorm, fpr, cpr))
-            if res < rtol * bnorm or res < atol or wnorm == 0.0:
+            # tolerance exit only for candidate descent directions
+            # (`:6058-6069`); a breakdown (wnorm == 0) always terminates
+            is_descent = fpr < 0.0 or cpr <= descent_thresh
+            if (is_descent and (res < rtol * bnorm or res < atol)) \
+                    or wnorm == 0.0:
                 break
         # back-substitute y
         k = iters
         y = np.zeros(k)
         for i in range(k - 1, -1, -1):
-            y[i] = (g_vec[i] - H[i, i + 1:k] @ y[i + 1:k]) / H[i, i]
+            hd = H[i, i]
+            y[i] = 0.0 if hd == 0.0 else \
+                (g_vec[i] - H[i, i + 1:k] @ y[i + 1:k]) / hd
         final_res = abs(g_vec[k])
         if not np.isfinite(final_res) or final_res > bnorm:
             return None, iters
@@ -1178,6 +1193,19 @@ class InteriorPoint:
                   jnp.zeros_like(b.x))
         u_a = float(sum(y[i] * al[i] for i in range(k)))
         p = precon(embed(u_w, u_a))
+        # the ASSEMBLED step must itself be a descent direction
+        # (`:6154-6189`): recompute the projections on the full step —
+        # p includes the non-x components the subspace combination only
+        # approximated — and fall back to the quasi-Newton step otherwise
+        # (the reference's -niters return)
+        fp_f, cp_f = self._fn(_nk_projections)(
+            v, d, b, p, mu_j, o["rel_bound_barrier"])
+        fpr_f, cpr_f = float(fp_f), float(cp_f)
+        if verbose:
+            self._logger.write("      %9s %7s %7s %8.1e %8.1e\n"
+                               % ("final", " ", " ", fpr_f, cpr_f))
+        if not (fpr_f < 0.0 or cpr_f < descent_thresh):
+            return None, iters
         return p, iters
 
     # -- checkpointing (`writeSolutionFile`/`readSolutionFile`,

@@ -1047,8 +1047,12 @@ def fused_ip_optimize(problem, options=None):
                                   o["write_output_frequency"],
                                   get_x=lambda st: st.vars.x,
                                   checkpoint_path=o["ip_checkpoint_file"])
+    # chunk='auto' ALWAYS: the watchdog-safe bounded device executions must
+    # not depend on whether a write_output hook exists (user_write_output
+    # returns None for the default no-op, which would otherwise select the
+    # single unbounded while_loop)
     state = fused.solve(x0, data, (), qn0, None, jit_loop=True,
-                        on_chunk=hook)
+                        on_chunk=hook, chunk="auto")
     result = {
         "x": state.vars.x, "fobj": float(state.fobj),
         "converged": bool(state.converged),

@@ -93,11 +93,9 @@ class BrachistochroneCollocation(CSRSparseProblem):
         super().__init__(nvars=nvars, ncon=0,
                          rowp=np.asarray(rowp, np.int32),
                          cols=np.asarray(cols, np.int32), nwinequality=0)
-        # flat (row, col) gather indices for the dense-jacobian data fill
-        rows_idx = np.repeat(np.arange(self.nwcon), np.diff(rowp))
-        self._rows_idx = jnp.asarray(rows_idx.astype(np.int32))
-        self._cols_idx = jnp.asarray(np.asarray(cols, np.int32))
-        self._jac_fn = jax.jit(jax.jacrev(self._defects))
+        # colored forward-mode CSR fill: ~9 jvp's regardless of N (vs an
+        # O(N^2) dense jacrev + gather)
+        self._jac_fill = self.colored_jacobian_fill(self._defects)
 
     # -- trajectory assembly ---------------------------------------------
     def _full_states(self, xv):
@@ -139,8 +137,7 @@ class BrachistochroneCollocation(CSRSparseProblem):
         return self._defects(x)
 
     def eval_sparse_jacobian_data(self, x):
-        J = self._jac_fn(jnp.asarray(x))
-        return J[self._rows_idx, self._cols_idx]
+        return self._jac_fill(jnp.asarray(x))
 
     def get_vars_and_bounds(self):
         N = self.N

@@ -84,10 +84,8 @@ class SSTOCollocation(CSRSparseProblem):
                          rowp=np.asarray(rowp, np.int32),
                          cols=np.asarray(cols, np.int32),
                          ninequality=0, nwinequality=0)
-        rows_idx = np.repeat(np.arange(self.nwcon), np.diff(rowp))
-        self._rows_idx = jnp.asarray(rows_idx.astype(np.int32))
-        self._cols_idx = jnp.asarray(np.asarray(cols, np.int32))
-        self._jac_fn = jax.jit(jax.jacrev(self._defects))
+        # colored forward-mode CSR fill: ~13 jvp's regardless of N
+        self._jac_fill = self.colored_jacobian_fill(self._defects)
 
     # -- trajectory assembly ---------------------------------------------
     def _full_states(self, xv):
@@ -148,8 +146,7 @@ class SSTOCollocation(CSRSparseProblem):
         return self._defects(x)
 
     def eval_sparse_jacobian_data(self, x):
-        J = self._jac_fn(jnp.asarray(x))
-        return J[self._rows_idx, self._cols_idx]
+        return self._jac_fill(jnp.asarray(x))
 
     def get_vars_and_bounds(self):
         N = self.N

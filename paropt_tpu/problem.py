@@ -426,6 +426,58 @@ class CSRSparseProblem(Problem):
         raise NotImplementedError(
             "override eval_sparse_jacobian_data(x) for CSRSparseProblem")
 
+    def colored_jacobian_fill(self, fn=None):
+        """Build a jitted ``x -> CSR data`` filler by COLORED forward-mode
+        differentiation of ``fn`` (default ``self.sparse_constraints``).
+
+        Columns are greedily colored so no constraint row touches two
+        same-colored columns; one ``jvp`` per color then yields every
+        entry exactly (a banded collocation Jacobian needs ~9-13 colors
+        regardless of the transcription size, vs the O(nw) passes +
+        O(nw x nvars) memory of a dense ``jacrev``).  The role of
+        OpenMDAO's simultaneous-coloring totals that the reference's
+        sparse driver consumes (`paropt_sparse_driver.py` +
+        ``declare_coloring``)."""
+        import jax
+        fn = fn if fn is not None else self.sparse_constraints
+        rowp, cols = self.csr_rowp, self.csr_cols
+        # invert the pattern: rows touching each column
+        col_rows = [[] for _ in range(self.nvars)]
+        for r in range(self.nwcon):
+            for k in range(rowp[r], rowp[r + 1]):
+                col_rows[cols[k]].append(r)
+        row_used = [set() for _ in range(self.nwcon)]
+        color = np.full(self.nvars, -1, dtype=np.int64)
+        for c in range(self.nvars):
+            if not col_rows[c]:
+                color[c] = 0
+                continue
+            forbidden = set()
+            for r in col_rows[c]:
+                forbidden |= row_used[r]
+            col = 0
+            while col in forbidden:
+                col += 1
+            color[c] = col
+            for r in col_rows[c]:
+                row_used[r].add(col)
+        ncolors = int(color.max()) + 1
+        seeds = np.zeros((ncolors, self.nvars))
+        seeds[color, np.arange(self.nvars)] = 1.0
+        seeds_j = jnp.asarray(seeds)
+        rows_idx = jnp.asarray(np.repeat(np.arange(self.nwcon),
+                                         np.diff(rowp)).astype(np.int32))
+        entry_colors = jnp.asarray(color[np.asarray(cols)].astype(np.int32))
+
+        def fill(x):
+            x = jnp.asarray(x)
+            jcols = jax.vmap(
+                lambda s: jax.jvp(fn, (x,), (s.astype(x.dtype),))[1]
+            )(seeds_j)                           # [ncolors, nwcon]
+            return jcols[entry_colors, rows_idx]
+
+        return jax.jit(fill)
+
     def set_sparse_jacobian_data(self, data) -> None:
         self._data = np.asarray(data, dtype=np.float64)
 

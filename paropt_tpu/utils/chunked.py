@@ -79,6 +79,8 @@ def user_write_output(problem):
     MMA-2D bench drop).  Returning None lets ``make_write_output_hook``
     collapse to no hook at all."""
     from ..problem import Problem
+    if "write_output" in vars(problem):     # instance-assigned hook
+        return problem.write_output
     fn = getattr(type(problem), "write_output", None)
     if fn is None or fn is Problem.write_output:
         return None
