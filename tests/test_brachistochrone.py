@@ -149,3 +149,27 @@ def test_ssto_collocation_hits_dymos_anchor():
     # linear-tangent guidance pitches DOWN monotonically (p0 > p1)
     x = np.asarray(res["x"])
     assert x[prob._op] > x[prob._op + 1]
+
+
+def test_colored_jacobian_fill_generic():
+    """colored_jacobian_fill is exact on any CSRSparseProblem: matches
+    ElectronCSR's handwritten analytic fill and the dense jacrev on the
+    collocation models, with O(1) colors."""
+    import jax
+    import jax.numpy as jnp
+    from paropt_tpu.models.cops import ElectronCSR
+
+    el = ElectronCSR(n=5)
+    x = jnp.asarray(np.linspace(0.1, 1.0, el.nvars))
+    fill = el.colored_jacobian_fill()
+    np.testing.assert_allclose(np.asarray(fill(x)),
+                               np.asarray(el.eval_sparse_jacobian_data(x)),
+                               rtol=1e-14)
+
+    prob = BrachistochroneCollocation(n_nodes=16)
+    xv = jnp.asarray(prob.get_vars_and_bounds()[0]) * 1.03
+    J = np.asarray(jax.jacrev(prob._defects)(xv))
+    rows = np.repeat(np.arange(prob.nwcon), np.diff(prob.csr_rowp))
+    np.testing.assert_allclose(
+        np.asarray(prob.eval_sparse_jacobian_data(xv)),
+        J[rows, prob.csr_cols], rtol=0, atol=1e-14)
