@@ -17,9 +17,10 @@ from paropt_tpu.models.brachistochrone import BrachistochroneCollocation
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=48)
-    ap.add_argument("--algorithm", default="ip", choices=["ip", "tr"])
     args = ap.parse_args()
 
+    # the reference's dymos examples drive ParOpt with algorithm="ip";
+    # the SL1QP trust region is not tuned for pure-equality collocation
     prob = BrachistochroneCollocation(n_nodes=args.nodes)
     opts = {
         "output_file": None, "norm_type": "infinity",
@@ -29,11 +30,7 @@ def main():
         "barrier_strategy": "monotone", "armijo_constant": 1e-5,
         "penalty_gamma": 100.0, "max_major_iters": 500,
     }
-    if args.algorithm == "ip":
-        res = InteriorPoint(prob, opts).optimize()
-    else:
-        from paropt_tpu.optimizer import Optimizer
-        res = Optimizer(prob, {**opts, "algorithm": "tr"}).optimize()
+    res = InteriorPoint(prob, opts).optimize()
 
     tf = float(res["fobj"])
     print(f"converged: {res['converged']}  tf = {tf:.6f} s "
