@@ -1483,6 +1483,11 @@ class InteriorPoint:
                         max(gmres_rtol, 1e-12))
                     if inexact_step is not None:
                         info += f"iNK{gmres_iters} "
+                    elif (gmres_iters > 0 and o["output_level"] > 0
+                          and self._logger is not None):
+                        # rejected non-descent NK step
+                        # (`ParOptInteriorPoint.cpp:4885-4888`)
+                        self._logger.write("      %9s\n" % "step failed")
             if o["use_diag_hessian"]:
                 # B = diag(h) from the problem's Hessian diagonal (the MMA
                 # subproblem path, `ParOptInteriorPoint.cpp:4944-4949`)
