@@ -188,7 +188,7 @@ def main():
     print(json.dumps(out))
 
 
-def _median_metric(name, build, n_windows=3, check=None):
+def _median_metric(name, build, n_windows=5, check=None):
     """Median-of-k flagship measurement: ``build()`` returns a zero-arg
     ``run() -> result_dict`` over an already-constructed solver; the first
     call pays the compile, then ``n_windows`` timed re-runs of the SAME
