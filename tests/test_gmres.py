@@ -172,3 +172,49 @@ def test_output_level_trace_families(tmp_path):
     text2 = open(out2).read()
     assert "MatInfo:" in text2, "MatInfo rows missing"
     assert len(unpack_output(out2)["fobj"]) > 0
+
+
+def test_nk_projection_formulas():
+    """_nk_projections == FD of the barrier objective along p, and the
+    constraint projection equals the analytic residual-weighted derivative
+    (the quantities gating the NK descent test)."""
+    import jax
+    import jax.numpy as jnp
+    from paropt_tpu.ip import InteriorPoint as IP, _nk_projections, \
+        _barrier_terms
+    from paropt_tpu.ops import kkt
+
+    prob = RandomConvexQP(n=12, ncon=2, seed=7)
+    ip = IP(prob, {"output_file": None, "abs_res_tol": 1e-8})
+    ip.fobj, ip.c, ip.cw = ip._eval_obj_con(ip.vars.x)
+    ip.g, ip.A = ip._eval_gradients(ip.vars.x)
+    d = ip._make_data()
+    v = ip.vars
+    mu = jnp.asarray(0.01, ip.dtype)
+    rng = np.random.default_rng(2)
+
+    def rand_like(a, scale=1e-3):
+        return jnp.asarray(rng.standard_normal(a.shape) * scale, a.dtype)
+
+    import dataclasses
+    p = jax.tree_util.tree_map(rand_like, v)
+    b = jax.tree_util.tree_map(rand_like, v)
+    fp, cp = _nk_projections.__wrapped__(v, d, b, p, mu, 1.0)
+
+    # fproj: finite difference of the barrier-augmented objective
+    def barrier_obj(t):
+        x = v.x + t * p.x
+        s, tt = v.s + t * p.s, v.t + t * p.t
+        sw, tw = v.sw + t * p.sw, v.tw + t * p.tw
+        return (jnp.vdot(d.g, t * p.x)
+                + jnp.sum(d.gamma_s * s) + jnp.sum(d.gamma_t * tt)
+                + jnp.sum(d.gamma_sw * sw) + jnp.sum(d.gamma_tw * tw)
+                - mu * _barrier_terms(x, s, tt, sw, tw, d, 1.0))
+
+    h = 1e-6
+    fd = (float(barrier_obj(h)) - float(barrier_obj(-h))) / (2 * h)
+    assert abs(float(fp) - fd) < 1e-6 * max(1.0, abs(fd)), (float(fp), fd)
+
+    # cproj: -sum b.z * (A p.x - p.s + p.t) for the dense block
+    want = -float(jnp.sum(b.z * (d.A @ p.x - p.s + p.t)))
+    assert abs(float(cp) - want) < 1e-12 * max(1.0, abs(want))
