@@ -9,6 +9,12 @@ nez: 63-80% lanes) and applies KE as 576 fused multiply-adds — no
 [ne,24] materialization, no strided minor-dim copies.
 
     python scripts/ab_kmul3d_grid.py --nex 160 --ney 80 --nez 80
+
+NOTE: the problem is constructed with layout='aos' so the 'current'
+side is always the [ne, 24] matmul form regardless of the model's
+auto threshold; compare against the local grid stencil.  Through the
+tunnel, first compiles at >= 64^3 can take many minutes — prefer
+whole-solve A/Bs (one compile) at large shapes.
 """
 
 import argparse
