@@ -262,11 +262,15 @@ def _step_scale_merit(v: IPVars, d: ProblemData, compact, fobj, mu, comp,
 @jax.jit
 def _nk_projections(v: IPVars, d: ProblemData, b: IPVars, p: IPVars, mu,
                     rel_bound_barrier):
-    """Per-Krylov-vector projections for the output_level>0 GMRES trace:
-    fproj = the barrier-objective directional derivative along p
-    (`evalObjBarrierDeriv`, `ParOptInteriorPoint.cpp:5669-5773`) and
-    cproj = aproj + awproj, the constraint-residual projections
-    (`:5954-5969`, with b = the GMRES right-hand side)."""
+    """GMRES descent-gate/trace projections: fproj = the barrier-objective
+    directional derivative along p (`evalObjBarrierDeriv`,
+    `ParOptInteriorPoint.cpp:5669-5773`) and cproj = aproj + awproj, the
+    constraint-residual projections NORMALIZED by the reference's
+    cscale = 1/||c-s+t|| and cwscale = 1/||cw-sw+tw|| (`:5866-5888`,
+    `:5954-5969`) — so cproj is the directional derivative of the
+    infeasibility NORMS and the -0.01*(cinfeas+cwinfeas) descent
+    threshold means the same thing at every feasibility level.
+    ``b`` is the GMRES right-hand side (b.z = -(c - s + t))."""
     pbarrier = rel_bound_barrier * (
         jnp.sum(jnp.where(d.lb_mask > 0, p.x / (v.x - d.lb), 0.0))
         - jnp.sum(jnp.where(d.ub_mask > 0, p.x / (d.ub - v.x), 0.0)))
@@ -279,9 +283,18 @@ def _nk_projections(v: IPVars, d: ProblemData, b: IPVars, p: IPVars, mu,
              - mu * pbarrier)
     cproj = jnp.zeros_like(fproj)
     if d.ncon:
-        cproj = cproj - jnp.sum(b.z * (d.A @ p.x - p.s + p.t))
+        cinfeas = jnp.linalg.norm(d.c - v.s + v.t)
+        cscale = jnp.where(cinfeas != 0.0,
+                           1.0 / jnp.where(cinfeas != 0.0, cinfeas, 1.0),
+                           0.0)
+        cproj = cproj - cscale * jnp.sum(b.z * (d.A @ p.x - p.s + p.t))
     if d.nwcon:
-        cproj = cproj - jnp.sum(b.zw * (d.Aw_matvec(p.x) - p.sw + p.tw))
+        cwinfeas = jnp.linalg.norm(d.cw - v.sw + v.tw)
+        cwscale = jnp.where(
+            cwinfeas != 0.0,
+            1.0 / jnp.where(cwinfeas != 0.0, cwinfeas, 1.0), 0.0)
+        cproj = cproj - cwscale * jnp.sum(
+            b.zw * (d.Aw_matvec(p.x) - p.sw + p.tw))
     return fproj, cproj
 
 

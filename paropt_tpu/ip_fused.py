@@ -504,20 +504,17 @@ def _fused_gmres(model: ModelFns, opts: FusedIPOptions, model_params,
         out = tmap(lambda leaf: scale * leaf, b)
         return dataclasses.replace(out, x=wx)
 
-    # descent-gate threshold + per-vector objective/constraint projections
-    # (`ParOptInteriorPoint.cpp:6154-6189`): by linearity of the subspace
-    # recovery, the ASSEMBLED step's projections are y-weighted sums of the
-    # per-vector ones, so the reference's final descent check costs no
-    # extra preconditioner application.  (The per-iteration descent gate on
-    # the EARLY EXIT is host-loop-only: it would need an O(msub^2) scalar
-    # triangular solve per arm in this static unroll; the final gate is the
-    # one that decides whether the step is usable.)
+    # descent-gate threshold (`ParOptInteriorPoint.cpp:6154-6189`); the
+    # gate itself is applied DIRECTLY to the assembled step after the
+    # loop — see the end of this function.  (The reference's
+    # per-iteration descent gate on the EARLY EXIT is host-loop-only: it
+    # would need an O(msub^2) scalar triangular solve per arm in this
+    # static unroll; the final gate is the one that decides whether the
+    # step is usable.)
     from .ip import _nk_projections
     cinfeas = jnp.linalg.norm(d.c - v.s + v.t) if d.ncon else 0.0
     cwinfeas = jnp.linalg.norm(d.cw - v.sw + v.tw) if d.nwcon else 0.0
     descent_thresh = -0.01 * (cinfeas + cwinfeas)
-    fproj = []
-    cproj = []
 
     dt = v.x.dtype
     W = [b.x / bsafe]                     # x-components of the basis
@@ -537,17 +534,6 @@ def _fused_gmres(model: ModelFns, opts: FusedIPOptions, model_params,
         # A v̂_j = K z_j = -v̂_j + N(H-B)z_j.x, so only the x-component
         # needs fresh storage and the scalar simply flips sign
         zj = precon(embed(W[j], al[j]))
-        fp_j, cp_j = _nk_projections.__wrapped__(
-            v, d, b, zj, mu, opts.rel_bound_barrier)
-        # frozen arms hold normalized-noise basis vectors whose projections
-        # can be inf — select them to 0 (their y_i are 0, but 0*inf = nan
-        # would poison the weighted sums).  Sign note: the fused b is the
-        # UNNEGATED residual (the host loop negates it), so the constraint
-        # projection flips sign; the accumulated sums equal the assembled
-        # step's projections by linearity (verified against the direct
-        # projection of p_out).
-        fproj.append(jnp.where(was_done, 0.0, fp_j))
-        cproj.append(jnp.where(was_done, 0.0, -cp_j))
         hv = model.hvp(model_params, v.x, v.z, v.zw, zj.x)
         w = -W[j] + (hv - bmult(zj.x))
         a = -al[j]
@@ -598,23 +584,32 @@ def _fused_gmres(model: ModelFns, opts: FusedIPOptions, model_params,
         u_a = u_a + y[i] * al[i]
 
     final_res = last_res  # residual after the final ACTIVE arm
-    # the assembled step must be a DESCENT direction (frozen arms have
-    # y_i = 0, so inert contributions vanish from the weighted sums)
-    fpr = sum(y[i] * fproj[i] for i in range(msub))
-    cpr = sum(y[i] * cproj[i] for i in range(msub))
-    is_descent = (fpr < 0.0) | (cpr < descent_thresh)
     ok = (jnp.isfinite(final_res) & (final_res <= bnorm) & (iters > 0)
-          & is_descent
           & jnp.isfinite(jnp.vdot(u_w, u_w) + beta_n * u_a * u_a))
-    # fallback: embed(b.x, bnorm) == b, so precon of it IS the ordinary
-    # quasi-Newton step solve_kkt(b)
-    u_w = jnp.where(ok, u_w, b.x)
-    u_a = jnp.where(ok, u_a, bsafe)
-    p_out = precon(embed(u_w, u_a))
-    # iters reports the Krylov arms EXECUTED (work done) even when the
-    # descent gate rejects the step and p_out falls back to the
+    # SIGN: precon solves K z = -w, so the raw subspace combination
+    # satisfies K (Σ y_i z_i) = +r — the ANTI-Newton direction.  Negate
+    # the combination before the final preconditioner application so the
+    # returned step solves K p = -r like the quasi-Newton branch (this
+    # inversion previously shipped unnoticed because the residual-only
+    # acceptance had nothing direction-aware to trip on).
+    p_nk = precon(embed(jnp.where(ok, -u_w, b.x),
+                        jnp.where(ok, -u_a, bsafe)))
+    # the assembled step must be a DESCENT direction
+    # (`ParOptInteriorPoint.cpp:6154-6189`): project the ACTUAL step —
+    # no per-arm linearity assumptions (the first frozen arm carries
+    # y = final_res != 0, so weighted per-arm sums are not exact).
+    # fused b is the UNNEGATED residual, so cproj flips sign.
+    fpr, cpr_neg = _nk_projections.__wrapped__(
+        v, d, b, p_nk, mu, opts.rel_bound_barrier)
+    cpr = -cpr_neg
+    accept = ok & ((fpr < 0.0) | (cpr < descent_thresh))
+    # rejected (or non-finite) NK step falls back to the ordinary
     # quasi-Newton direction — the reference's -niters convention
-    # (`:4883-4894` prints 'step failed' and keeps the QN step)
+    # (`:4883-4894` prints 'step failed' and keeps the QN step); iters
+    # keeps reporting the Krylov work executed
+    p_qn = precon(b)
+    p_out = jax.tree_util.tree_map(
+        lambda a2, b2: jnp.where(accept, a2, b2), p_nk, p_qn)
     return p_out, iters
 
 

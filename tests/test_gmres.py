@@ -215,6 +215,8 @@ def test_nk_projection_formulas():
     fd = (float(barrier_obj(h)) - float(barrier_obj(-h))) / (2 * h)
     assert abs(float(fp) - fd) < 1e-6 * max(1.0, abs(fd)), (float(fp), fd)
 
-    # cproj: -sum b.z * (A p.x - p.s + p.t) for the dense block
-    want = -float(jnp.sum(b.z * (d.A @ p.x - p.s + p.t)))
+    # cproj: the reference-normalized -cscale * sum b.z (A p.x - p.s + p.t)
+    # with cscale = 1/||c - s + t|| (`ParOptInteriorPoint.cpp:5866-5878`)
+    cscale = 1.0 / float(jnp.linalg.norm(d.c - v.s + v.t))
+    want = -cscale * float(jnp.sum(b.z * (d.A @ p.x - p.s + p.t)))
     assert abs(float(cp) - want) < 1e-12 * max(1.0, abs(want))
