@@ -220,3 +220,41 @@ def test_nk_projection_formulas():
     cscale = 1.0 / float(jnp.linalg.norm(d.c - v.s + v.t))
     want = -cscale * float(jnp.sum(b.z * (d.A @ p.x - p.s + p.t)))
     assert abs(float(cp) - want) < 1e-12 * max(1.0, abs(want))
+
+
+def test_fused_nk_step_is_newton_oriented():
+    """Direction-aware regression anchor for the fused GMRES subspace
+    recovery: the assembled NK step must point WITH the quasi-Newton
+    direction (cos > 0), not against it — the anti-Newton sign inversion
+    (K p = +r) shipped unnoticed because residual norms and final
+    solutions are direction-blind."""
+    import jax
+    from paropt_tpu import ip_fused as ipf
+    from paropt_tpu.ops import qn as qnmod, kkt
+
+    prob = RandomConvexQP(n=20, ncon=2, seed=41)
+    model = ipf.model_from_problem(prob)
+    data, x0 = ipf.data_template_from_problem(prob)
+    opts = ipf.FusedIPOptions(
+        abs_res_tol=1e-9, max_major_iters=200,
+        use_quasi_newton_update=True,
+        use_hvec_product=True, gmres_subspace_size=12, nk_switch_tol=1.0)
+    fused = ipf.FusedIP(model, prob.nvars, prob.ncon, prob.nwcon,
+                        prob.nwblock, opts)
+    state = fused.init(x0, data, (), qnmod.qn_init(10, prob.nvars), None)
+    for _ in range(60):
+        state = fused.step(state, data, (), None)
+        if float(state.res_norm) < 1e-4:
+            break
+    v = state.vars
+    d2 = ipf._refresh_data(data, state.g, state.A, state.c, state.cw)
+    cq = ipf._get_compact(opts, model, state, (), None)
+    f = kkt.setup_kkt_factor(v, d2, qn_compact=cq, qn_sigma=opts.qn_sigma)
+    r = kkt.kkt_residual(v, d2, state.mu, opts.rel_bound_barrier)
+    p, iters = ipf._fused_gmres(model, opts, (), v, d2, f, cq, r,
+                                jnp.asarray(1e-2), state.mu)
+    assert int(iters) > 0
+    pq = kkt.solve_kkt(v, d2, f, r, qn_compact=cq)
+    cos = float(jnp.vdot(p.x, pq.x)
+                / (jnp.linalg.norm(p.x) * jnp.linalg.norm(pq.x) + 1e-30))
+    assert cos > 0.5, f"fused NK step not Newton-oriented (cos={cos:.3f})"
